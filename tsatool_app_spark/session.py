@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference pins all execution to one PostgreSQL connection per sheet
+(tsa/analysis_collection.py:211-220); here every query is a lazy Spark DAG and
+parallelism comes from partitioning. Defaults below are tuned so the same code
+runs on local[N] for tests and on a large cluster:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion replace any hand-tuning per scale factor.
+- Arrow on: all pandas interchange (reporting edge, pandas UDFs) is batched.
+- Session timezone UTC: parquet timestamps compare bit-identically with the
+  DuckDB oracle; the reference's Europe/Helsinki semantics are applied
+  explicitly at ingest/bucketing sites (see sources/csv_ingest.py), never
+  implicitly via session state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tsatool_app_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master``/``shuffle_partitions`` default from env (SPARK_GRAFT_CPUS) so
+    tests, bench.py, and the driver harness share one code path. On a real
+    cluster, pass ``master=None`` with spark-submit providing the master.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: keep file-split sizing explicit so partition count
+        # scales with data volume, not file count.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Driver testdata stores events.ts as Parquet TIMESTAMP(NANOS), which
+        # Spark's reader rejects; read as long nanos and convert in the loader
+        # (model.load_table) with exact integer division.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
