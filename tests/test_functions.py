@@ -1,0 +1,139 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsatool_app_spark.functions import (
+    brute_force_topk,
+    exact_dedup_groups,
+    lang_id_heuristic,
+    lsh_ann_topk,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    quantized_dot,
+    simhash_signatures,
+    text_stats,
+    quality_score,
+    doc_fingerprint,
+)
+from tsatool_app_spark.model import load_table
+
+
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep dark forest where nobody ever goes at night"
+    )
+    near = base.replace("lazy dog", "lazy cat")  # small edit → near-dup
+    other = (
+        "completely different content about spark dataframes and shuffle "
+        "partitioning strategies for large scale distributed analytics"
+    )
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup_groups(docs_with_dups(spark)).collect()
+    by_copies = sorted((r.n_copies, r.keep_id) for r in out)
+    assert by_copies == [(1, 3), (1, 4), (2, 1)]
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = minhash_near_dup_pairs(docs_with_dups(spark), num_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near-dup should collide
+    assert not any(4 in p for p in got)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard(spark):
+    docs = docs_with_dups(spark)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, cands).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] < 0.1
+
+
+def test_simhash_hamming(spark):
+    from tsatool_app_spark.functions.dedup import hamming_distance
+
+    sig = simhash_signatures(docs_with_dups(spark))
+    s = {r.doc_id: r.simhash for r in sig.collect()}
+    assert s[1] == s[2]
+    df = sig.sparkSession.createDataFrame(
+        [(s[1], s[3]), (s[1], s[4])], "a long, b long"
+    ).select(hamming_distance(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r.d for r in df.collect()]
+    assert d_near < d_far
+
+
+def test_text_stats_and_quality(spark):
+    docs = docs_with_dups(spark)
+    st = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert st[1].n_tokens_ws == len(docs_with_dups(spark).collect()[0].text.split())
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_lang_id_heuristic(spark, sf_dir):
+    # Note: the testdata `lang` column is a random label over English-ish
+    # word salad (not recoverable from text), so accuracy is asserted on
+    # hand-crafted snippets; the testdata run only checks it executes.
+    samples = [
+        (1, "the cat is on the mat and the dog is in the house", "en"),
+        (2, "der Hund ist im Haus und die Katze ist auf der Matte", "de"),
+        (3, "le chat est sur le tapis et la maison est grande", "fr"),
+        (4, "el perro es grande y el gato es pequeño y que bonito", "es"),
+        (5, "这是一个中文句子用来测试语言识别的功能看看效果如何", "zh"),
+        (6, "xyzzy plugh qwerty", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    pred = {r.doc_id: r.lang_pred for r in lang_id_heuristic(df).collect()}
+    for i, _, want in samples:
+        assert pred[i] == want, (i, pred[i], want)
+    docs = load_table(spark, sf_dir, "documents")
+    assert lang_id_heuristic(docs).count() == docs.count()
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    qid = min(vecs)
+    q = vecs[qid]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = sorted(vecs, key=lambda i: (-cos(vecs[i], q), i))[:5]
+    got = [r.vec_id for r in brute_force_topk(emb, list(q), k=5).collect()]
+    assert got == expected
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.orderBy("vec_id").first().embedding)
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in lsh_ann_topk(emb, q, k=10, n_planes=16, band_bits=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3, f"LSH ANN recall too low: {recall}"
+
+
+def test_quantized_dot_exactness(spark):
+    df = spark.createDataFrame(
+        [([1.5, -2.25, 3.0], [2.0, 1.0, -1.5])], "a array<float>, b array<float>"
+    )
+    out = df.select(quantized_dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    # floor(1.5k)*floor(2k) + floor(-2.25k)*floor(1k) + floor(3k)*floor(-1.5k)
+    assert out == 1500 * 2000 + (-2250) * 1000 + 3000 * (-1500)

@@ -1,0 +1,33 @@
+from tsatool_app_spark.functions.text import (
+    text_stats,
+    lang_id_heuristic,
+    quality_score,
+    doc_fingerprint,
+)
+from tsatool_app_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash_signatures,
+    ngram_jaccard_pairs,
+)
+from tsatool_app_spark.functions.similarity import (
+    quantized_dot,
+    cosine_similarity_col,
+    brute_force_topk,
+    lsh_ann_topk,
+)
+
+__all__ = [
+    "text_stats",
+    "lang_id_heuristic",
+    "quality_score",
+    "doc_fingerprint",
+    "exact_dedup_groups",
+    "minhash_near_dup_pairs",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "quantized_dot",
+    "cosine_similarity_col",
+    "brute_force_topk",
+    "lsh_ann_topk",
+]

@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators (BASELINE.json north star), designed for
+100 TB:
+
+- exact: hash-groupBy — one shuffle on a 16-byte hash, not on document text;
+- MinHash+LSH: shingle → per-shingle hashes → per-doc min-signature →
+  banded bucket keys → candidate pairs via equi-self-join on bucket key.
+  Everything is built-in Column expressions (xxhash64 with per-permutation
+  seeds, explode/groupBy) — no Python in the loop, so the only costs are
+  one shuffle for the signature agg and one for the bucket join;
+- SimHash: 3-gram hashes → per-bit vote aggregation → 64-bit signature;
+  near-dups = signatures at small Hamming distance;
+- n-gram Jaccard: exact verification of candidate pairs (explode + join) —
+  run AFTER LSH pruning, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct text with
+    the number of copies and the id to keep (min id — deterministic).
+
+    Grouping on md5(text) keeps the shuffle narrow (16 bytes/row instead of
+    the full document); at 100 TB this is the difference between shuffling
+    the corpus and shuffling a key column."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    return (
+        df.groupBy(h)
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingles(text_col: Column, k: int = 5) -> Column:
+    """Character k-shingles as an array column (built-ins only):
+    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.substring(text_col, i, k),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded hash
+    permutations, the min over the document's shingle set.
+
+    Plan shape: explode shingles → distinct (id, shingle) → single groupBy
+    computing all mins at once (one shuffle, map-side partial min)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).dropDuplicates([id_col, "sh"])
+    mins = [
+        F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH near-duplicate candidate pairs: band the signature, hash each
+    band to a bucket key, self-join on (band, bucket).
+
+    With num_hashes=64, bands=16 (rows/band=4) the S-curve threshold is
+    ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. Returns (id_a, id_b, n_shared_bands),
+    id_a < id_b. Verify candidates with :func:`ngram_jaccard_pairs`."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_keys = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+    left = band_keys.alias("l")
+    right = band_keys.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SimHash: per-bit majority vote over shingle hashes → one integer
+    signature per document. Near-dups have small Hamming distance.
+
+    Vote computation is ``bits`` conditional sums in ONE groupBy (map-side
+    partial agg) — no per-bit passes."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    sig = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ),
+        F.lit(0),
+    )
+    return voted.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (id_a, id_b).
+
+    Intersection via equi-join of exploded distinct shingles restricted to
+    candidate ids (semi-join pushdown), union by inclusion-exclusion —
+    |A∪B| = |A| + |B| − |A∩B| — so no giant union materialization."""
+    ids = candidate_pairs.select(F.col("id_a").alias(id_col)).union(
+        candidate_pairs.select(F.col("id_b"))
+    ).distinct()
+    sh = (
+        df.join(ids, id_col, "leftsemi")
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+        .dropDuplicates([id_col, "sh"])
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidate_pairs.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        candidate_pairs.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all pure
+``pyspark.sql.functions`` Column expressions (JVM-side, whole-stage codegen;
+no Python UDFs in the hot path), so a 100 TB documents table processes at
+scan speed.
+
+Every stat here is built from engine-portable primitives (length / replace /
+substring arithmetic) so the DuckDB oracle can mirror the exact semantics —
+see plans/driver_queries.py for the paired SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via length arithmetic — portable to any SQL
+    engine, no regex dialect differences."""
+    if not needle:
+        raise ValueError("needle must be non-empty")
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics (token/char/punctuation counts).
+
+    Token counting uses the whitespace heuristic (space-count + 1) so the
+    result is exact and portable; a BPE-ish regex token count is provided
+    separately by :func:`token_count_bpe_ish`.
+    """
+    t = F.col(text_col)
+    n_spaces = _count_occurrences(t, " ")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("len_chars"),
+        (n_spaces + 1).alias("n_tokens_ws"),
+        _count_occurrences(t, ".").alias("n_periods"),
+        _count_occurrences(t, ",").alias("n_commas"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))).alias("n_space_chars"),
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate BPE token count: words + punctuation splits.
+
+    A whitespace+punctuation regex split approximates byte-pair-encoding
+    token counts well enough for corpus sizing (the usual ~4 chars/token
+    heuristic); stays JVM-side via split/size."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+|(?=[.,!?;:])")).alias("n_tokens_bpe_ish"),
+    )
+
+
+#: Marker substrings per language for the n-gram/stopword heuristic.
+#: Space-padded so they match whole words mid-sentence.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " is ", " of "),
+    "de": (" der ", " die ", " und ", " ist "),
+    "fr": (" le ", " la ", " et ", " est "),
+    "es": (" el ", " que ", " y ", " es "),
+}
+
+
+def _lang_scores(t: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    return {
+        lang: sum((_count_occurrences(padded, m) for m in markers), F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID via stopword-marker counting + non-ASCII ratio.
+
+    Pure Column arithmetic (no UDF): counts whole-word marker hits per
+    language; a high non-ASCII character ratio short-circuits to 'zh'
+    (CJK text has essentially no ASCII stopwords). Returns (doc_id,
+    lang_pred). Accuracy against the testdata ``lang`` ground-truth column is
+    asserted in tests."""
+    t = F.col(text_col)
+    scores = _lang_scores(t)
+    # non-ASCII ratio: chars whose codepoint > 127 (CJK detection)
+    ascii_stripped = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
+    nonascii_ratio = ascii_stripped / F.greatest(F.length(t), F.lit(1))
+
+    best = F.greatest(*scores.values())
+    marker_pred = None
+    for lang in _LANG_MARKERS:  # insertion order breaks ties deterministically
+        cond = scores[lang] == best
+        marker_pred = (
+            F.when(cond, F.lit(lang)) if marker_pred is None else marker_pred.when(cond, F.lit(lang))
+        )
+    pred = (
+        F.when(nonascii_ratio > 0.3, F.lit("zh"))  # CJK check first: no ASCII stopwords
+        .when(best == 0, F.lit("und"))
+        .otherwise(marker_pred)
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1] from surface statistics:
+    length band, punctuation presence, word-length sanity, space ratio.
+    All Column arithmetic; deterministic."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = _count_occurrences(t, " ") + 1
+    avg_token_len = n_chars / n_tokens
+    space_ratio = _count_occurrences(t, " ") / F.greatest(n_chars, F.lit(1))
+    has_sentence_end = (_count_occurrences(t, ".") > 0).cast("int")
+
+    length_ok = ((n_chars >= 50) & (n_chars <= 20000)).cast("int")
+    token_len_ok = ((avg_token_len >= 2.0) & (avg_token_len <= 12.0)).cast("int")
+    space_ok = ((space_ratio >= 0.05) & (space_ratio <= 0.35)).cast("int")
+
+    score = (
+        length_ok * 0.4 + has_sentence_end * 0.2 + token_len_ok * 0.2 + space_ok * 0.2
+    )
+    return docs.select("doc_id", score.cast("double").alias("quality"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint (xxhash64 of normalized text) — the cheap
+    exact-dup key: lowercase, collapse whitespace, hash. One narrow scan."""
+    t = F.col(text_col)
+    normalized = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.xxhash64(normalized).alias("fingerprint"),
+        F.md5(normalized).alias("fingerprint_md5"),
+    )

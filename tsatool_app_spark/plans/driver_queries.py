@@ -1,0 +1,501 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle pairs.
+
+Every operator claimed in SURVEY §2 gets an entry here; the driver harness
+runs the Spark callable and the oracle SQL side-by-side at sf=0.01 and
+hash-compares values (CORRECTNESS_r{N}.json). Non-SQL-expressible operators
+(engine-specific hash functions, approximate search) have oracle=None and get
+a rows-only check.
+
+Cross-engine determinism rules used throughout:
+
+- monetary aggregates: cast to DECIMAL before SUM (exact, order-independent),
+  cast the final scalar to DOUBLE — bit-identical in both engines;
+- similarity: integer-quantized dot products (functions/similarity.py), not
+  float accumulation;
+- timestamps: Spark session TZ is UTC (session.get_spark) so parquet values
+  compare equal to DuckDB's naive timestamps;
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsatool_app_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+)
+from tsatool_app_spark.functions.similarity import lsh_ann_topk, quantized_dot
+from tsatool_app_spark.functions.text import _LANG_MARKERS, lang_id_heuristic, text_stats
+from tsatool_app_spark.model import load_observations_from_events, load_table
+from tsatool_app_spark.operators.combine import combine_blocks
+from tsatool_app_spark.operators.ranges import pack_ranges
+from tsatool_app_spark.operators.summary import (
+    distinct_keys,
+    validity_summary,
+)
+
+# ---------------------------------------------------------------------------
+# Condition-block fixtures on the events table (FIXTURES.md §4 mapping:
+# ts→tfrom, user_id→statid, event_type→seid, value→seval).
+# ---------------------------------------------------------------------------
+
+_BLOCK_A = (9, "purchase", ">=", 50.0)   # u9#purchase >= 50
+_BLOCK_B = (14, "error", "<", 80.0)      # u14#error < 80
+_BLOCK_C = (23, "click", ">=", 20.0)     # u23#click >= 20
+_MAXMIN = 30
+
+
+def _obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_observations_from_events(spark, sf_dir)
+
+
+def _block_df(spark, sf_dir, block) -> DataFrame:
+    statid, seid, op, val = block
+    return pack_ranges(_obs(spark, sf_dir), _MAXMIN, statid, seid, op, val)
+
+
+def _pack_sql_cte(name: str, block, seval_expr: str = "value") -> str:
+    """DuckDB CTE implementing pack_ranges (01_init_db.sql:121-202 semantics:
+    W1 lead → W2 cap → W3 sentinel → W4/W5 islands merge)."""
+    statid, seid, op, val = block
+    if op == "in":
+        pred = f"{seval_expr} IN ({', '.join(str(v) for v in val)})"
+    else:
+        pred = f"{seval_expr} {op} {val}"
+    return f"""
+{name} AS (
+  WITH {name}_obs AS (
+    SELECT ts AS tfrom, {seval_expr} AS seval_x, ({pred.replace('value', 'value')}) AS istrue_raw
+    FROM events WHERE user_id = {statid} AND event_type = '{seid}'
+  ), {name}_w1 AS (
+    SELECT tfrom AS vfrom, lead(tfrom) OVER (ORDER BY tfrom) AS next_t, istrue_raw
+    FROM {name}_obs
+  ), {name}_w2 AS (
+    SELECT vfrom, least(next_t, vfrom + INTERVAL {_MAXMIN} MINUTE) AS vuntil,
+           COALESCE(CAST(istrue_raw AS INT), -1) AS s
+    FROM {name}_w1 WHERE next_t IS NOT NULL
+  ), {name}_w4 AS (
+    SELECT *, CASE WHEN s IS DISTINCT FROM lag(s) OVER (ORDER BY vfrom)
+                   THEN 1 ELSE 0 END AS chg
+    FROM {name}_w2
+  ), {name}_w5 AS (
+    SELECT *, SUM(chg) OVER (ORDER BY vfrom ROWS UNBOUNDED PRECEDING) AS island
+    FROM {name}_w4
+  )
+  SELECT min(vfrom) AS vfrom, max(vuntil) AS vuntil,
+         CASE WHEN min(s) = 1 THEN TRUE WHEN min(s) = 0 THEN FALSE END AS istrue
+  FROM {name}_w5 GROUP BY island
+)"""
+
+
+def _condition_sql(blocks: dict[str, tuple], master_expr: str) -> str:
+    """Reference-style condition SQL (condition.py:364-391): boundary union →
+    LEAD pairing → one LEFT JOIN per block on range containment → Kleene
+    master. This IS the reference's plan, in portable SQL — deliberately a
+    different algorithm from the Spark carry-forward implementation, so the
+    oracle is an independent check."""
+    # CTE names are prefixed blk_ so the alias columns (a1, a2, …) in the
+    # outer master expression can't collide with relation names.
+    ctes = ",".join(_pack_sql_cte(f"blk_{a}", b) for a, b in blocks.items())
+    unions = " UNION ALL ".join(
+        f"SELECT vfrom AS vt FROM blk_{a} UNION ALL SELECT vuntil FROM blk_{a}"
+        for a in blocks
+    )
+    joins = "\n".join(
+        f"LEFT JOIN blk_{a} ON m.vfrom >= blk_{a}.vfrom AND m.vfrom < blk_{a}.vuntil"
+        for a in blocks
+    )
+    alias_cols = ", ".join(f"blk_{a}.istrue AS {a}" for a in blocks)
+    return f"""
+WITH {ctes},
+pts AS (SELECT DISTINCT vt FROM ({unions})),
+mr AS (SELECT vt AS vfrom, lead(vt) OVER (ORDER BY vt) AS vuntil FROM pts),
+m AS (SELECT * FROM mr WHERE vuntil IS NOT NULL),
+aligned AS (
+  SELECT m.vfrom, m.vuntil,
+         CAST(date_diff('second', m.vfrom, m.vuntil) AS BIGINT) AS vdiff_s,
+         {alias_cols}
+  FROM m
+  {joins}
+)
+SELECT aligned.*, ({master_expr}) AS master FROM aligned"""
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def q_pack_ranges(spark, sf_dir):
+    """Flagship operator (SURVEY §2.5 W1-W5, §7.1): pack one sensor's
+    readings into tri-state validity ranges."""
+    return _block_df(spark, sf_dir, _BLOCK_A)
+
+
+def q_pack_ranges_in(spark, sf_dir):
+    """P3 'in' operator variant over a quantized value column."""
+    obs = _obs(spark, sf_dir).withColumn("seval", F.floor("seval").cast("double"))
+    return pack_ranges(obs, _MAXMIN, 9, "purchase", "in", tuple(range(0, 500, 10)))
+
+
+def _condition_and_df(spark, sf_dir):
+    return combine_blocks(
+        {
+            "a1": _block_df(spark, sf_dir, _BLOCK_A),
+            "a2": _block_df(spark, sf_dir, _BLOCK_B),
+        },
+        "a1 AND a2",
+    )
+
+
+def q_condition_and(spark, sf_dir):
+    """Two-block condition: boundary segmentation + alignment + Kleene AND
+    (W6/J4/§2.8)."""
+    return _condition_and_df(spark, sf_dir)
+
+
+def q_condition_or_not(spark, sf_dir):
+    """Three-block condition with OR/NOT/parens — Kleene edge cases."""
+    return combine_blocks(
+        {
+            "b1": _block_df(spark, sf_dir, _BLOCK_A),
+            "b2": _block_df(spark, sf_dir, _BLOCK_B),
+            "b3": _block_df(spark, sf_dir, _BLOCK_C),
+        },
+        "(b1 OR NOT b2) AND b3",
+    )
+
+
+def q_condition_summary(spark, sf_dir):
+    """A3 validity rollup of the two-block condition (condition.py:435-446)."""
+    return validity_summary(_condition_and_df(spark, sf_dir))
+
+
+def q_obs_summary_monthly(spark, sf_dir):
+    """A1 monthly observation counts (observations_summary.sql:8-17; month
+    kept in UTC here for engine portability — the Helsinki-local variant is
+    operators.summary.observation_summary)."""
+    obs = _obs(spark, sf_dir)
+    return obs.groupBy(
+        F.month("tfrom").alias("obs_month"),
+        "statid",
+        "seid",
+    ).agg(
+        F.count(F.lit(1)).alias("obs_count"),
+        F.min("tfrom").alias("first_obs"),
+        F.max("tfrom").alias("last_obs"),
+    )
+
+
+def q_distinct_stations(spark, sf_dir):
+    """A2 — the DISTINCT the reference had to disable (cond_collection.py:131)."""
+    return distinct_keys(_obs(spark, sf_dir), "statid")
+
+
+def q_dedup_pk(spark, sf_dir):
+    """A5 PK dedup (ON CONFLICT DO NOTHING semantics): distinct (statid,
+    tfrom) per station — the statobs PK (01_init_db.sql:47)."""
+    return (
+        _obs(spark, sf_dir)
+        .dropDuplicates(["statid", "tfrom"])
+        .groupBy("statid")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+
+
+def q_ts_parse_finnish(spark, sf_dir):
+    """P6 Finnish timestamp parse round-trip (02_rawdata_schema.sql:46-57):
+    format ts as 'dd.MM.yyyy HH:mm:ss,nnnnnnnnn' then parse it back by
+    stripping the fraction — the exact ingest transform."""
+    ev = load_table(spark, sf_dir, "events")
+    fin = F.concat(F.date_format("ts", "dd.MM.yyyy HH:mm:ss"), F.lit(",000000000"))
+    return ev.select(
+        "event_id",
+        F.to_timestamp(
+            F.regexp_extract(fin, r"^(.*),", 1), "dd.MM.yyyy HH:mm:ss"
+        ).alias("parsed_ts"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg on lineitem (generic A-class operator
+    coverage); decimal-exact sums cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join orders→customer→nation→region with broadcast dims
+    (J2/J3-class): revenue per ASIA nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_top_suppliers_per_nation(spark, sf_dir):
+    """Window top-k per group (rank over partition): top-3 suppliers by
+    account balance per nation."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.col("s_suppkey")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rk")
+    )
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup groups on documents via content hash."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    """Text surface statistics over documents."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language ID over documents."""
+    return lang_id_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_dotq(spark, sf_dir):
+    """Quantized integer dot product of every embedding against the min-id
+    query vector — the exact, oracle-checkable core of similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    q = F.array(*[F.lit(float(v)) for v in qrow.embedding])
+    return emb.select(
+        "vec_id", quantized_dot(F.col("embedding"), q).alias("dotq")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
+    engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
+    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours (rows-only check:
+    approximate by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.orderBy("vec_id").first().embedding)
+    return lsh_ann_topk(emb, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+
+def _lang_id_sql() -> str:
+    """Generated from the SAME marker table as the Spark implementation, so
+    the two can't drift."""
+    def cnt(expr: str, m: str) -> str:
+        return (
+            f"CAST((length({expr}) - length(replace({expr}, '{m}', ''))) / {len(m)} AS BIGINT)"
+        )
+
+    padded = "' ' || lower(text) || ' '"
+    scores = {
+        lang: " + ".join(cnt(padded, m) for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"({expr}) AS score_{lang}" for lang, expr in scores.items())
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANG_MARKERS) + ")"
+    marker_chain = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in _LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {score_cols},
+         CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS nonascii_ratio
+  FROM documents
+), ranked AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id,
+       CASE WHEN nonascii_ratio > 0.3 THEN 'zh'
+            WHEN best = 0 THEN 'und'
+            ELSE CASE {marker_chain} END
+       END AS lang_pred
+FROM ranked"""
+
+
+_IN_LIST = ", ".join(str(float(v)) for v in range(0, 500, 10))
+
+ORACLES: dict[str, str | None] = {
+    "pack_ranges": f"""
+WITH {_pack_sql_cte('pr', _BLOCK_A)}
+SELECT vfrom, vuntil, istrue FROM pr""",
+    "pack_ranges_in": f"""
+WITH {_pack_sql_cte('pr', (9, 'purchase', 'in', tuple(float(v) for v in range(0, 500, 10))), seval_expr='CAST(FLOOR(value) AS DOUBLE)')}
+SELECT vfrom, vuntil, istrue FROM pr""",
+    "condition_and": _condition_sql(
+        {"a1": _BLOCK_A, "a2": _BLOCK_B}, "a1 AND a2"
+    ),
+    "condition_or_not": _condition_sql(
+        {"b1": _BLOCK_A, "b2": _BLOCK_B, "b3": _BLOCK_C}, "(b1 OR NOT b2) AND b3"
+    ),
+    "condition_summary": f"""
+WITH cond AS ({_condition_sql({"a1": _BLOCK_A, "a2": _BLOCK_B}, "a1 AND a2")}),
+agg AS (
+  SELECT min(vfrom) AS data_from, max(vuntil) AS data_until,
+         CAST(COALESCE(SUM(CASE WHEN master THEN vdiff_s END), 0) AS BIGINT) AS v,
+         CAST(COALESCE(SUM(CASE WHEN NOT master THEN vdiff_s END), 0) AS BIGINT) AS nv
+  FROM cond
+)
+SELECT data_from, data_until,
+       CAST(date_diff('second', data_from, data_until) AS BIGINT) AS tottime_s,
+       v AS tottime_valid_s, nv AS tottime_notvalid_s,
+       CAST(date_diff('second', data_from, data_until) AS BIGINT) - v - nv AS tottime_nodata_s,
+       v / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_valid,
+       nv / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_notvalid,
+       (CAST(date_diff('second', data_from, data_until) AS BIGINT) - v - nv)
+         / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_nodata
+FROM agg""",
+    "obs_summary_monthly": """
+SELECT CAST(month(ts) AS INTEGER) AS obs_month, user_id AS statid,
+       event_type AS seid, count(*) AS obs_count,
+       min(ts) AS first_obs, max(ts) AS last_obs
+FROM events GROUP BY 1, 2, 3""",
+    "distinct_stations": "SELECT DISTINCT user_id AS statid FROM events ORDER BY statid",
+    "dedup_pk": """
+SELECT statid, count(*) AS n_obs FROM (
+  SELECT DISTINCT user_id AS statid, ts AS tfrom FROM events
+) GROUP BY statid""",
+    "ts_parse_finnish": """
+SELECT event_id,
+       strptime(regexp_extract(
+           strftime(ts, '%d.%m.%Y %H:%M:%S') || ',000000000', '^(.*),', 1),
+           '%d.%m.%Y %H:%M:%S') AS parsed_ts
+FROM events""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+    "revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name""",
+    "top_suppliers_per_nation": """
+SELECT s_nationkey, s_suppkey, s_acctbal, rk FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         CAST(row_number() OVER (PARTITION BY s_nationkey
+                                 ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rk
+  FROM supplier
+) WHERE rk <= 3""",
+    "dedup_exact_docs": """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)""",
+    "text_stats": """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS len_chars,
+       CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens_ws,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+       CAST(length(text) - length(replace(text, ',', '')) AS BIGINT) AS n_commas,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space_chars
+FROM documents""",
+    "lang_id": _lang_id_sql(),
+    "embedding_dotq": """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT e.vec_id,
+       CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                 CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dotq
+FROM embeddings e, q""",
+    # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
+    "minhash_pairs": None,
+    "lsh_ann": None,
+}
+
+
+@dataclass(frozen=True)
+class DriverQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+QUERIES: dict[str, DriverQuery] = {
+    "pack_ranges": DriverQuery(q_pack_ranges, ORACLES["pack_ranges"]),
+    "pack_ranges_in": DriverQuery(q_pack_ranges_in, ORACLES["pack_ranges_in"]),
+    "condition_and": DriverQuery(q_condition_and, ORACLES["condition_and"]),
+    "condition_or_not": DriverQuery(q_condition_or_not, ORACLES["condition_or_not"]),
+    "condition_summary": DriverQuery(q_condition_summary, ORACLES["condition_summary"]),
+    "obs_summary_monthly": DriverQuery(q_obs_summary_monthly, ORACLES["obs_summary_monthly"]),
+    "distinct_stations": DriverQuery(q_distinct_stations, ORACLES["distinct_stations"]),
+    "dedup_pk": DriverQuery(q_dedup_pk, ORACLES["dedup_pk"]),
+    "ts_parse_finnish": DriverQuery(q_ts_parse_finnish, ORACLES["ts_parse_finnish"]),
+    "pricing_summary": DriverQuery(q_pricing_summary, ORACLES["pricing_summary"]),
+    "revenue_by_nation": DriverQuery(q_revenue_by_nation, ORACLES["revenue_by_nation"]),
+    "top_suppliers_per_nation": DriverQuery(
+        q_top_suppliers_per_nation, ORACLES["top_suppliers_per_nation"]
+    ),
+    "dedup_exact_docs": DriverQuery(q_dedup_exact_docs, ORACLES["dedup_exact_docs"]),
+    "text_stats": DriverQuery(q_text_stats, ORACLES["text_stats"]),
+    "lang_id": DriverQuery(q_lang_id, ORACLES["lang_id"]),
+    "embedding_dotq": DriverQuery(q_embedding_dotq, ORACLES["embedding_dotq"]),
+    "minhash_pairs": DriverQuery(q_minhash_pairs, None),
+    "lsh_ann": DriverQuery(q_lsh_ann, None),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
