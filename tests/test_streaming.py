@@ -1,0 +1,125 @@
+"""Structured Streaming tests: stateful pack_ranges parity with batch,
+watermarked windowed counts, incremental processing across micro-batches."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from tsatool_app_spark.streaming import (
+    pack_ranges_stream,
+    stream_observations,
+    windowed_observation_counts,
+)
+
+T0 = datetime(2018, 3, 1)
+
+
+def write_obs_batch(spark, path, rows, batch_id):
+    data = [(T0 + timedelta(minutes=m), s, se, float(v)) for m, s, se, v in rows]
+    df = spark.createDataFrame(
+        data, "tfrom timestamp, statid int, seid int, seval float"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def run_available_now(stream_df, out_name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_pack_ranges_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    # same shape as the batch unit test: values flip across >= 0.5
+    rows = [
+        (0, 1, 3, 1.0), (5, 1, 3, 1.0), (10, 1, 3, 0.2),
+        (15, 1, 3, 0.2), (20, 1, 3, 1.0), (25, 1, 3, 1.0),
+    ]
+    write_obs_batch(spark, src, rows, 0)
+
+    stream = stream_observations(spark, src)
+    packed = pack_ranges_stream(stream, 30, ">=", 0.5)
+    run_available_now(packed, "packed_out", ckpt)
+
+    out = {
+        (r.vfrom, r.vuntil, r.istrue)
+        for r in spark.sql("SELECT * FROM packed_out").collect()
+    }
+    # closed runs: [0,10) True and [10,20) False; the trailing True run
+    # stays open in state (its extent can still grow)
+    expected = {
+        (T0, T0 + timedelta(minutes=10), True),
+        (T0 + timedelta(minutes=10), T0 + timedelta(minutes=20), False),
+    }
+    assert out == expected
+
+
+def test_pack_ranges_stream_incremental(spark, tmp_path):
+    """State carries across micro-batches: batch 2 closes the run batch 1
+    left open."""
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_to_parquet():
+        q = (
+            pack_ranges_stream(stream_observations(spark, src), 30, ">=", 0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_obs_batch(spark, src, [(0, 1, 3, 1.0), (5, 1, 3, 1.0)], 0)
+    run_to_parquet()
+    assert spark.read.parquet(out).count() == 0  # run still open in state
+
+    write_obs_batch(spark, src, [(10, 1, 3, 0.1), (15, 1, 3, 0.1)], 1)
+    run_to_parquet()  # restart from checkpoint: state survives
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.vfrom, r.vuntil, r.istrue) == (T0, T0 + timedelta(minutes=10), True)
+
+
+def test_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(m, 1, 3, float(m)) for m in (0, 2, 4, 11, 12)]
+    write_obs_batch(spark, src, rows, 0)
+    counts = windowed_observation_counts(
+        stream_observations(spark, src), window="10 minutes"
+    )
+    # availableNow + append only emits windows the watermark has passed;
+    # use complete-mode-compatible sink via update? append drops open
+    # windows — so assert on what IS emitted after the watermark advances.
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM win_out").collect()
+    # watermark = max(ts) - 30 min = 12:00 - 30 min < window ends → nothing
+    # final yet; the query ran and the schema is right (plumbing check).
+    assert {c for c in spark.sql("SELECT * FROM win_out").columns} == {
+        "window_start", "window_end", "statid", "seid",
+        "obs_count", "min_val", "max_val",
+    }
+    assert len(emitted) == 0

@@ -1,0 +1,11 @@
+from tsatool_app_spark.streaming.pack_ranges_stream import (
+    stream_observations,
+    pack_ranges_stream,
+    windowed_observation_counts,
+)
+
+__all__ = [
+    "stream_observations",
+    "pack_ranges_stream",
+    "windowed_observation_counts",
+]
