@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the properties SCALING.md claims must hold.
+
+These guard against regressions that would only show up at scale (lost
+filter pushdown, extra shuffles, nested-loop joins)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pack_ranges_pushdown_and_single_shuffle(spark, sf_dir):
+    from tsatool_app_spark.model import load_observations_from_events
+    from tsatool_app_spark.operators.ranges import pack_ranges
+
+    obs = load_observations_from_events(spark, sf_dir)
+    df = pack_ranges(obs, 30, 9, "purchase", ">=", 50.0)
+    plan = executed_plan(df)
+    # key filters reach the parquet scan
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(user_id,9\)", plan)
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,purchase\)", plan)
+    # exactly one exchange: windows + islands-merge agg reuse the partitioning
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    from tsatool_app_spark.plans.driver_queries import q_revenue_by_nation
+
+    plan = executed_plan(q_revenue_by_nation(spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_combine_has_no_nested_loop_on_ranges(spark, sf_dir):
+    """The alignment is carry-forward windows; the only nested-loop allowed
+    is the broadcast cross join of timeline points × the tiny alias list."""
+    from tsatool_app_spark.plans.driver_queries import _condition_and_df
+
+    plan = executed_plan(_condition_and_df(spark, sf_dir))
+    bnl = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
+    assert len(bnl) <= 1  # the pts × aliases cross join only
+    assert "CartesianProduct" not in plan
+
+
+def test_text_ops_scan_only_needed_columns(spark, sf_dir):
+    from tsatool_app_spark.functions.text import text_stats
+    from tsatool_app_spark.model import load_table
+
+    plan = executed_plan(text_stats(load_table(spark, sf_dir, "documents")))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_dedup_shuffles_hash_not_text(spark, sf_dir):
+    """The exact-dedup shuffle key is the md5 hash; the optimized plan's
+    aggregate keys must not include the raw text column."""
+    from tsatool_app_spark.functions.dedup import exact_dedup_groups
+    from tsatool_app_spark.model import load_table
+
+    plan = optimized_plan(exact_dedup_groups(load_table(spark, sf_dir, "documents")))
+    agg_lines = [l for l in plan.splitlines() if "Aggregate" in l]
+    assert agg_lines and all("text#" not in l.split("[")[1].split("]")[0] or "md5" in l for l in agg_lines)
+
+
+def test_brute_force_topk_uses_take_ordered(spark, sf_dir):
+    from tsatool_app_spark.functions.similarity import brute_force_topk
+    from tsatool_app_spark.model import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.orderBy("vec_id").first().embedding)
+    plan = executed_plan(brute_force_topk(emb, q, k=5))
+    assert "TakeOrderedAndProject" in plan  # no global sort shuffle

@@ -152,6 +152,90 @@ def pack_ranges_all_keys(
     return merged
 
 
+def prepare_stepped_obs(
+    obs: DataFrame,
+    max_minutes: int,
+    *,
+    key_cols: Sequence[str] = ("statid", "seid"),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+) -> DataFrame:
+    """Predicate-INDEPENDENT prefix of pack_ranges: W1 (lead) + W2 (cap).
+
+    Returns ``key_cols + (vfrom, vuntil, seval)``. Because stepping does not
+    depend on the block predicate, a whole sheet of conditions can compute
+    this ONCE over all its sensor keys — one scan + one shuffle — cache it,
+    and derive every block's ranges from it with
+    :func:`pack_ranges_from_stepped` (filter + windows over the same
+    partitioning, no further exchange of raw data). This is the difference
+    between O(#blocks) scans of a 100 TB table and one.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    return (
+        obs.select(
+            *keys,
+            F.col(time_col).alias("vfrom"),
+            F.lead(time_col).over(w).alias("next_t"),
+            F.col(value_col).alias("seval"),
+        )
+        .where(F.col("next_t").isNotNull())
+        .select(
+            *keys,
+            "vfrom",
+            F.least(
+                F.col("next_t"),
+                F.col("vfrom") + F.expr(f"INTERVAL {int(max_minutes)} MINUTES"),
+            ).alias("vuntil"),
+            "seval",
+        )
+    )
+
+
+def pack_ranges_from_stepped(
+    stepped: DataFrame,
+    operator: str,
+    value,
+    *,
+    key_cols: Sequence[str] = ("statid", "seid"),
+) -> DataFrame:
+    """W3-W5 on prepared stepped intervals: predicate → sentinel → islands
+    merge. Same output as pack_ranges_all_keys."""
+    keys = [F.col(k) for k in key_cols]
+    sent = stepped.select(
+        *keys,
+        "vfrom",
+        "vuntil",
+        F.coalesce(
+            predicate_column(F.col("seval"), operator, value).cast("int"), F.lit(-1)
+        ).alias("s"),
+    )
+    wk = Window.partitionBy(*keys).orderBy("vfrom")
+    chg = F.when(
+        F.lag("s").over(wk).isNull() | (F.lag("s").over(wk) != F.col("s")), 1
+    ).otherwise(0)
+    islands = sent.withColumn(
+        "island", F.sum(chg).over(wk.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(*keys, "island")
+        .agg(
+            F.min("vfrom").alias("vfrom"),
+            F.max("vuntil").alias("vuntil"),
+            F.min("s").alias("s"),
+        )
+        .select(
+            *keys,
+            "vfrom",
+            "vuntil",
+            F.when(F.col("s") == 1, F.lit(True))
+            .when(F.col("s") == 0, F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+            .alias("istrue"),
+        )
+    )
+
+
 def pack_ranges(
     obs: DataFrame,
     max_minutes: int,

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 from tsatool_app_spark.dsl.condition import ConditionSpec
 from tsatool_app_spark.dsl.errors import ErrorCollection
 from tsatool_app_spark.operators.combine import combine_blocks
-from tsatool_app_spark.operators.ranges import pack_ranges_all_keys
+from tsatool_app_spark.operators.ranges import (
+    pack_ranges_from_stepped,
+    prepare_stepped_obs,
+)
 from tsatool_app_spark.operators.summary import validity_summary
 
 #: Reading-validity cap in minutes, hard-coded in the reference at
@@ -166,7 +169,36 @@ class CondCollection:
             cid: ConditionResult(spec=c) for cid, c in self.conditions.items()
         }
 
-        for cid in self.execution_order():
+        order = self.execution_order()
+
+        # ONE predicate-independent stepping pass (W1+W2) over the union of
+        # all sensor keys this sheet needs — one scan + one shuffle of the
+        # raw table regardless of block count (the reference instead runs
+        # one pack_ranges SQL call per block, rescanning obs_main each
+        # time — condition.py:329-354). Cached: every block below derives
+        # its ranges from this in-memory slice.
+        needed_keys = set()
+        for cid in order:
+            for b in self.conditions[cid].primary_blocks():
+                seid_val = b.sensor_id if b.sensor_id is not None else b.sensor
+                needed_keys.add((b.station_id, seid_val))
+        stepped = None
+        if needed_keys:
+            conds = [
+                (F.col(key_cols[0]) == F.lit(sid)) & (F.col(key_cols[1]) == F.lit(sev))
+                for sid, sev in needed_keys
+            ]
+            combined = conds[0]
+            for c in conds[1:]:
+                combined = combined | c
+            stepped = prepare_stepped_obs(
+                windowed.where(combined),
+                max_minutes,
+                key_cols=key_cols,
+                time_col=time_col,
+            ).cache()
+
+        for cid in order:
             spec = self.conditions[cid]
             block_dfs: dict[str, DataFrame] = {}
             failed = False
@@ -190,18 +222,14 @@ class CondCollection:
                     seid_val = (
                         block.sensor_id if block.sensor_id is not None else block.sensor
                     )
-                    filtered = windowed.where(
-                        (F.col(key_cols[0]) == F.lit(sid))
-                        & (F.col(key_cols[1]) == F.lit(seid_val))
-                    )
-                    block_dfs[alias] = pack_ranges_all_keys(
-                        filtered,
-                        max_minutes,
+                    block_dfs[alias] = pack_ranges_from_stepped(
+                        stepped.where(
+                            (F.col(key_cols[0]) == F.lit(sid))
+                            & (F.col(key_cols[1]) == F.lit(seid_val))
+                        ),
                         block.operator,
                         block.value,
                         key_cols=key_cols,
-                        time_col=time_col,
-                        value_col="seval",
                     ).select("vfrom", "vuntil", "istrue")
             if failed or not block_dfs:
                 continue
