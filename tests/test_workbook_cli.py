@@ -1,0 +1,106 @@
+"""Workbook intake + CLI tests (S1/S2 and the tsabatch-equivalent entry)."""
+
+from __future__ import annotations
+
+import csv
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from tsatool_app_spark.cli import main
+from tsatool_app_spark.sources.workbook import read_csv_sheet, read_csv_workbook
+
+# Reference sheet layout (example_data/toimiva.csv): row 1 labels, row 2
+# dates, row 3 column headers, rows 4+ condition rows.
+SHEET = [
+    ["start", "end"],
+    ["1.2.2018", "31.3.2018"],
+    ["site", "master_alias", "condition"],
+    ["Sipoo itään", "A1", "s1122#tie_1 < 3 AND s1122#keli_1 = 8"],
+    ["Sipoo itään", "D1", "A1"],
+    ["", "B1", "s1122#tie_1 < 3"],
+]
+CLEAN_SHEET = SHEET[:5]  # without the empty-site error row
+
+
+def write_sheet(path, rows=SHEET):
+    with open(path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+
+
+def test_read_csv_sheet(tmp_path):
+    p = tmp_path / "Taulukko1.csv"
+    write_sheet(p)
+    coll = read_csv_sheet(str(p))
+    assert coll.name == "Taulukko1"
+    assert coll.time_from == datetime(2018, 2, 1, 0, 0, 0)
+    assert coll.time_until == datetime(2018, 3, 31, 23, 59, 59)
+    assert set(coll.conditions) == {"sipoo_itaan_a1", "sipoo_itaan_d1"}
+    assert any("empty" in m.lower() for m in coll.errors.messages)  # row 3
+
+
+def test_missing_dates_is_error(tmp_path):
+    p = tmp_path / "bad.csv"
+    write_sheet(p, [["x"], ["", ""]])
+    coll = read_csv_sheet(str(p))
+    assert any("date" in m.lower() for m in coll.errors.messages)
+
+
+def test_read_csv_workbook_skips_info(tmp_path):
+    write_sheet(tmp_path / "one.csv")
+    write_sheet(tmp_path / "info.csv", [["meta"]])
+    ac = read_csv_workbook(str(tmp_path), "batch")
+    assert len(ac.collections) == 1
+
+
+def test_cli_dry_validate_exit_codes(tmp_path, capsys):
+    sheets = tmp_path / "sheets"
+    sheets.mkdir()
+    write_sheet(sheets / "ok.csv")
+    rc = main(["-i", str(sheets), "-n", "t1", "-r", str(tmp_path / "res"), "--dry-validate"])
+    # the sheet contains one bad row (empty site) → validation fails
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out)
+    assert out["dry_validate"] == "failed"
+    tree = json.load(open(out["errors_file"]))
+    assert "empty" in json.dumps(tree).lower()
+
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    write_sheet(clean / "ok.csv", CLEAN_SHEET)
+    rc2 = main(["-i", str(clean), "-n", "t2", "-r", str(tmp_path / "res2"), "--dry-validate"])
+    assert rc2 == 0
+
+
+def test_cli_full_run(tmp_path, spark, capsys):
+    # observation store
+    T0 = datetime(2018, 2, 10)
+    rows = []
+    for i, v in enumerate([5.0, 4.0, 2.0, 1.0, 2.5, 4.0, 5.0, 5.0]):
+        rows.append((T0 + timedelta(minutes=5 * i), 1122, 3, v))
+        rows.append((T0 + timedelta(minutes=5 * i), 1122, 27, 8.0))
+    spark.createDataFrame(
+        rows, "tfrom timestamp, statid int, seid int, seval float"
+    ).write.mode("overwrite").parquet(str(tmp_path / "obs"))
+    # sensors metadata CSV
+    with open(tmp_path / "sensors.csv", "w") as f:
+        f.write('3|18|"TIE_1"\n27|19|"KELI_1"\n')
+    sheets = tmp_path / "sheets"
+    sheets.mkdir()
+    write_sheet(sheets / "s1.csv", CLEAN_SHEET)
+
+    rc = main(
+        [
+            "-i", str(sheets), "-n", "run1", "-r", str(tmp_path / "res"),
+            "--obs-parquet", str(tmp_path / "obs"),
+            "--sensors-csv", str(tmp_path / "sensors.csv"),
+        ]
+    )
+    assert rc == 0
+    summary = list(csv.DictReader(open(tmp_path / "res" / "run1_s1.csv")))
+    assert len(summary) == 2
+    a1 = next(r for r in summary if r["master_alias"] == "a1")
+    assert float(a1["percentage_valid"]) > 0
+    assert (tmp_path / "res" / "run1_sipoo_itaan_a1_timeline.json").exists()
+    assert (tmp_path / "res" / "run1_ERRORS.json").exists()

@@ -1,0 +1,115 @@
+"""Batch CLI — the tsabatch.py equivalent (SURVEY §3.1/§3.2).
+
+Usage:
+    python -m tsatool_app_spark -i sheets_dir/ -n myrun \\
+        --obs-parquet /path/to/observations [--dry-validate] [-r results/]
+
+Entry point 1 (full analysis): parse workbook → run every collection against
+the observation store → write summary CSVs, timeline JSONs, error tree.
+Entry point 2 (--dry-validate): parse + metadata validation only, exit code
+1 if any errors (CI-gate semantics, tsabatch.py:89-107 / README.md:61-79).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from tsatool_app_spark import reports
+from tsatool_app_spark.sources.workbook import read_csv_workbook, read_xlsx_workbook
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tsatool_app_spark", description="Sensor-condition batch analysis"
+    )
+    p.add_argument("-i", "--input", required=True, help="workbook .xlsx or directory of sheet CSVs")
+    p.add_argument("-n", "--name", required=True, help="analysis name (results prefix)")
+    p.add_argument("-r", "--results-dir", default="results")
+    p.add_argument("--obs-parquet", help="observation store path (parquet)")
+    p.add_argument("--sensors-csv", help="sensors metadata pipe-CSV (id|lotjuid|name)")
+    p.add_argument("--stations-csv", help="stations metadata pipe-CSV")
+    p.add_argument("--dry-validate", action="store_true", help="validate inputs only, no execution")
+    p.add_argument("--max-minutes", type=int, default=30)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    results_dir = Path(args.results_dir)
+    results_dir.mkdir(parents=True, exist_ok=True)
+    log = reports.setup_logging(args.name, str(results_dir))
+
+    inp = Path(args.input)
+    if inp.is_dir():
+        analysis = read_csv_workbook(str(inp), args.name)
+    else:
+        analysis = read_xlsx_workbook(str(inp), args.name)
+    log.info("parsed %d collections", len(analysis.collections))
+
+    if args.dry_validate:
+        # Metadata snapshots: from CSVs if given, else structural checks only.
+        station_ids: set[int] = set()
+        sensor_map: dict[str, int] = {}
+        if args.stations_csv or args.sensors_csv:
+            from tsatool_app_spark.session import get_spark
+            from tsatool_app_spark.sources.metadata import (
+                read_metadata_csv,
+                sensor_name_to_id,
+            )
+
+            spark = get_spark("tsatool-dryvalidate")
+            if args.stations_csv:
+                station_ids = {
+                    r.id for r in read_metadata_csv(spark, args.stations_csv).collect()
+                }
+            if args.sensors_csv:
+                sensor_map = sensor_name_to_id(read_metadata_csv(spark, args.sensors_csv))
+            tree = analysis.dry_validate(station_ids, sensor_map)
+        else:
+            tree = analysis.error_tree()
+        out = results_dir / f"{args.name}_ERRORS.json"
+        out.write_text(json.dumps(tree, indent=1, default=str))
+        n_errors = json.dumps(tree).count('"CONDITION') + sum(
+            len(c.errors) for c in analysis.collections
+        )
+        has_errors = any(
+            coll.errors or any(c.errors for c in coll.conditions.values())
+            for coll in analysis.collections
+        )
+        print(json.dumps({"dry_validate": "failed" if has_errors else "ok", "errors_file": str(out)}))
+        return 1 if has_errors else 0
+
+    if not args.obs_parquet:
+        print("error: --obs-parquet is required unless --dry-validate", file=sys.stderr)
+        return 2
+
+    from tsatool_app_spark.session import get_spark
+
+    spark = get_spark(f"tsatool-{args.name}")
+    obs = spark.read.parquet(args.obs_parquet)
+    sensor_map = None
+    if args.sensors_csv:
+        from tsatool_app_spark.sources.metadata import read_metadata_csv, sensor_name_to_id
+
+        sensor_map = sensor_name_to_id(read_metadata_csv(spark, args.sensors_csv))
+
+    for coll in analysis.collections:
+        res = coll.run(obs, max_minutes=args.max_minutes, sensor_name_to_id=sensor_map)
+        reports.write_summary_csv(res, str(results_dir / f"{args.name}_{coll.name}.csv"))
+        for cid, r in res.items():
+            if r.ranges is not None:
+                reports.write_timeline_json(
+                    r, str(results_dir / f"{args.name}_{cid}_timeline.json")
+                )
+        log.info("collection %s: %d conditions", coll.name, len(coll.conditions))
+
+    reports.write_error_json(analysis, str(results_dir / f"{args.name}_ERRORS.json"))
+    print(json.dumps({"analysis": args.name, "collections": len(analysis.collections), "results_dir": str(results_dir)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

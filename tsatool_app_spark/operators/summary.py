@@ -77,6 +77,44 @@ def observation_summary(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    *,
+    key_col: str = "statid",
+    time_col: str = "tfrom",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive events of one key within
+    ``gap_minutes`` form a session. The same island pattern as pack_ranges
+    W5, applied to raw events — one shuffle (window partitioning), and the
+    session rollup reuses the partitioning (no second exchange), exactly
+    like the pack_ranges plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap_s = gap_minutes * 60
+    new_sess = F.when(
+        F.lag(time_col).over(w).isNull()
+        | (
+            F.col(time_col).cast("long") - F.lag(time_col).over(w).cast("long")
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    with_id = events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy(key_col, "session_id")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def distinct_keys(obs: DataFrame, key_col: str = "statid") -> DataFrame:
     """A2 — distinct station ids, ordered.
 

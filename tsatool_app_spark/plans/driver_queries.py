@@ -305,6 +305,67 @@ def q_embedding_dotq(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    """Heuristic document quality scoring (surface-stat arithmetic)."""
+    from tsatool_app_spark.functions.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (md5 of lowercased, whitespace-
+    collapsed text) — the portable half of doc_fingerprint."""
+    from tsatool_app_spark.functions.text import doc_fingerprint
+
+    return doc_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard for a deterministic candidate set (adjacent doc
+    ids) — the verification stage of near-dup detection."""
+    from tsatool_app_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return ngram_jaccard_pairs(docs, pairs, shingle_k=5)
+
+
+def q_interval_overlap_join(spark, sf_dir):
+    """General interval-overlap join (J4 general form) via the BUCKETED
+    scale path; the oracle is the naive inequality join — verifying the
+    decomposition is lossless."""
+    from tsatool_app_spark.operators.intervals import interval_join_bucketed
+
+    a = _block_df(spark, sf_dir, _BLOCK_A).select(
+        F.col("vfrom").alias("a_vfrom"),
+        F.col("vuntil").alias("a_vuntil"),
+        F.col("istrue").alias("a_istrue"),
+    )
+    b = _block_df(spark, sf_dir, _BLOCK_B).select(
+        F.col("vfrom").alias("b_vfrom"),
+        F.col("vuntil").alias("b_vuntil"),
+        F.col("istrue").alias("b_istrue"),
+    )
+    return interval_join_bucketed(
+        a,
+        b,
+        bucket_seconds=86400,
+        left_cols=("a_vfrom", "a_vuntil"),
+        right_cols=("b_vfrom", "b_vuntil"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the event stream (30-min gap)."""
+    from tsatool_app_spark.operators.summary import sessionize
+
+    return sessionize(_obs(spark, sf_dir), 30)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
@@ -457,6 +518,68 @@ SELECT e.vec_id,
             i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
                  CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dotq
 FROM embeddings e, q""",
+    "quality_score": """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) AS n_spaces,
+         CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS n_periods
+  FROM documents
+)
+SELECT doc_id,
+       CAST(
+         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1 ELSE 0 END) * 0.4
+         + (CASE WHEN n_periods > 0 THEN 1 ELSE 0 END) * 0.2
+         + (CASE WHEN n_chars / (n_spaces + 1) >= 2.0
+                  AND n_chars / (n_spaces + 1) <= 12.0 THEN 1 ELSE 0 END) * 0.2
+         + (CASE WHEN n_spaces / greatest(n_chars, 1) >= 0.05
+                  AND n_spaces / greatest(n_chars, 1) <= 0.35 THEN 1 ELSE 0 END) * 0.2
+       AS DOUBLE) AS quality
+FROM s""",
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+FROM documents""",
+    "ngram_jaccard": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT p.id_a, p.id_b,
+       len(list_intersect(sa.s, sb.s))
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.id_a
+JOIN sh sb ON sb.doc_id = p.id_b""",
+    "interval_overlap_join": f"""
+WITH {_pack_sql_cte('pa', _BLOCK_A)}, {_pack_sql_cte('pb', _BLOCK_B)}
+SELECT pa.vfrom AS a_vfrom, pa.vuntil AS a_vuntil, pa.istrue AS a_istrue,
+       pb.vfrom AS b_vfrom, pb.vuntil AS b_vuntil, pb.istrue AS b_istrue
+FROM pa JOIN pb
+  ON pa.vfrom < pb.vuntil AND pb.vfrom < pa.vuntil""",
+    "sessionize": """
+WITH stepped AS (
+  SELECT user_id AS statid, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+ids AS (
+  SELECT statid, ts,
+         SUM(new_sess) OVER (PARTITION BY statid ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM stepped
+)
+SELECT statid, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM ids GROUP BY statid, session_id""",
     # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
     "minhash_pairs": None,
     "lsh_ann": None,
@@ -488,6 +611,13 @@ QUERIES: dict[str, DriverQuery] = {
     "text_stats": DriverQuery(q_text_stats, ORACLES["text_stats"]),
     "lang_id": DriverQuery(q_lang_id, ORACLES["lang_id"]),
     "embedding_dotq": DriverQuery(q_embedding_dotq, ORACLES["embedding_dotq"]),
+    "quality_score": DriverQuery(q_quality_score, ORACLES["quality_score"]),
+    "doc_fingerprint": DriverQuery(q_doc_fingerprint, ORACLES["doc_fingerprint"]),
+    "ngram_jaccard": DriverQuery(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
+    "interval_overlap_join": DriverQuery(
+        q_interval_overlap_join, ORACLES["interval_overlap_join"]
+    ),
+    "sessionize": DriverQuery(q_sessionize, ORACLES["sessionize"]),
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
 }
