@@ -60,13 +60,31 @@ def minhash_signatures(
     """Per-document MinHash signature: for each of ``num_hashes`` seeded hash
     permutations, the min over the document's shingle set.
 
-    Plan shape: explode shingles → distinct (id, shingle) → single groupBy
-    computing all mins at once (one shuffle, map-side partial min)."""
+    Plan shape: explode shingles → single groupBy computing all mins at once
+    (ONE shuffle with map-side partial min). No shingle dedup: ``min`` is
+    duplicate-insensitive, so the distinct pass other implementations do is
+    a wasted shuffle of the exploded (≫ corpus-size) relation.
+
+    Each shingle's BYTES are hashed once (xxhash64); the ``num_hashes``
+    permutations are universal-hash arithmetic on that one value —
+    ``(aᵢ·x + bᵢ) mod p`` with p = 2³¹−1 — instead of re-hashing the string
+    per permutation (64× fewer byte-level hash evaluations; operands are
+    kept < 2⁶² so ANSI-mode long arithmetic cannot overflow)."""
+    import numpy as np
+
+    p = (1 << 31) - 1  # Mersenne prime 2^31-1
+    rng = np.random.default_rng(420)
+    a = rng.integers(1, p, size=num_hashes)
+    b = rng.integers(0, p, size=num_hashes)
+
     exploded = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).dropDuplicates([id_col, "sh"])
+    ).select(id_col, F.pmod(F.xxhash64("sh"), F.lit(p)).alias("x"))
     mins = [
-        F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(
+            F.pmod(F.lit(int(a[i])) * F.col("x") + F.lit(int(b[i])), F.lit(p))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*mins)
 
@@ -77,15 +95,19 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
 ) -> DataFrame:
     """LSH near-duplicate candidate pairs: band the signature, hash each
     band to a bucket key, self-join on (band, bucket).
 
-    With num_hashes=64, bands=16 (rows/band=4) the S-curve threshold is
-    ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. Returns (id_a, id_b, n_shared_bands),
-    id_a < id_b. Verify candidates with :func:`ngram_jaccard_pairs`."""
+    Default num_hashes=64, bands=8 (rows/band=8) puts the S-curve threshold
+    at ≈ (1/8)^(1/8) ≈ 0.77 Jaccard — the usual ~0.8 near-dup bar for
+    training-corpus dedup, and selective even on corpora with high baseline
+    similarity (vocabulary-limited text sits at ~0.25 pairwise Jaccard and
+    must not flood the candidate join). Returns (id_a, id_b,
+    n_shared_bands), id_a < id_b. Verify candidates with
+    :func:`ngram_jaccard_pairs`."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
