@@ -1,0 +1,123 @@
+"""Property-based tests (SURVEY §5c): pack_ranges invariants on random
+observation streams, plus a randomized DuckDB cross-check of the full
+pack pipeline (an independent SQL implementation of the same semantics).
+
+Invariants pinned:
+  1. output ranges are ordered and pairwise disjoint per key;
+  2. adjacent (touching) output ranges differ in istrue;
+  3. every output range lies within [min tfrom, max capped tuntil];
+  4. total covered time ≤ span of inputs; each input observation's
+     truncated interval is inside some output range (runs absorb gaps —
+     so coverage is contiguous per run, W5 gap-bridging);
+  5. DuckDB oracle equality on the same random input.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tsatool_app_spark.operators.ranges import pack_ranges_all_keys
+
+T0 = datetime(2018, 3, 1)
+
+# Random observation stream: strictly increasing minute offsets with gaps
+# up to 2 h, values crossing the threshold, 2-30 observations.
+obs_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=120),  # gap to previous (minutes)
+        st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+def materialize(stream):
+    rows = []
+    t = 0
+    for gap, val in stream:
+        t += gap
+        rows.append((T0 + timedelta(minutes=t), 1, 3, float(val)))
+    return rows
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(obs_streams)
+def test_pack_ranges_invariants_random(spark, stream):
+    rows = materialize(stream)
+    df = spark.createDataFrame(
+        rows, "tfrom timestamp, statid int, seid int, seval float"
+    )
+    out = (
+        pack_ranges_all_keys(df, 30, ">=", 0.0)
+        .orderBy("vfrom")
+        .collect()
+    )
+    # 1-3: ordered, disjoint, adjacent differ, inside the input span
+    last_until = None
+    last_istrue = object()
+    for r in out:
+        assert r.vfrom < r.vuntil
+        if last_until is not None:
+            assert r.vfrom >= last_until
+            if r.vfrom == last_until:
+                assert r.istrue != last_istrue
+        assert r.vfrom >= rows[0][0]
+        assert r.vuntil <= rows[-1][0] + timedelta(minutes=30)
+        last_until, last_istrue = r.vuntil, r.istrue
+
+    # 4: every observation except the last starts inside some output range
+    for (t, _, _, _v) in rows[:-1]:
+        assert any(r.vfrom <= t < r.vuntil for r in out), t
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(obs_streams)
+def test_pack_ranges_matches_duckdb_random(spark, stream):
+    rows = materialize(stream)
+    df = spark.createDataFrame(
+        rows, "tfrom timestamp, statid int, seid int, seval float"
+    )
+    got = sorted(
+        (r.vfrom, r.vuntil, r.istrue)
+        for r in pack_ranges_all_keys(df, 30, ">=", 0.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs (tfrom TIMESTAMP, seval DOUBLE)")
+    con.executemany(
+        "INSERT INTO obs VALUES (?, ?)", [(t, v) for t, _, _, v in rows]
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                """
+WITH w1 AS (
+  SELECT tfrom AS vfrom, lead(tfrom) OVER (ORDER BY tfrom) AS next_t,
+         (seval >= 0.0) AS istrue FROM obs
+), w2 AS (
+  SELECT vfrom, least(next_t, vfrom + INTERVAL 30 MINUTE) AS vuntil,
+         COALESCE(CAST(istrue AS INT), -1) AS s
+  FROM w1 WHERE next_t IS NOT NULL
+), w4 AS (
+  SELECT *, CASE WHEN s IS DISTINCT FROM lag(s) OVER (ORDER BY vfrom)
+                 THEN 1 ELSE 0 END AS chg FROM w2
+), w5 AS (
+  SELECT *, SUM(chg) OVER (ORDER BY vfrom ROWS UNBOUNDED PRECEDING) AS island
+  FROM w4
+)
+SELECT min(vfrom), max(vuntil),
+       CASE WHEN min(s) = 1 THEN TRUE WHEN min(s) = 0 THEN FALSE END
+FROM w5 GROUP BY island
+"""
+            ).fetchall(),
+        )
+    )
+    # float32→float64 widening: Spark evaluates >= on float32 col vs double
+    # literal by widening, same as DuckDB DOUBLE storage of the same value
+    assert got == want
