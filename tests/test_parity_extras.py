@@ -1,0 +1,98 @@
+"""Remaining parity pieces: formatting utils, Helsinki-TZ month bucketing vs
+DuckDB, BPE-ish token counts, embedding near-dup pairs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import duckdb
+import numpy as np
+import pytest
+
+from tsatool_app_spark.dsl.format import strfdelta, trunc_str, with_errpointer
+
+
+def test_strfdelta():
+    td = timedelta(days=2, hours=3, minutes=4, seconds=5)
+    assert (
+        strfdelta(td, "{days}d {hours}h {minutes}min") == "2d 3h 4min"
+    )
+
+
+def test_trunc_str():
+    assert trunc_str("short") == "short"
+    long = "x" * 100
+    out = trunc_str(long, 80)
+    assert out.endswith(" ...") and len(out) == 79
+
+
+def test_with_errpointer():
+    assert with_errpointer("abcdef", 2).splitlines()[1] == "~~^ HERE"
+    assert with_errpointer("abc", -1) == "abc"
+    assert with_errpointer("abc", "zz") == "abc"
+
+
+def test_helsinki_month_matches_duckdb(spark):
+    """P8: month bucketing AT TIME ZONE Europe/Helsinki — the DST-sensitive
+    variant (observations_summary.sql:9) vs DuckDB with session TZ set."""
+    from pyspark.sql import functions as F
+
+    # timestamps straddling the Helsinki month boundary in UTC
+    ts = [
+        datetime(2018, 2, 28, 21, 30),  # 23:30 Helsinki → Feb
+        datetime(2018, 2, 28, 22, 30),  # 00:30 Mar 1 Helsinki → Mar
+        datetime(2018, 3, 31, 20, 59),  # 23:59 Helsinki (EEST) → Mar
+        datetime(2018, 3, 31, 21, 0),   # 00:00 Apr 1 Helsinki → Apr
+    ]
+    df = spark.createDataFrame([(t,) for t in ts], "tfrom timestamp")
+    got = sorted(
+        r.m for r in df.select(
+            F.month(F.from_utc_timestamp("tfrom", "Europe/Helsinki")).alias("m")
+        ).collect()
+    )
+    # DuckDB mirror: session TZ must stay UTC so t::TIMESTAMPTZ reads the
+    # naive value as UTC; timezone('Europe/Helsinki', …) then yields the
+    # Helsinki wall time (≡ Spark from_utc_timestamp).
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT month(timezone('Europe/Helsinki', t::TIMESTAMPTZ)) FROM (VALUES "
+            + ", ".join(f"(TIMESTAMP '{t}')" for t in ts)
+            + ") AS v(t)"
+        ).fetchall()
+    )
+    assert got == [2, 3, 3, 4]
+    assert want == got
+
+
+def test_token_count_bpe_ish(spark):
+    from tsatool_app_spark.functions.text import token_count_bpe_ish
+
+    df = spark.createDataFrame(
+        [(1, "Hello world, this is fine."), (2, "one  two")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_tokens_bpe_ish for r in token_count_bpe_ish(df).collect()}
+    # "Hello world , this is fine ." → punctuation splits add tokens
+    assert out[1] > 5
+    assert out[2] == 2
+
+
+def test_embedding_near_dup_pairs(spark):
+    from tsatool_app_spark.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01     # cosine ≈ 1
+    far = rng.standard_normal(16)                     # cosine ≈ 0
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dup_pairs(df, min_cosine=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert not any(3 in p for p in pairs)

@@ -183,6 +183,76 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join + exact rerank.
+
+    Random-hyperplane signatures (similarity.rhp_signatures) are banded;
+    vectors sharing ≥1 band become candidates via an equi-self-join on
+    (band, band-signature); candidates are verified with exact cosine and
+    filtered at ``min_cosine``. Same plan family as the MinHash text path:
+    no all-pairs stage, the self-join key is a small integer."""
+    from tsatool_app_spark.functions.similarity import (
+        cosine_similarity_col,
+        rhp_signatures,
+    )
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    signed = rhp_signatures(
+        embeddings, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    banded = signed.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("rhp_sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.sig")
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine", cosine_similarity_col(F.col("_va"), F.col("_vb"))
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,

@@ -110,6 +110,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as long nanoseconds and is converted here via exact integer division
     (double math would lose precision above 2^53 ns ≈ 104 days).
     """
+    # Defensive session confs for callers that didn't go through
+    # session.get_spark (e.g. the driver harness's own session); both are
+    # runtime-settable. UTC keeps timestamp values identical to the DuckDB
+    # oracle's naive timestamps; nanosAsLong is required to read events.ts
+    # (Parquet TIMESTAMP(NANOS)) at all.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -372,6 +372,16 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via RHP-LSH buckets + exact
+    rerank (rows-only: approximate candidate generation)."""
+    from tsatool_app_spark.functions.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.8
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours (rows-only check:
     approximate by construction)."""
@@ -619,6 +629,7 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "sessionize": DriverQuery(q_sessionize, ORACLES["sessionize"]),
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
+    "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
 }
 
