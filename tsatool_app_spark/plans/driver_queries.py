@@ -366,6 +366,32 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_obs(spark, sf_dir), 30)
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Engine-portable deterministic 20% sample of documents (md5-bucket
+    membership — same rows in any engine/partitioning)."""
+    from tsatool_app_spark.functions.sampling import deterministic_sample
+
+    return deterministic_sample(
+        load_table(spark, sf_dir, "documents"), 20, "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+def q_sql_surface(spark, sf_dir):
+    """The same engine driven through spark.sql over registered views —
+    SQL and DataFrame APIs compile to identical Catalyst plans."""
+    from tsatool_app_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT statid, seid, count(*) AS n, min(tfrom) AS first_obs
+        FROM observations
+        WHERE seval >= 100.0
+        GROUP BY statid, seid
+        """
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
@@ -590,6 +616,12 @@ ids AS (
 SELECT statid, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
 FROM ids GROUP BY statid, session_id""",
+    "deterministic_sample": """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 20""",
+    "sql_surface": """
+SELECT user_id AS statid, event_type AS seid, count(*) AS n, min(ts) AS first_obs
+FROM events WHERE value >= 100.0 GROUP BY 1, 2""",
     # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
     "minhash_pairs": None,
     "lsh_ann": None,
@@ -628,6 +660,10 @@ QUERIES: dict[str, DriverQuery] = {
         q_interval_overlap_join, ORACLES["interval_overlap_join"]
     ),
     "sessionize": DriverQuery(q_sessionize, ORACLES["sessionize"]),
+    "deterministic_sample": DriverQuery(
+        q_deterministic_sample, ORACLES["deterministic_sample"]
+    ),
+    "sql_surface": DriverQuery(q_sql_surface, ORACLES["sql_surface"]),
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
