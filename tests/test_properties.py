@@ -121,3 +121,36 @@ FROM w5 GROUP BY island
     # float32→float64 widening: Spark evaluates >= on float32 col vs double
     # literal by widening, same as DuckDB DOUBLE storage of the same value
     assert got == want
+
+
+# -- DSL fuzzing: the parser must never crash, only record errors ---------
+
+dsl_tokens = st.lists(
+    st.sampled_from(
+        [
+            "s1122#tie_1 < 3", "s1115#keli_1 in (1,2)", "a1", "site#a2",
+            "and", "or", "not", "(", ")", "AND", "NOT",
+            "##", "==", "s#", "#1", "in ()", "<", "garbage", "ä ö",
+            "s1122#tie_1", "3 < tie_1", "s1#a < b",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(dsl_tokens)
+def test_condition_parser_never_crashes(tokens):
+    from tsatool_app_spark.dsl import ConditionSpec
+
+    raw = " ".join(tokens)
+    spec = ConditionSpec("Fuzz site", "F1", raw, T0, T0 + timedelta(days=1))
+    # contract: either parsed clean or errors recorded; never an exception
+    assert spec.blocks_made or len(spec.errors) > 0 or raw.strip() == ""
+    if spec.blocks_made:
+        # alias_condition must reference only known aliases
+        import re as _re
+
+        names = set(_re.findall(r"[a-z_][a-z0-9_]*", spec.alias_condition))
+        assert names - {"and", "or", "not"} <= set(spec.blocks)

@@ -123,3 +123,53 @@ def test_windowed_counts(spark, tmp_path):
         "obs_count", "min_val", "max_val",
     }
     assert len(emitted) == 0
+
+
+def test_streaming_condition_analysis(spark, tmp_path):
+    """foreachBatch incremental refresh: summaries update as batches land
+    and equal the batch engine on the same accumulated data."""
+    from tsatool_app_spark.streaming.condition_stream import (
+        streaming_condition_analysis,
+    )
+    from tsatool_app_spark.runner import CondCollection
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    coll = CondCollection.from_rows(
+        "live", T0, T0, [("x", "A1", "s1122#tie_1 < 3")]
+    )
+    seen = {}
+
+    def on_summary(cid, sdf):
+        seen[cid] = sdf.collect()[0]
+
+    write_obs_batch(
+        spark, src, [(0, 1122, 3, 5.0), (5, 1122, 3, 2.0), (10, 1122, 3, 2.0)], 0
+    )
+    q = streaming_condition_analysis(
+        stream_observations(spark, src),
+        coll,
+        store,
+        sensor_name_to_id={"tie_1": 3},
+        checkpoint=ckpt,
+        on_summary=on_summary,
+    )
+    # availableNow-style: wait until the first batch processes, then stop
+    import time as _t
+
+    for _ in range(60):
+        if "x_a1" in seen:
+            break
+        _t.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert "x_a1" in seen
+    s = seen["x_a1"]
+    # [0,5) false, [5,10) true → valid 300 s of 600 s observed
+    assert s.tottime_valid_s == 300 and s.tottime_s == 600
+
+    # batch engine over the same store agrees exactly
+    batch = coll.run(spark.read.parquet(store), sensor_name_to_id={"tie_1": 3})
+    b = batch["x_a1"].summary.collect()[0]
+    assert (b.tottime_valid_s, b.tottime_s) == (300, 600)

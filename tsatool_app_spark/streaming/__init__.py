@@ -9,3 +9,6 @@ __all__ = [
     "pack_ranges_stream",
     "windowed_observation_counts",
 ]
+from tsatool_app_spark.streaming.condition_stream import streaming_condition_analysis
+
+__all__.append("streaming_condition_analysis")
