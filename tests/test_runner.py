@@ -137,3 +137,15 @@ def test_time_window_filter(spark):
     out = res["x_a1"].ranges.collect()
     assert len(out) == 1
     assert out[0].vdiff_s == 600
+
+
+def test_unknown_sensor_skips_condition(spark):
+    """A primary block whose sensor name fails resolution (J5) must skip the
+    whole condition with an error, not run with a bogus key."""
+    coll = CondCollection.from_rows(
+        "sheet1", T0, T0, [("x", "A1", "s1122#keli_99 = 8")]
+    )
+    res = coll.run(obs_fixture(spark), sensor_name_to_id=SENSORS)
+    assert res["x_a1"].ranges is None
+    b = coll.conditions["x_a1"].blocks["a1_0"]
+    assert any("keli_99" in m for m in b.errors.messages)

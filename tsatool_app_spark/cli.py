@@ -72,9 +72,6 @@ def main(argv: list[str] | None = None) -> int:
             tree = analysis.error_tree()
         out = results_dir / f"{args.name}_ERRORS.json"
         out.write_text(json.dumps(tree, indent=1, default=str))
-        n_errors = json.dumps(tree).count('"CONDITION') + sum(
-            len(c.errors) for c in analysis.collections
-        )
         has_errors = any(
             coll.errors or any(c.errors for c in coll.conditions.values())
             for coll in analysis.collections

@@ -70,7 +70,7 @@ def _pack_sql_cte(name: str, block, seval_expr: str = "value") -> str:
     return f"""
 {name} AS (
   WITH {name}_obs AS (
-    SELECT ts AS tfrom, {seval_expr} AS seval_x, ({pred.replace('value', 'value')}) AS istrue_raw
+    SELECT ts AS tfrom, {seval_expr} AS seval_x, ({pred}) AS istrue_raw
     FROM events WHERE user_id = {statid} AND event_type = '{seid}'
   ), {name}_w1 AS (
     SELECT tfrom AS vfrom, lead(tfrom) OVER (ORDER BY tfrom) AS next_t, istrue_raw

@@ -180,6 +180,8 @@ class CondCollection:
         needed_keys = set()
         for cid in order:
             for b in self.conditions[cid].primary_blocks():
+                if len(b.errors):
+                    continue  # e.g. failed sensor resolution — skipped below
                 seid_val = b.sensor_id if b.sensor_id is not None else b.sensor
                 needed_keys.add((b.station_id, seid_val))
         stepped = None
@@ -203,6 +205,13 @@ class CondCollection:
             block_dfs: dict[str, DataFrame] = {}
             failed = False
             for alias, block in spec.blocks.items():
+                if len(block.errors):
+                    # e.g. sensor-name resolution failed above (J5): the
+                    # reference skips the whole condition at temp-table
+                    # creation (condition.py:317-327); same here, at plan
+                    # time, with the error already in the block's collection.
+                    failed = True
+                    break
                 if block.secondary:
                     dep = results.get(block.source_condition_id)
                     if dep is None or dep.ranges is None:
