@@ -188,8 +188,8 @@ def embedding_near_dup_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    band_bits: int = 4,
+    n_planes: int = 64,
+    band_bits: int = 8,
     min_cosine: float = 0.9,
     seed: int = 42,
 ) -> DataFrame:
@@ -197,11 +197,15 @@ def embedding_near_dup_pairs(
 
     Random-hyperplane signatures (similarity.rhp_signatures) are banded;
     vectors sharing ≥1 band become candidates via an equi-self-join on
-    (band, band-signature); candidates are verified with exact cosine and
-    filtered at ``min_cosine``. Same plan family as the MinHash text path:
-    no all-pairs stage, the self-join key is a small integer."""
+    (band, band-signature); candidates are verified with exact cosine
+    (vectorized pandas-UDF kernel) and filtered at ``min_cosine``.
+
+    Defaults 64 planes / 8-bit bands: ≈93% recall at cosine 0.9 with a
+    random-pair candidate rate of ~(1/256)·8 ≈ 3% — the rerank, not the
+    bucket join, bounds cost, and it only sees candidates. Same plan family
+    as the MinHash text path: no all-pairs stage anywhere."""
     from tsatool_app_spark.functions.similarity import (
-        cosine_similarity_col,
+        cosine_pairs_pandas_udf,
         rhp_signatures,
     )
 
@@ -211,9 +215,11 @@ def embedding_near_dup_pairs(
     )
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
+    # Bucket join and pair dedup carry ONLY ids — the 64-dim vectors would
+    # otherwise ride through two shuffles; they are re-attached once, after
+    # the candidate set is small.
     banded = signed.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -227,9 +233,9 @@ def embedding_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, vec_col, "bk.band", "bk.sig")
+    ).select(id_col, "bk.band", "bk.sig")
     l, r = banded.alias("l"), banded.alias("r")
-    cands = (
+    cand_ids = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -239,15 +245,24 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("_va"),
-            F.col(f"r.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = embeddings.select(id_col, vec_col)
     return (
-        cands.withColumn(
-            "cosine", cosine_similarity_col(F.col("_va"), F.col("_vb"))
+        cand_ids.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+            ),
+            "id_a",
         )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", cosine_pairs_pandas_udf()(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

@@ -52,6 +52,28 @@ def quantized_dot(a: Column, b: Column, scale: int = 1000) -> Column:
     )
 
 
+def cosine_pairs_pandas_udf():
+    """Vectorized cosine kernel for candidate-pair rerank: a pandas UDF that
+    stacks each Arrow batch into 2-D numpy and does one matrix op per batch.
+
+    Catalyst's higher-order functions (zip_with/aggregate) are interpreted
+    per element — fine for one query vector against a scan, but a rerank of
+    10⁵-10⁶ candidate PAIRS wants the Arrow→numpy path (~100× per row)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _cos(a, b):
+        import numpy as np
+        import pandas as pd
+
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(dots / norms)
+
+    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -91,31 +113,35 @@ def rhp_signatures(
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) signatures.
 
-    Plane weights are deterministic pseudo-randoms derived from (plane, dim)
-    via a splitmix-style integer mix — generated as a literal array matrix on
-    the driver (n_planes × dim doubles; tiny) and broadcast in the plan, so
-    signature computation is a single narrow projection, no join."""
+    Plane weights are deterministic (seeded) and live in the UDF closure
+    (n_planes × dim doubles — tiny, shipped once per executor). Signature
+    computation is ONE matrix multiply per Arrow batch inside a pandas UDF:
+    Catalyst's higher-order functions evaluate per element interpreted,
+    which at 64 planes × wide batches is ~100× slower than the
+    Arrow→numpy path. Bits pack into an int64 with uint64 shifts (bit 63
+    wraps to the sign bit — harmless, it's an opaque key)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    sig_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(w)) for w in planes[p]]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("long")
-        for p in range(n_planes)
-    ]
-    sig = sum((b * (2 ** p) for p, b in enumerate(sig_bits)), F.lit(0))
-    return embeddings.select(id_col, vec_col, sig.alias("rhp_sig"))
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _sig(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.stack(vecs.to_numpy()).astype(_np.float64)
+        bits = (m @ planes.T) > 0  # (batch, n_planes)
+        weights = _np.left_shift(
+            _np.ones(planes.shape[0], dtype=_np.uint64),
+            _np.arange(planes.shape[0], dtype=_np.uint64),
+        )
+        packed = (bits.astype(_np.uint64) * weights).sum(axis=1).astype(_np.int64)
+        return _pd.Series(packed)
+
+    sig_udf = pandas_udf(_sig, "long", PandasUDFType.SCALAR)
+    return embeddings.select(id_col, vec_col, sig_udf(F.col(vec_col)).alias("rhp_sig"))
 
 
 def lsh_ann_topk(
