@@ -1,0 +1,81 @@
+"""Timeseries operator tests: as-of join (incl. tolerance) and time-bucket
+rollup (the oracle covers the no-tolerance and hourly cases)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from tsatool_app_spark.operators.timeseries import asof_join, time_bucket, time_bucket_rollup
+
+T0 = datetime(2018, 3, 1)
+
+
+def t(m):
+    return T0 + timedelta(minutes=m)
+
+
+def test_asof_basic_and_left_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(30)), (3, 2, t(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 100.0), (1, t(25), 200.0), (3, t(1), 9.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: (r.v, r.asof_time)
+        for r in asof_join(
+            left, right, on_keys=["user_id"], left_time="ts",
+            right_time="ts", value_cols=["v"],
+        ).collect()
+    }
+    assert out[1] == (100.0, t(8))
+    assert out[2] == (200.0, t(25))
+    assert out[3] == (None, None)  # user 2 has no right rows ≤ t
+
+
+def test_asof_same_instant_matches(spark):
+    left = spark.createDataFrame([(1, 1, t(10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(1, t(10), 7.0)], "user_id long, ts timestamp, v double")
+    out = asof_join(
+        left, right, on_keys=["user_id"], left_time="ts", right_time="ts", value_cols=["v"]
+    ).collect()[0]
+    assert out.v == 7.0
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(120))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame([(1, t(5), 3.0)], "user_id long, ts timestamp, v double")
+    out = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on_keys=["user_id"], left_time="ts", right_time="ts",
+            value_cols=["v"], tolerance_seconds=1800,
+        ).collect()
+    }
+    assert out[1] == 3.0       # 5 min gap, inside tolerance
+    assert out[2] is None      # 115 min gap, outside 30 min tolerance
+
+
+def test_time_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(datetime(2018, 3, 1, 10, 59, 59),), (datetime(2018, 3, 1, 11, 0, 0),)],
+        "ts timestamp",
+    )
+    got = [r.b for r in df.select(time_bucket(F.col("ts"), 3600).alias("b")).collect()]
+    assert got == [datetime(2018, 3, 1, 10, 0), datetime(2018, 3, 1, 11, 0)]
+
+
+def test_time_bucket_rollup(spark):
+    rows = [(t(m), 1, 3, float(m)) for m in (0, 10, 50, 70)]
+    df = spark.createDataFrame(rows, "tfrom timestamp, statid int, seid int, seval float")
+    out = {r.bucket: r for r in time_bucket_rollup(df, 3600).collect()}
+    b0 = out[T0]
+    assert (b0.n_obs, b0.min_val, b0.max_val) == (3, 0.0, 50.0)
+    assert abs(b0.avg_val - 20.0) < 1e-12
+    assert out[T0 + timedelta(hours=1)].n_obs == 1

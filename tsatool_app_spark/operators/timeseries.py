@@ -1,0 +1,123 @@
+"""Time-series operators beyond the reference's own surface: as-of join and
+time-bucket rollup — the TimescaleDB-style capabilities a road-weather
+analytics user would reach for next (the reference's domain runs on
+TimescaleDB; its hypertable/continuous-aggregate concepts map here).
+
+Both are built-ins-only plans designed for scale:
+
+- as-of join via union-tag + carry-forward window: O(n log n) per key, ONE
+  shuffle on the join key, no range/theta join anywhere (the classic
+  alternative — a windowed inequality join — is quadratic per key in
+  Spark). This is the same event-timeline trick the condition combiner
+  uses (operators/combine.py).
+- time-bucket rollup: epoch-arithmetic bucketing + hash aggregate;
+  partial aggregation makes the shuffle carry one row per (key, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(col: Column, bucket_seconds: int) -> Column:
+    """TimescaleDB time_bucket: floor the timestamp onto a fixed grid."""
+    return F.timestamp_seconds(
+        (col.cast("long") - F.pmod(col.cast("long"), bucket_seconds))
+    )
+
+
+def time_bucket_rollup(
+    obs: DataFrame,
+    bucket_seconds: int,
+    *,
+    key_cols: tuple[str, ...] = ("statid", "seid"),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+) -> DataFrame:
+    """Downsample observations to per-bucket aggregates (the continuous-
+    aggregate shape): count/min/max/avg per (keys, bucket)."""
+    return (
+        obs.groupBy(
+            *key_cols, time_bucket(F.col(time_col), bucket_seconds).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+            # decimal-exact mean (cast each value once) so the DuckDB
+            # oracle can reproduce it bit-for-bit
+            (
+                F.sum(F.col(value_col).cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_val"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on_keys: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row (same keys,
+    right_time ≤ left_time), optionally within ``tolerance_seconds``.
+
+    Plan: tag and union both sides, sort per key by (time, side-priority:
+    right rows first at equal timestamps so a same-instant right row is
+    visible), carry the last right values forward with
+    ``last(_, ignorenulls)``, then keep left rows. ONE shuffle (the window
+    partition), no inequality join. Returns all left columns + the right
+    ``value_cols`` (+ ``asof_time`` = matched right timestamp).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on_keys],
+        *[F.col(k) for k in on_keys],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(right_time).cast("timestamp").alias("_rt"),
+    ).select(*l_tagged.columns)  # align column order
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on_keys)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if not c.startswith("_r_") and c != "_rt"],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("asof_time"),
+    )
+    out = filled.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("asof_time").isNotNull()
+            & (F.col("_t").cast("long") - F.col("asof_time").cast("long") <= tolerance_seconds)
+        )
+        out = out.select(
+            *[c for c in lcols],
+            *[F.when(in_tol, F.col(f"_f_{c}")).alias(c) for c in value_cols],
+            F.when(in_tol, F.col("asof_time")).alias("asof_time"),
+        )
+    else:
+        out = out.select(
+            *[c for c in lcols],
+            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+            "asof_time",
+        )
+    return out

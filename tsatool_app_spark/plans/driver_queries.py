@@ -392,6 +392,40 @@ def q_sql_surface(spark, sf_dir):
     )
 
 
+def q_time_bucket_rollup(spark, sf_dir):
+    """TimescaleDB-style continuous-aggregate shape: hourly per-sensor
+    downsample (count/min/max/decimal-exact avg)."""
+    from tsatool_app_spark.operators.timeseries import time_bucket_rollup
+
+    return time_bucket_rollup(_obs(spark, sf_dir), 3600)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event annotated with the user's most recent
+    purchase value (union-tag + carry-forward plan; oracle = DuckDB's
+    native ASOF LEFT JOIN)."""
+    from tsatool_app_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup right on (user, ts) so equal-timestamp winners are well-defined
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        left,
+        right,
+        on_keys=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_value"],
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
@@ -622,6 +656,26 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 20"""
     "sql_surface": """
 SELECT user_id AS statid, event_type AS seid, count(*) AS n, min(ts) AS first_obs
 FROM events WHERE value >= 100.0 GROUP BY 1, 2""",
+    "time_bucket_rollup": """
+SELECT user_id AS statid, event_type AS seid,
+       make_timestamp(((epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600) * 1000000) AS bucket,
+       count(*) AS n_obs,
+       min(value) AS min_val,
+       max(value) AS max_val,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_val
+FROM events
+GROUP BY 1, 2, 3""",
+    "asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.purchase_value, r.ts AS asof_time
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
     # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
     "minhash_pairs": None,
     "lsh_ann": None,
@@ -664,6 +718,10 @@ QUERIES: dict[str, DriverQuery] = {
         q_deterministic_sample, ORACLES["deterministic_sample"]
     ),
     "sql_surface": DriverQuery(q_sql_surface, ORACLES["sql_surface"]),
+    "time_bucket_rollup": DriverQuery(
+        q_time_bucket_rollup, ORACLES["time_bucket_rollup"]
+    ),
+    "asof_join": DriverQuery(q_asof_join, ORACLES["asof_join"]),
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
