@@ -176,6 +176,128 @@ def combine_blocks(blocks: dict[str, DataFrame], alias_condition: str) -> DataFr
     return decoded.withColumn("master", F.expr(alias_condition))
 
 
+def combine_blocks_multi(
+    cond_blocks: "dict[str, dict[str, DataFrame]]",
+    alias_conditions: "dict[str, str]",
+) -> DataFrame:
+    """Combine MANY conditions in ONE plan.
+
+    ``cond_blocks``: cond_id → (alias → ranges DF); ``alias_conditions``:
+    cond_id → boolean expression over that condition's aliases.
+
+    Same algorithm as :func:`combine_blocks`, with every window/groupBy
+    partitioned by ``cond_id`` — a sheet of N conditions costs the SAME
+    ~6 exchanges as one condition, with per-condition timelines as
+    independent partitions (the single-condition path costs ~13 small
+    exchanges × N jobs). Block columns live in a global namespace
+    ``<cond_id>__<alias>`` (aliases are only unique within a condition);
+    the master expression is rewritten accordingly and evaluated per
+    condition via a CASE over cond_id.
+
+    Returns (cond_id, vfrom, vuntil, vdiff_s, <cond__alias...>, master) —
+    filter on cond_id and rename to recover each condition's table.
+    """
+    import re
+
+    if not cond_blocks:
+        raise ValueError("combine_blocks_multi requires at least one condition")
+
+    ualias = {
+        (cid, a): f"{cid}__{a}" for cid, blocks in cond_blocks.items() for a in blocks
+    }
+    all_ucols = list(ualias.values())
+
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            df.select(
+                F.lit(cid).alias("cond_id"),
+                F.lit(ualias[(cid, a)]).alias("ualias"),
+                "vfrom",
+                "vuntil",
+                _encode(F.col("istrue")).alias("s_start"),
+            )
+            for cid, blocks in cond_blocks.items()
+            for a, df in blocks.items()
+        ],
+    )
+
+    pts = tagged.select(
+        "cond_id", F.explode(F.array("vfrom", "vuntil")).alias("vt")
+    ).distinct()
+
+    starts = tagged.select(
+        "cond_id", "ualias", F.col("vfrom").alias("vt"),
+        F.lit(1).alias("prio"), F.col("s_start").alias("s"),
+    )
+    ends = tagged.select(
+        "cond_id", "ualias", F.col("vuntil").alias("vt"),
+        F.lit(0).alias("prio"), F.lit(_ENC_GAP).alias("s"),
+    )
+    events = (
+        starts.unionByName(ends)
+        .groupBy("cond_id", "ualias", "vt")
+        .agg(F.max(F.struct("prio", "s")).alias("ps"))
+        .select("cond_id", "ualias", "vt", F.col("ps.s").alias("s"))
+    )
+
+    alias_df = tagged.sparkSession.createDataFrame(
+        [(cid, u) for (cid, _), u in ualias.items()], ["cond_id", "ualias"]
+    )
+    grid = pts.join(F.broadcast(alias_df), "cond_id").join(
+        events, ["cond_id", "ualias", "vt"], "left"
+    )
+    wfill = (
+        Window.partitionBy("cond_id", "ualias")
+        .orderBy("vt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.withColumn("sf", F.last("s", ignorenulls=True).over(wfill))
+
+    wide = filled.groupBy("cond_id", "vt").pivot("ualias", all_ucols).agg(F.first("sf"))
+
+    wlead = Window.partitionBy("cond_id").orderBy("vt")
+    ranged = (
+        wide.withColumn("vuntil", F.lead("vt").over(wlead))
+        .where(F.col("vuntil").isNotNull())
+        .withColumnRenamed("vt", "vfrom")
+    )
+    decoded = ranged.select(
+        "cond_id",
+        "vfrom",
+        "vuntil",
+        _vdiff_s().alias("vdiff_s"),
+        *[_decode(F.col(u)).alias(u) for u in all_ucols],
+    )
+
+    master = None
+    for cid, blocks in cond_blocks.items():
+        expr_str = alias_conditions[cid]
+        for a in sorted(blocks, key=len, reverse=True):
+            expr_str = re.sub(rf"\b{re.escape(a)}\b", ualias[(cid, a)], expr_str)
+        branch = F.expr(expr_str)
+        master = (
+            F.when(F.col("cond_id") == cid, branch)
+            if master is None
+            else master.when(F.col("cond_id") == cid, branch)
+        )
+    return decoded.withColumn("master", master)
+
+
+def condition_view(
+    multi_df: DataFrame, cond_id: str, aliases: "list[str]"
+) -> DataFrame:
+    """Recover one condition's table (vfrom, vuntil, vdiff_s, <alias...>,
+    master) from a combine_blocks_multi result."""
+    return multi_df.where(F.col("cond_id") == cond_id).select(
+        "vfrom",
+        "vuntil",
+        "vdiff_s",
+        *[F.col(f"{cond_id}__{a}").alias(a) for a in aliases],
+        "master",
+    )
+
+
 def _vdiff_s():
     # vdiff as exact whole seconds (LongType); the reference's interval
     # subtraction upper-lower (condition.py:360, 389) summed in pandas.

@@ -236,6 +236,75 @@ def pack_ranges_from_stepped(
     )
 
 
+def pack_ranges_multi(
+    stepped: DataFrame,
+    block_specs: Sequence[tuple],
+    *,
+    key_cols: Sequence[str] = ("statid", "seid"),
+) -> DataFrame:
+    """Pack EVERY block of a whole sheet in ONE windowed pass.
+
+    ``block_specs``: (block_id, statid, seid, operator, value) per block.
+    Rows of ``stepped`` (from prepare_stepped_obs) are joined to the
+    broadcast spec table on the sensor key — a row is duplicated only for
+    blocks sharing its key — then a single generated CASE evaluates each
+    block's predicate, and the islands merge runs partitioned by block_id:
+    ONE shuffle for all blocks, however many the sheet has. Output:
+    (block_id, vfrom, vuntil, istrue) — small (runs, not readings); cache
+    THIS, not the stepped readings.
+
+    The reference executes one pack_ranges SQL call per block
+    (condition.py:329-354): O(#blocks) scans. This is the 100 TB shape:
+    O(1) scans, O(1) shuffles per sheet.
+    """
+    spark = stepped.sparkSession
+    spec_rows = [(int(b), sid, sev) for b, sid, sev, _, _ in block_specs]
+    k0, k1 = key_cols
+    specs_df = spark.createDataFrame(
+        spec_rows, f"block_id int, {k0} {dict(stepped.dtypes)[k0]}, {k1} {dict(stepped.dtypes)[k1]}"
+    )
+    joined = stepped.join(F.broadcast(specs_df), list(key_cols), "inner")
+
+    pred = None
+    for b, _, _, op, value in block_specs:
+        branch = predicate_column(F.col("seval"), op, value)
+        pred = (
+            F.when(F.col("block_id") == int(b), branch)
+            if pred is None
+            else pred.when(F.col("block_id") == int(b), branch)
+        )
+    sent = joined.select(
+        "block_id",
+        "vfrom",
+        "vuntil",
+        F.coalesce(pred.cast("int"), F.lit(-1)).alias("s"),
+    )
+    wk = Window.partitionBy("block_id").orderBy("vfrom")
+    chg = F.when(
+        F.lag("s").over(wk).isNull() | (F.lag("s").over(wk) != F.col("s")), 1
+    ).otherwise(0)
+    islands = sent.withColumn(
+        "island", F.sum(chg).over(wk.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("block_id", "island")
+        .agg(
+            F.min("vfrom").alias("vfrom"),
+            F.max("vuntil").alias("vuntil"),
+            F.min("s").alias("s"),
+        )
+        .select(
+            "block_id",
+            "vfrom",
+            "vuntil",
+            F.when(F.col("s") == 1, F.lit(True))
+            .when(F.col("s") == 0, F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+            .alias("istrue"),
+        )
+    )
+
+
 def pack_ranges(
     obs: DataFrame,
     max_minutes: int,

@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 
 from tsatool_app_spark.dsl.condition import ConditionSpec
 from tsatool_app_spark.dsl.errors import ErrorCollection
-from tsatool_app_spark.operators.combine import combine_blocks
+from tsatool_app_spark.operators.combine import (
+    combine_blocks_multi,
+    condition_view,
+)
 from tsatool_app_spark.operators.ranges import (
-    pack_ranges_from_stepped,
+    pack_ranges_multi,
     prepare_stepped_obs,
 )
 from tsatool_app_spark.operators.summary import validity_summary
@@ -171,89 +174,142 @@ class CondCollection:
 
         order = self.execution_order()
 
-        # ONE predicate-independent stepping pass (W1+W2) over the union of
-        # all sensor keys this sheet needs — one scan + one shuffle of the
-        # raw table regardless of block count (the reference instead runs
-        # one pack_ranges SQL call per block, rescanning obs_main each
-        # time — condition.py:329-354). Cached: every block below derives
-        # its ranges from this in-memory slice.
-        needed_keys = set()
+        # The sheet's ENTIRE primary-block workload runs as one plan:
+        # (a) one predicate-independent stepping pass (W1+W2) over the union
+        #     of needed sensor keys — one scan + one shuffle of the raw
+        #     table regardless of block count (the reference runs one
+        #     pack_ranges SQL call per block, rescanning obs_main each
+        #     time — condition.py:329-354);
+        # (b) one multi-block packing pass (W3-W5) keyed by block id, with
+        #     identical (key, op, value) specs deduplicated ACROSS
+        #     conditions (the reference's CSE is per-condition only,
+        #     condition.py:229-239).
+        # Only the packed RUNS are cached — tiny — never raw readings.
+        spec_index: dict[tuple, int] = {}
+        block_ids: dict[tuple, int] = {}
         for cid in order:
             for b in self.conditions[cid].primary_blocks():
                 if len(b.errors):
                     continue  # e.g. failed sensor resolution — skipped below
                 seid_val = b.sensor_id if b.sensor_id is not None else b.sensor
-                needed_keys.add((b.station_id, seid_val))
-        stepped = None
-        if needed_keys:
-            conds = [
-                (F.col(key_cols[0]) == F.lit(sid)) & (F.col(key_cols[1]) == F.lit(sev))
-                for sid, sev in needed_keys
-            ]
-            combined = conds[0]
-            for c in conds[1:]:
-                combined = combined | c
+                sig = (b.station_id, seid_val, b.operator, b.value)
+                if sig not in spec_index:
+                    spec_index[sig] = len(spec_index)
+                block_ids[(cid, b.alias)] = spec_index[sig]
+        packed_all = None
+        if spec_index:
+            needed_keys = {(sid, sev) for sid, sev, _, _ in spec_index}
+            combined = None
+            for sid, sev in needed_keys:
+                c = (F.col(key_cols[0]) == F.lit(sid)) & (
+                    F.col(key_cols[1]) == F.lit(sev)
+                )
+                combined = c if combined is None else (combined | c)
             stepped = prepare_stepped_obs(
                 windowed.where(combined),
                 max_minutes,
                 key_cols=key_cols,
                 time_col=time_col,
-            ).cache()
+            )
+            specs = [
+                (bid, sid, sev, op, value)
+                for (sid, sev, op, value), bid in spec_index.items()
+            ]
+            # Materialize AND truncate lineage: downstream plans reference
+            # this relation from dozens of branches — with lineage intact,
+            # Catalyst re-analyzes the full packing DAG per branch per
+            # action (driver-side planning grows superlinearly with sheet
+            # size; measured minutes at 25 conditions), and an unpopulated
+            # cache would be recomputed concurrently inside fan-out jobs.
+            # localCheckpoint pins the computed partitions and gives
+            # downstream plans a leaf-sized logical node.
+            packed_all = pack_ranges_multi(
+                stepped, specs, key_cols=key_cols
+            ).localCheckpoint(eager=True)
 
+        # Topological LEVELS: every condition in a level depends only on
+        # earlier levels, so each level combines as ONE multi-condition
+        # plan (combine_blocks_multi — N conditions for the exchange cost
+        # of one). Level counts are small in practice (0 = primaries,
+        # 1+ = secondary chains).
+        level_of: dict[str, int] = {}
         for cid in order:
-            spec = self.conditions[cid]
-            block_dfs: dict[str, DataFrame] = {}
-            failed = False
-            for alias, block in spec.blocks.items():
-                if len(block.errors):
-                    # e.g. sensor-name resolution failed above (J5): the
-                    # reference skips the whole condition at temp-table
-                    # creation (condition.py:317-327); same here, at plan
-                    # time, with the error already in the block's collection.
-                    failed = True
-                    break
-                if block.secondary:
-                    dep = results.get(block.source_condition_id)
-                    if dep is None or dep.ranges is None:
-                        spec.errors.add(
-                            f'Secondary block "{alias}" references unavailable '
-                            f'condition "{block.source_condition_id}"'
-                        )
+            deps = [d for d in self.conditions[cid].dependencies() if d in level_of]
+            level_of[cid] = (max(level_of[d] for d in deps) + 1) if deps else 0
+        levels: dict[int, list[str]] = {}
+        for cid in order:
+            levels.setdefault(level_of[cid], []).append(cid)
+
+        for lvl in sorted(levels):
+            cond_blocks: dict[str, dict[str, DataFrame]] = {}
+            exprs: dict[str, str] = {}
+            for cid in levels[lvl]:
+                spec = self.conditions[cid]
+                block_dfs: dict[str, DataFrame] = {}
+                failed = False
+                for alias, block in spec.blocks.items():
+                    if len(block.errors):
+                        # e.g. sensor-name resolution failed above (J5): the
+                        # reference skips the whole condition at temp-table
+                        # creation (condition.py:317-327); same here.
                         failed = True
                         break
-                    # Secondary block = the referenced condition's master
-                    # column over its ranges (block.py:195-207).
-                    block_dfs[alias] = dep.ranges.select(
-                        "vfrom", "vuntil", F.col("master").alias("istrue")
-                    )
-                else:
-                    sid = block.station_id
-                    seid_val = (
-                        block.sensor_id if block.sensor_id is not None else block.sensor
-                    )
-                    block_dfs[alias] = pack_ranges_from_stepped(
-                        stepped.where(
-                            (F.col(key_cols[0]) == F.lit(sid))
-                            & (F.col(key_cols[1]) == F.lit(seid_val))
-                        ),
-                        block.operator,
-                        block.value,
-                        key_cols=key_cols,
-                    ).select("vfrom", "vuntil", "istrue")
-            if failed or not block_dfs:
+                    if block.secondary:
+                        dep = results.get(block.source_condition_id)
+                        if dep is None or dep.ranges is None:
+                            spec.errors.add(
+                                f'Secondary block "{alias}" references '
+                                f'unavailable condition "{block.source_condition_id}"'
+                            )
+                            failed = True
+                            break
+                        # Secondary block = the referenced condition's master
+                        # column over its ranges (block.py:195-207).
+                        block_dfs[alias] = dep.ranges.select(
+                            "vfrom", "vuntil", F.col("master").alias("istrue")
+                        )
+                    else:
+                        bid = block_ids[(cid, alias)]
+                        block_dfs[alias] = packed_all.where(
+                            F.col("block_id") == F.lit(bid)
+                        ).select("vfrom", "vuntil", "istrue")
+                if not failed and block_dfs:
+                    cond_blocks[cid] = block_dfs
+                    exprs[cid] = spec.alias_condition
+            if not cond_blocks:
                 continue
-            ranges = combine_blocks(block_dfs, spec.alias_condition)
-            if cache_results and any(
-                other.dependencies() and cid in other.dependencies()
-                for other in self.conditions.values()
-            ):
-                # Cache only DFs that downstream secondaries re-read —
-                # replaces the reference's temp-table materialization
-                # (condition.py:338) without materializing everything.
-                ranges = ranges.cache()
-            results[cid].ranges = ranges
-            results[cid].summary = validity_summary(ranges)
+            multi = combine_blocks_multi(cond_blocks, exprs)
+            if cache_results:
+                # One materialized relation per level replaces the
+                # reference's per-condition temp tables (condition.py:338);
+                # it holds RUNS (small), and every downstream read —
+                # summaries, secondary references, reports — derives from
+                # it. Lineage truncated for the same planning-cost reason
+                # as packed_all above.
+                multi = multi.localCheckpoint(eager=True)
+            for cid in cond_blocks:
+                ranges = condition_view(multi, cid, list(cond_blocks[cid]))
+                results[cid].ranges = ranges
+                results[cid].summary = validity_summary(ranges)
         return results
+
+    @staticmethod
+    def summaries_df(results: dict[str, ConditionResult]) -> DataFrame | None:
+        """Union every condition's one-row validity summary into ONE
+        DataFrame (cond_id + A3 columns) so the whole sheet's rollups run
+        as a single Spark job with concurrently-scheduled stages —
+        collecting summaries one `.collect()` at a time serializes ~10
+        small jobs per condition instead."""
+        from functools import reduce
+
+        parts = [
+            res.summary.select(F.lit(cid).alias("cond_id"), "*")
+            for cid, res in results.items()
+            if res.summary is not None
+        ]
+        if not parts:
+            return None
+        return reduce(DataFrame.unionByName, parts)
 
     def error_tree(self) -> dict:
         """S9: nested error dict (analysis_collection.py:149-187 shape)."""
