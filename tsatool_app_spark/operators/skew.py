@@ -1,0 +1,46 @@
+"""Skew-handling utilities for hot keys at scale.
+
+AQE's skew-join splitting covers joins; a skewed GROUP BY on a hot key
+still funnels one key's rows through one reducer. Two-stage salted
+aggregation spreads a hot key over N salt partitions, pre-aggregates, then
+merges — standard practice for power-law key distributions (a handful of
+mega-stations / viral documents in a 100 TB corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], *, salt_buckets: int = 32
+) -> DataFrame:
+    """COUNT per key via salt → partial count → merge. Deterministic output,
+    two small shuffles instead of one potentially-skewed one."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(*key_cols).agg(F.sum("_c").cast("long").alias("n"))
+
+
+def salted_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """SUM per key, salted. The value is decimal-cast before the partial sum
+    so the two-stage result is EXACTLY the single-stage result (double sums
+    would differ by association order)."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("_s")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_s").cast("double").alias(f"sum_{value_col}")
+    )

@@ -426,6 +426,49 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_salted_sum(spark, sf_dir):
+    """Skew-safe two-stage salted aggregation; decimal-exact, so the oracle
+    is the plain single-stage GROUP BY."""
+    from tsatool_app_spark.operators.skew import salted_sum
+
+    return salted_sum(
+        load_table(spark, sf_dir, "events").select(
+            F.col("user_id").alias("statid"), "value"
+        ),
+        ["statid"],
+        "value",
+    )
+
+
+def q_sheet_workload(spark, sf_dir):
+    """The engine's headline workload: a 10-condition sheet (23 block
+    evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
+    runner — one-pass packing, level-wise multi-condition combine,
+    summaries. Rows-only check (the per-operator oracles cover the pieces;
+    this measures the orchestrated whole)."""
+    from datetime import datetime
+
+    from tsatool_app_spark.runner import CondCollection
+
+    types = ["click", "view", "purchase", "error", "signup"]
+    rows = []
+    for i in range(9):
+        t1, t2 = types[i % 5], types[(i + 2) % 5]
+        rows.append(
+            (
+                f"site{i}",
+                f"C{i}",
+                f"u{i}#{t1} >= 50 AND (u{(i + 3) % 10}#{t2} < 200 OR NOT u{i}#{t2} <= 10)",
+            )
+        )
+    rows.append(("site0", "S1", "C0 AND site1#C1"))  # secondary chain
+    coll = CondCollection.from_rows(
+        "bench", datetime(2024, 1, 1), datetime(2024, 12, 31), rows
+    )
+    res = coll.run(_obs(spark, sf_dir))
+    return CondCollection.summaries_df(res)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
     engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
@@ -676,6 +719,10 @@ r AS (
 SELECT l.event_id, l.user_id, l.ts,
        r.purchase_value, r.ts AS asof_time
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "salted_sum": """
+SELECT user_id AS statid,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id""",
     # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
     "minhash_pairs": None,
     "lsh_ann": None,
@@ -722,6 +769,8 @@ QUERIES: dict[str, DriverQuery] = {
         q_time_bucket_rollup, ORACLES["time_bucket_rollup"]
     ),
     "asof_join": DriverQuery(q_asof_join, ORACLES["asof_join"]),
+    "salted_sum": DriverQuery(q_salted_sum, ORACLES["salted_sum"]),
+    "sheet_workload": DriverQuery(q_sheet_workload, None),
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
