@@ -137,3 +137,20 @@ def test_quantized_dot_exactness(spark):
     out = df.select(quantized_dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
     # floor(1.5k)*floor(2k) + floor(-2.25k)*floor(1k) + floor(3k)*floor(-1.5k)
     assert out == 1500 * 2000 + (-2250) * 1000 + 3000 * (-1500)
+
+
+def test_winnowing_fingerprints(spark):
+    from tsatool_app_spark.functions.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog into the forest"
+    edited = base.replace("forest", "meadow")  # local edit
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string"
+    )
+    fps = {
+        i: {r.fp for r in winnowing_fingerprints(df).where(f"doc_id = {i}").collect()}
+        for i in (1, 2, 3)
+    }
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint sets
+    overlap = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert 0.5 < overlap < 1.0  # local edit keeps most fingerprints

@@ -83,3 +83,29 @@ def test_brute_force_topk_uses_take_ordered(spark, sf_dir):
     q = list(emb.orderBy("vec_id").first().embedding)
     plan = executed_plan(brute_force_topk(emb, q, k=5))
     assert "TakeOrderedAndProject" in plan  # no global sort shuffle
+
+
+def test_pack_ranges_multi_single_shuffle(spark):
+    """The whole-sheet packing pass must stay ONE hash exchange (the
+    broadcast spec join and islands agg reuse it)."""
+    from datetime import datetime, timedelta
+
+    from tsatool_app_spark.operators.ranges import (
+        pack_ranges_multi,
+        prepare_stepped_obs,
+    )
+
+    rows = [
+        (datetime(2018, 3, 1) + timedelta(minutes=5 * i), 1 + i % 2, 3, float(i))
+        for i in range(40)
+    ]
+    obs = spark.createDataFrame(
+        rows, "tfrom timestamp, statid int, seid int, seval float"
+    )
+    stepped = prepare_stepped_obs(obs, 30)
+    df = pack_ranges_multi(
+        stepped, [(0, 1, 3, ">=", 10.0), (1, 2, 3, "<", 20.0)]
+    )
+    plan = executed_plan(df)
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
