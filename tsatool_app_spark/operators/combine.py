@@ -51,6 +51,10 @@ def _encode(istrue_col):
     return F.coalesce(istrue_col.cast("int"), F.lit(-1))
 
 
+#: Public name for callers building pre-tagged input for combine_tagged.
+encode_tristate = _encode
+
+
 def _decode(s_col):
     return (
         F.when(s_col == 1, F.lit(True))
@@ -197,15 +201,12 @@ def combine_blocks_multi(
     Returns (cond_id, vfrom, vuntil, vdiff_s, <cond__alias...>, master) —
     filter on cond_id and rename to recover each condition's table.
     """
-    import re
-
     if not cond_blocks:
         raise ValueError("combine_blocks_multi requires at least one condition")
 
     ualias = {
         (cid, a): f"{cid}__{a}" for cid, blocks in cond_blocks.items() for a in blocks
     }
-    all_ucols = list(ualias.values())
 
     tagged = reduce(
         DataFrame.unionByName,
@@ -221,6 +222,29 @@ def combine_blocks_multi(
             for a, df in blocks.items()
         ],
     )
+    cond_aliases = {cid: list(blocks) for cid, blocks in cond_blocks.items()}
+    return combine_tagged(tagged, alias_conditions, cond_aliases)
+
+
+def combine_tagged(
+    tagged: DataFrame,
+    alias_conditions: "dict[str, str]",
+    cond_aliases: "dict[str, list[str]]",
+) -> DataFrame:
+    """Core of combine_blocks_multi, taking a PRE-TAGGED ranges relation
+    ``(cond_id, ualias, vfrom, vuntil, s_start)`` where ualias =
+    ``<cond_id>__<alias>`` and s_start is the sentinel-encoded tri-state.
+
+    Callers that already hold an id-keyed ranges relation (the runner's
+    pack_ranges_multi output) build ``tagged`` with ONE broadcast join
+    instead of a per-block union — Catalyst analysis cost stays constant
+    in the number of blocks."""
+    import re
+
+    ualias = {
+        (cid, a): f"{cid}__{a}" for cid, aliases in cond_aliases.items() for a in aliases
+    }
+    all_ucols = list(ualias.values())
 
     pts = tagged.select(
         "cond_id", F.explode(F.array("vfrom", "vuntil")).alias("vt")
@@ -271,9 +295,9 @@ def combine_blocks_multi(
     )
 
     master = None
-    for cid, blocks in cond_blocks.items():
+    for cid, aliases in cond_aliases.items():
         expr_str = alias_conditions[cid]
-        for a in sorted(blocks, key=len, reverse=True):
+        for a in sorted(aliases, key=len, reverse=True):
             expr_str = re.sub(rf"\b{re.escape(a)}\b", ualias[(cid, a)], expr_str)
         branch = F.expr(expr_str)
         master = (

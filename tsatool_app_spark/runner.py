@@ -31,8 +31,9 @@ from pyspark.sql import functions as F
 from tsatool_app_spark.dsl.condition import ConditionSpec
 from tsatool_app_spark.dsl.errors import ErrorCollection
 from tsatool_app_spark.operators.combine import (
-    combine_blocks_multi,
+    combine_tagged,
     condition_view,
+    encode_tristate,
 )
 from tsatool_app_spark.operators.ranges import (
     pack_ranges_multi,
@@ -241,11 +242,20 @@ class CondCollection:
             levels.setdefault(level_of[cid], []).append(cid)
 
         for lvl in sorted(levels):
-            cond_blocks: dict[str, dict[str, DataFrame]] = {}
+            # Per level, assemble the tagged ranges relation for
+            # combine_tagged: ALL primary blocks come from packed_all via
+            # ONE broadcast map join (block_id → cond_id/ualias — a
+            # CSE-shared block fans out to every condition using it);
+            # secondary blocks add one small branch each.
+            primary_map: list[tuple[int, str, str]] = []
+            secondary_parts: list[DataFrame] = []
+            cond_aliases: dict[str, list[str]] = {}
             exprs: dict[str, str] = {}
             for cid in levels[lvl]:
                 spec = self.conditions[cid]
-                block_dfs: dict[str, DataFrame] = {}
+                aliases: list[str] = []
+                pmap: list[tuple[int, str, str]] = []
+                sparts: list[DataFrame] = []
                 failed = False
                 for alias, block in spec.blocks.items():
                     if len(block.errors):
@@ -265,20 +275,44 @@ class CondCollection:
                             break
                         # Secondary block = the referenced condition's master
                         # column over its ranges (block.py:195-207).
-                        block_dfs[alias] = dep.ranges.select(
-                            "vfrom", "vuntil", F.col("master").alias("istrue")
+                        sparts.append(
+                            dep.ranges.select(
+                                F.lit(cid).alias("cond_id"),
+                                F.lit(f"{cid}__{alias}").alias("ualias"),
+                                "vfrom",
+                                "vuntil",
+                                encode_tristate(F.col("master")).alias("s_start"),
+                            )
                         )
                     else:
-                        bid = block_ids[(cid, alias)]
-                        block_dfs[alias] = packed_all.where(
-                            F.col("block_id") == F.lit(bid)
-                        ).select("vfrom", "vuntil", "istrue")
-                if not failed and block_dfs:
-                    cond_blocks[cid] = block_dfs
-                    exprs[cid] = spec.alias_condition
-            if not cond_blocks:
+                        pmap.append((block_ids[(cid, alias)], cid, f"{cid}__{alias}"))
+                    aliases.append(alias)
+                if failed or not aliases:
+                    continue
+                cond_aliases[cid] = aliases
+                exprs[cid] = spec.alias_condition
+                primary_map.extend(pmap)
+                secondary_parts.extend(sparts)
+            if not cond_aliases:
                 continue
-            multi = combine_blocks_multi(cond_blocks, exprs)
+            tagged_parts = list(secondary_parts)
+            if primary_map:
+                map_df = obs.sparkSession.createDataFrame(
+                    primary_map, "block_id int, cond_id string, ualias string"
+                )
+                tagged_parts.append(
+                    packed_all.join(F.broadcast(map_df), "block_id").select(
+                        "cond_id",
+                        "ualias",
+                        "vfrom",
+                        "vuntil",
+                        encode_tristate(F.col("istrue")).alias("s_start"),
+                    )
+                )
+            from functools import reduce
+
+            tagged = reduce(DataFrame.unionByName, tagged_parts)
+            multi = combine_tagged(tagged, exprs, cond_aliases)
             if cache_results:
                 # One materialized relation per level replaces the
                 # reference's per-condition temp tables (condition.py:338);
@@ -287,8 +321,8 @@ class CondCollection:
                 # it. Lineage truncated for the same planning-cost reason
                 # as packed_all above.
                 multi = multi.localCheckpoint(eager=True)
-            for cid in cond_blocks:
-                ranges = condition_view(multi, cid, list(cond_blocks[cid]))
+            for cid in cond_aliases:
+                ranges = condition_view(multi, cid, cond_aliases[cid])
                 results[cid].ranges = ranges
                 results[cid].summary = validity_summary(ranges)
         return results
