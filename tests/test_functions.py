@@ -154,3 +154,20 @@ def test_winnowing_fingerprints(spark):
     assert fps[1] == fps[2]  # identical docs → identical fingerprint sets
     overlap = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
     assert 0.5 < overlap < 1.0  # local edit keeps most fingerprints
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    from tsatool_app_spark.functions.similarity import build_ivf_index, ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, n_clusters=8)
+    indexed = indexed.cache()
+    q = list(emb.orderBy("vec_id").first().embedding)
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    # probing half the clusters should recover most true neighbours
+    approx = {r.vec_id for r in ivf_ann_topk(indexed, centroids, q, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # full probe == brute force exactly
+    full = [r.vec_id for r in ivf_ann_topk(indexed, centroids, q, k=10, nprobe=8).collect()]
+    assert set(full) == exact

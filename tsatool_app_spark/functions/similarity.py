@@ -102,6 +102,86 @@ def brute_force_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_clusters: int = 16,
+    sample_cap: int = 10_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means centroids from a driver-side sample,
+    cluster assignment as a vectorized pandas UDF (one matrix op per Arrow
+    batch). Returns (indexed_df with a ``cluster`` column, centroids ndarray).
+
+    At 100 TB the assignment is a narrow projection over one scan; persist
+    the result partitioned/bucketed BY cluster so probes read only
+    ``nprobe`` buckets (partition pruning does the index lookup).
+    Training cost is bounded by ``sample_cap`` rows on the driver — the
+    standard IVF recipe (sample → k-means → assign)."""
+    import numpy as np
+
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in embeddings.select(vec_col).limit(sample_cap).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(n_iter):  # Lloyd iterations on the sample
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _assign(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.stack(vecs.to_numpy()).astype(_np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return _pd.Series(d.argmin(axis=1).astype(_np.int32))
+
+    assign_udf = pandas_udf(_assign, "int", PandasUDFType.SCALAR)
+    indexed = embeddings.withColumn("cluster", assign_udf(F.col(vec_col)))
+    return indexed, centroids
+
+
+def ivf_ann_topk(
+    indexed: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query on the driver, scan only
+    the ``nprobe`` nearest clusters (a literal IN filter — with
+    cluster-partitioned storage this is partition pruning), exact cosine
+    rerank on the candidates."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort()[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        indexed.where(F.col("cluster").isin(probes))
+        .select(id_col, cosine_similarity_col(F.col(vec_col), qcol).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
 def rhp_signatures(
     embeddings: DataFrame,
     *,

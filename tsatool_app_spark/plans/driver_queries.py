@@ -485,6 +485,18 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbours (rows-only:
+    approximate by construction; full-probe equivalence to brute force is
+    asserted in tests)."""
+    from tsatool_app_spark.functions.similarity import build_ivf_index, ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, n_clusters=16)
+    q = list(emb.orderBy("vec_id").first().embedding)
+    return ivf_ann_topk(indexed, centroids, q, k=10, nprobe=4)
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours (rows-only check:
     approximate by construction)."""
@@ -774,6 +786,7 @@ QUERIES: dict[str, DriverQuery] = {
     "minhash_pairs": DriverQuery(q_minhash_pairs, None),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
+    "ivf_ann": DriverQuery(q_ivf_ann, None),
 }
 
 
