@@ -279,6 +279,49 @@ def q_top_suppliers_per_nation(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: 3-way join + group + deterministic top-10 by
+    revenue (decimal-exact) — covers join+agg+sort+limit together."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_above_avg_orders(spark, sf_dir):
+    """Window-relative filter: orders exceeding twice their customer's
+    decimal-exact average order value (correlated-subquery shape done as
+    one window pass — no self-join)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_val = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", avg_val)
+        .where(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     """Exact dedup groups on documents via content hash."""
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
@@ -621,6 +664,28 @@ SELECT s_nationkey, s_suppkey, s_acctbal, rk FROM (
                                  ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rk
   FROM supplier
 ) WHERE rk <= 3""",
+    "shipping_priority": """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10""",
+    "above_avg_orders": """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM w WHERE o_totalprice > 2 * cust_avg""",
     "dedup_exact_docs": """
 SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)""",
@@ -762,6 +827,8 @@ QUERIES: dict[str, DriverQuery] = {
     "top_suppliers_per_nation": DriverQuery(
         q_top_suppliers_per_nation, ORACLES["top_suppliers_per_nation"]
     ),
+    "shipping_priority": DriverQuery(q_shipping_priority, ORACLES["shipping_priority"]),
+    "above_avg_orders": DriverQuery(q_above_avg_orders, ORACLES["above_avg_orders"]),
     "dedup_exact_docs": DriverQuery(q_dedup_exact_docs, ORACLES["dedup_exact_docs"]),
     "text_stats": DriverQuery(q_text_stats, ORACLES["text_stats"]),
     "lang_id": DriverQuery(q_lang_id, ORACLES["lang_id"]),
