@@ -173,3 +173,51 @@ def test_streaming_condition_analysis(spark, tmp_path):
     batch = coll.run(spark.read.parquet(store), sensor_name_to_id={"tie_1": 3})
     b = batch["x_a1"].summary.collect()[0]
     assert (b.tottime_valid_s, b.tottime_s) == (300, 600)
+
+
+def test_windowed_counts_emit_on_watermark_advance(spark, tmp_path):
+    """Windows whose end precedes the advanced watermark ARE emitted with
+    correct counts (append mode, two micro-batch files)."""
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: 3 events in window [0,10); batch 2: late-clock events 2h on,
+    # advancing the watermark (30 min) far past the first window's end
+    write_obs_batch(spark, src, [(0, 1, 3, 1.0), (2, 1, 3, 2.0), (4, 1, 3, 3.0)], 0)
+    write_obs_batch(spark, src, [(120, 1, 3, 9.0), (125, 1, 3, 9.0)], 1)
+    counts = windowed_observation_counts(
+        stream_observations(spark, src), window="10 minutes", watermark="30 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_emit")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.window_start, r.obs_count) for r in spark.sql("SELECT * FROM win_emit").collect()}
+    assert (T0, 3) in rows  # the closed first window emitted exactly once
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from tsatool_app_spark.streaming.pack_ranges_stream import streaming_dedup
+
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(0, 1, 3, 1.0), (0, 1, 3, 1.0), (5, 1, 3, 2.0), (5, 2, 3, 2.0)]
+    write_obs_batch(spark, src, rows, 0)
+    dd = streaming_dedup(
+        stream_observations(spark, src), ["tfrom", "statid"]
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(out) == 3  # exact (tfrom, statid) dup dropped

@@ -1,4 +1,5 @@
 from tsatool_app_spark.streaming.pack_ranges_stream import (
+    streaming_dedup,
     stream_observations,
     pack_ranges_stream,
     windowed_observation_counts,
@@ -8,6 +9,7 @@ __all__ = [
     "stream_observations",
     "pack_ranges_stream",
     "windowed_observation_counts",
+    "streaming_dedup",
 ]
 from tsatool_app_spark.streaming.condition_stream import streaming_condition_analysis
 

@@ -202,6 +202,22 @@ def pack_ranges_stream(
     )
 
 
+def streaming_dedup(
+    obs_stream: DataFrame,
+    pk: list[str],
+    *,
+    time_col: str = "tfrom",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """S5's upsert-ignore semantics on a stream: drop PK duplicates with
+    state bounded by the watermark (dropDuplicatesWithinWatermark — exact
+    within the lateness horizon, state evicted beyond it; unbounded-state
+    exact dedup would OOM on an infinite stream)."""
+    return obs_stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        pk
+    )
+
+
 def windowed_observation_counts(
     obs_stream: DataFrame,
     *,
