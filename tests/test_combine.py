@@ -124,3 +124,29 @@ def test_interval_join_bucketed_matches_naive(spark):
         right_cols=("bvfrom", "bvuntil"),
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
+
+
+def test_interval_join_bucketed_keeps_duplicate_multiplicity(spark):
+    """Legitimate duplicate input rows must keep their join multiplicity —
+    the first-overlap-bucket emission rule replaces the old full-row
+    dropDuplicates(), which silently collapsed them."""
+    from tsatool_app_spark.operators.intervals import interval_join, interval_join_bucketed
+
+    # Two identical left rows spanning several buckets, one right row.
+    a = mk_ranges(spark, [(0, 3000, True), (0, 3000, True)])
+    b = mk_ranges(spark, [(100, 200, True)])
+    naive = interval_join(
+        a.selectExpr("vfrom", "vuntil"),
+        b.selectExpr("vfrom as bvfrom", "vuntil as bvuntil"),
+        right_cols=("bvfrom", "bvuntil"),
+    )
+    bucketed = interval_join_bucketed(
+        a.selectExpr("vfrom", "vuntil"),
+        b.selectExpr("vfrom as bvfrom", "vuntil as bvuntil"),
+        bucket_seconds=600,
+        right_cols=("bvfrom", "bvuntil"),
+    )
+    assert naive.count() == 2
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
+    # and the plan is dedup-free (no Deduplicate node above the join)
+    assert "Deduplicate" not in bucketed._jdf.queryExecution().analyzed().toString()

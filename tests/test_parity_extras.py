@@ -96,3 +96,39 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dup_pairs(df, min_cosine=0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert not any(3 in p for p in pairs)
+
+
+def test_embedding_near_dups_driver_query_recall(spark):
+    """The driver-visible query plants 5 deterministic clones (vec_id +
+    1_000_000, scaled ×1.001): all 5 planted pairs must be recovered — the
+    rows-only driver check is only meaningful if this recall holds."""
+    from tsatool_app_spark.plans.driver_queries import QUERIES
+
+    out = QUERIES["embedding_near_dups"].fn(spark, "/root/testdata/sf0.001")
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(v, v + 1_000_000) for v in range(5)}
+    assert planted <= got, f"missing planted pairs: {planted - got}"
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A mega-cluster of identical docs must not blow up the band self-join:
+    with the default cap the cluster's buckets are dropped (O(d²) pairs
+    avoided) while ordinary near-dup pairs elsewhere are still found."""
+    from tsatool_app_spark.functions.dedup import minhash_near_dup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep dark forest where nobody ever goes at night"
+    )
+    near = base.replace("lazy dog", "lazy cat")
+    mega = "identical spam document repeated many times across the corpus body"
+    rows = [(i, mega) for i in range(1000)] + [(2001, base), (2002, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df, num_hashes=64, bands=16).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (2001, 2002) in got          # normal near-dup still found
+    assert not any(p[0] < 1000 for p in got)  # mega-cluster dropped, not exploded
+    # uncapped on a small slice still works (sanity that the cap is the only gate)
+    small = spark.createDataFrame(rows[:10] + rows[-2:], "doc_id long, text string")
+    uncapped = minhash_near_dup_pairs(small, num_hashes=64, bands=16, max_bucket_size=None)
+    assert uncapped.where("id_a < 1000 and id_b < 1000").count() == 45

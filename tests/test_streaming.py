@@ -95,6 +95,39 @@ def test_pack_ranges_stream_incremental(spark, tmp_path):
     assert (r.vfrom, r.vuntil, r.istrue) == (T0, T0 + timedelta(minutes=10), True)
 
 
+def test_pack_ranges_stream_cross_batch_late_row_dropped(spark, tmp_path):
+    """A row arriving in a LATER micro-batch with event time <= the pending
+    observation must be dropped, not processed: otherwise
+    vuntil = min(t, pt+cap) < vfrom stores an inverted run."""
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_to_parquet():
+        q = (
+            pack_ranges_stream(stream_observations(spark, src), 30, ">=", 0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_obs_batch(spark, src, [(0, 1, 3, 1.0), (10, 1, 3, 1.0)], 0)
+    run_to_parquet()
+    # batch 2: minute-5 row is LATE (pending is at minute 10) → dropped;
+    # minutes 20/25 extend then flip the run.
+    write_obs_batch(spark, src, [(5, 1, 3, 0.1), (20, 1, 3, 0.1), (25, 1, 3, 0.1)], 1)
+    run_to_parquet()
+    rows = spark.read.parquet(out).collect()
+    assert all(r.vuntil > r.vfrom for r in rows), f"inverted run emitted: {rows}"
+    assert {(r.vfrom, r.vuntil, r.istrue) for r in rows} == {
+        (T0, T0 + timedelta(minutes=20), True)
+    }
+
+
 def test_windowed_counts(spark, tmp_path):
     src = str(tmp_path / "obs")
     ckpt = str(tmp_path / "ckpt")

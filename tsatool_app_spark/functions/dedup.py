@@ -97,6 +97,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """LSH near-duplicate candidate pairs: band the signature, hash each
     band to a bucket key, self-join on (band, bucket).
@@ -107,7 +108,17 @@ def minhash_near_dup_pairs(
     similarity (vocabulary-limited text sits at ~0.25 pairwise Jaccard and
     must not flood the candidate join). Returns (id_a, id_b,
     n_shared_bands), id_a < id_b. Verify candidates with
-    :func:`ngram_jaccard_pairs`."""
+    :func:`ngram_jaccard_pairs`.
+
+    ``max_bucket_size`` guards the quadratic hot-bucket edge: a cluster of d
+    near-identical documents lands every copy in the same (band, bucket) and
+    the self-join emits O(d²) pairs per band. Buckets larger than the cap are
+    dropped from the candidate join (a window count on the same (band,
+    bucket) key the join shuffles on — no extra exchange topology). Such
+    mega-buckets are, in practice, exact-duplicate clusters: run
+    :func:`exact_dedup_groups` first and feed one representative per group,
+    which this cap enforces as a backstop rather than a substitute. Pass
+    ``None`` to disable."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -130,6 +141,13 @@ def minhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        band_keys = (
+            band_keys.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     left = band_keys.alias("l")
     right = band_keys.alias("r")
     return (

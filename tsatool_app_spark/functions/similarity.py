@@ -14,6 +14,8 @@ dependent, int64 arithmetic is not.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,11 +61,10 @@ def cosine_pairs_pandas_udf():
     Catalyst's higher-order functions (zip_with/aggregate) are interpreted
     per element — fine for one query vector against a scan, but a rerank of
     10⁵-10⁶ candidate PAIRS wants the Arrow→numpy path (~100× per row)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    def _cos(a, b):
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
         ma = np.stack(a.to_numpy()).astype(np.float64)
         mb = np.stack(b.to_numpy()).astype(np.float64)
@@ -71,7 +72,7 @@ def cosine_pairs_pandas_udf():
         norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(dots / norms)
 
-    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)
+    return pandas_udf(_cos, "double")
 
 
 def brute_force_topk(
@@ -139,17 +140,16 @@ def build_ivf_index(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    def _assign(vecs):
+    def _assign(vecs: pd.Series) -> pd.Series:
         import numpy as _np
-        import pandas as _pd
 
         m = _np.stack(vecs.to_numpy()).astype(_np.float64)
         d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return _pd.Series(d.argmin(axis=1).astype(_np.int32))
+        return pd.Series(d.argmin(axis=1).astype(_np.int32))
 
-    assign_udf = pandas_udf(_assign, "int", PandasUDFType.SCALAR)
+    assign_udf = pandas_udf(_assign, "int")
     indexed = embeddings.withColumn("cluster", assign_udf(F.col(vec_col)))
     return indexed, centroids
 
@@ -205,11 +205,10 @@ def rhp_signatures(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    def _sig(vecs):
+    def _sig(vecs: pd.Series) -> pd.Series:
         import numpy as _np
-        import pandas as _pd
 
         m = _np.stack(vecs.to_numpy()).astype(_np.float64)
         bits = (m @ planes.T) > 0  # (batch, n_planes)
@@ -218,9 +217,9 @@ def rhp_signatures(
             _np.arange(planes.shape[0], dtype=_np.uint64),
         )
         packed = (bits.astype(_np.uint64) * weights).sum(axis=1).astype(_np.int64)
-        return _pd.Series(packed)
+        return pd.Series(packed)
 
-    sig_udf = pandas_udf(_sig, "long", PandasUDFType.SCALAR)
+    sig_udf = pandas_udf(_sig, "long")
     return embeddings.select(id_col, vec_col, sig_udf(F.col(vec_col)).alias("rhp_sig"))
 
 

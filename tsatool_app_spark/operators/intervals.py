@@ -62,7 +62,10 @@ def interval_join_bucketed(
     right_cols: tuple[str, str] = ("vfrom", "vuntil"),
 ) -> DataFrame:
     """Scale path: explode intervals onto fixed buckets, equi-join on bucket
-    (+keys), keep the residual overlap, dedup pairs that shared >1 bucket.
+    (+keys), keep the residual overlap, and emit each pair ONLY in the first
+    bucket the overlap covers (bucket == floor(greatest(l.from, r.from) /
+    bucket_seconds)) — dedup-free, so legitimate duplicate input rows keep
+    their join multiplicity and no wide distinct-exchange is needed.
 
     Shuffles on (keys, bucket) — a plain hash join Catalyst/AQE can size and
     skew-split; no nested-loop anywhere.
@@ -82,13 +85,26 @@ def interval_join_bucketed(
 
     lb = with_buckets(left, left_cols, "l").alias("l")
     rb = with_buckets(right, right_cols, "r").alias("r")
-    cond = (F.col("l._lbucket") == F.col("r._rbucket")) & _overlap(
-        F.col(f"l.{left_cols[0]}"),
-        F.col(f"l.{left_cols[1]}"),
-        F.col(f"r.{right_cols[0]}"),
-        F.col(f"r.{right_cols[1]}"),
+    first_overlap_bucket = F.floor(
+        F.greatest(
+            F.col(f"l.{left_cols[0]}").cast("long"),
+            F.col(f"r.{right_cols[0]}").cast("long"),
+        )
+        / bucket_seconds
+    )
+    cond = (
+        (F.col("l._lbucket") == F.col("r._rbucket"))
+        & _overlap(
+            F.col(f"l.{left_cols[0]}"),
+            F.col(f"l.{left_cols[1]}"),
+            F.col(f"r.{right_cols[0]}"),
+            F.col(f"r.{right_cols[1]}"),
+        )
+        # Emit the pair only in the first bucket its overlap covers — every
+        # overlapping pair shares that bucket by construction, so coverage is
+        # complete without a distinct pass.
+        & (F.col("l._lbucket") == first_overlap_bucket)
     )
     for k in on_keys or []:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    joined = lb.join(rb, cond, "inner").drop("_lbucket", "_rbucket")
-    return joined.dropDuplicates()
+    return lb.join(rb, cond, "inner").drop("_lbucket", "_rbucket")

@@ -59,7 +59,7 @@ def _block_df(spark, sf_dir, block) -> DataFrame:
     return pack_ranges(_obs(spark, sf_dir), _MAXMIN, statid, seid, op, val)
 
 
-def _pack_sql_cte(name: str, block, seval_expr: str = "value") -> str:
+def _pack_sql_cte(name: str, block, seval_expr: str = "value", time_pred: str = "") -> str:
     """DuckDB CTE implementing pack_ranges (01_init_db.sql:121-202 semantics:
     W1 lead → W2 cap → W3 sentinel → W4/W5 islands merge)."""
     statid, seid, op, val = block
@@ -71,7 +71,7 @@ def _pack_sql_cte(name: str, block, seval_expr: str = "value") -> str:
 {name} AS (
   WITH {name}_obs AS (
     SELECT ts AS tfrom, {seval_expr} AS seval_x, ({pred}) AS istrue_raw
-    FROM events WHERE user_id = {statid} AND event_type = '{seid}'
+    FROM events WHERE user_id = {statid} AND event_type = '{seid}'{time_pred}
   ), {name}_w1 AS (
     SELECT tfrom AS vfrom, lead(tfrom) OVER (ORDER BY tfrom) AS next_t, istrue_raw
     FROM {name}_obs
@@ -124,6 +124,89 @@ aligned AS (
   {joins}
 )
 SELECT aligned.*, ({master_expr}) AS master FROM aligned"""
+
+
+def _sheet_workload_sql() -> str:
+    """Oracle for the 10-condition sheet workload: per-condition validity
+    summaries, generated from the SAME sheet definition as q_sheet_workload.
+
+    Primary conditions are the _condition_sql pattern (pack → boundary union
+    → containment join → Kleene master); the secondary chain re-applies the
+    same combine with the referenced conditions' master ranges as blocks —
+    exactly the engine's secondary semantics (runner.py:276-286)."""
+    types = ["click", "view", "purchase", "error", "signup"]
+    time_pred = (
+        " AND ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'"
+        " AND TIMESTAMP '2024-12-31 23:59:59'"
+    )
+    ctes: list[str] = []
+
+    def combine(prefix: str, sources: dict[str, tuple[str, str]], master_expr: str):
+        """sources: alias -> (relation, truth_column). Appends the boundary
+        union / segmentation / containment-join / master CTE chain."""
+        unions = " UNION ALL ".join(
+            f"SELECT vfrom AS vt FROM {rel} UNION ALL SELECT vuntil FROM {rel}"
+            for rel, _ in sources.values()
+        )
+        joins = "\n  ".join(
+            f"LEFT JOIN {rel} ON {prefix}_m.vfrom >= {rel}.vfrom"
+            f" AND {prefix}_m.vfrom < {rel}.vuntil"
+            for rel, _ in sources.values()
+        )
+        alias_cols = ", ".join(
+            f"{rel}.{tc} AS {a}" for a, (rel, tc) in sources.items()
+        )
+        ctes.append(f"""
+{prefix}_pts AS (SELECT DISTINCT vt FROM ({unions})),
+{prefix}_mr AS (SELECT vt AS vfrom, lead(vt) OVER (ORDER BY vt) AS vuntil FROM {prefix}_pts),
+{prefix}_m AS (SELECT * FROM {prefix}_mr WHERE vuntil IS NOT NULL),
+{prefix}_cond AS (
+  SELECT aligned.*, ({master_expr}) AS master FROM (
+    SELECT {prefix}_m.vfrom, {prefix}_m.vuntil,
+           CAST(date_diff('second', {prefix}_m.vfrom, {prefix}_m.vuntil) AS BIGINT) AS vdiff_s,
+           {alias_cols}
+    FROM {prefix}_m
+  {joins}) aligned
+)""")
+
+    summary_rels: list[tuple[str, str]] = []
+    for i in range(9):
+        t1, t2 = types[i % 5], types[(i + 2) % 5]
+        blocks = {
+            "b1": (i, t1, ">=", 50.0),
+            "b2": ((i + 3) % 10, t2, "<", 200.0),
+            "b3": (i, t2, "<=", 10.0),
+        }
+        for a, blk in blocks.items():
+            ctes.append(_pack_sql_cte(f"c{i}{a}", blk, time_pred=time_pred))
+        combine(
+            f"c{i}",
+            {a: (f"c{i}{a}", "istrue") for a in blocks},
+            "b1 AND (b2 OR NOT b3)",
+        )
+        summary_rels.append((f"site{i}_c{i}", f"c{i}_cond"))
+    combine("s1", {"d1": ("c0_cond", "master"), "d2": ("c1_cond", "master")}, "d1 AND d2")
+    summary_rels.append(("site0_s1", "s1_cond"))
+
+    summaries = "\nUNION ALL\n".join(
+        f"""
+SELECT '{cid}' AS cond_id, data_from, data_until,
+       CAST(date_diff('second', data_from, data_until) AS BIGINT) AS tottime_s,
+       v AS tottime_valid_s, nv AS tottime_notvalid_s,
+       CAST(date_diff('second', data_from, data_until) AS BIGINT) - v - nv AS tottime_nodata_s,
+       v / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_valid,
+       nv / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_notvalid,
+       (CAST(date_diff('second', data_from, data_until) AS BIGINT) - v - nv)
+         / CAST(date_diff('second', data_from, data_until) AS BIGINT) * 100.0 AS percentage_nodata
+FROM (
+  SELECT min(vfrom) AS data_from, max(vuntil) AS data_until,
+         CAST(COALESCE(SUM(CASE WHEN master THEN vdiff_s END), 0) AS BIGINT) AS v,
+         CAST(COALESCE(SUM(CASE WHEN NOT master THEN vdiff_s END), 0) AS BIGINT) AS nv
+  FROM {rel}
+)"""
+        for cid, rel in summary_rels
+    )
+    return "WITH " + ",".join(ctes) + "\n" + summaries
 
 
 # ---------------------------------------------------------------------------
@@ -487,8 +570,9 @@ def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
     runner — one-pass packing, level-wise multi-condition combine,
-    summaries. Rows-only check (the per-operator oracles cover the pieces;
-    this measures the orchestrated whole)."""
+    summaries. Oracle: _sheet_workload_sql() regenerates the whole sheet
+    (including the secondary chain) as portable SQL from the same sheet
+    definition."""
     from datetime import datetime
 
     from tsatool_app_spark.runner import CondCollection
@@ -513,19 +597,44 @@ def q_sheet_workload(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 is
-    engine-specific, so no SQL oracle — SURVEY §5 non-expressible class)."""
-    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash-LSH near-dup pipeline, end to end: banded candidate
+    generation → exact n-gram-Jaccard verification → threshold filter.
+
+    Oracle-checkable even though xxhash64 itself is engine-specific: the
+    corpus's true near-dup pairs sit at Jaccard ≥ 0.97 (next pair down is
+    < 0.6), and at 64 hashes / 8 bands the per-pair miss probability at
+    J = 0.97 is (1−0.97⁸)⁸ ≈ 5·10⁻⁶ — so the verified output equals the
+    exact all-pairs answer, which DuckDB computes brute-force. The LSH
+    stage is what makes the Spark side O(candidates), not O(n²)."""
+    from tsatool_app_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
 
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via RHP-LSH buckets + exact
-    rerank (rows-only: approximate candidate generation)."""
+    rerank (rows-only: approximate candidate generation).
+
+    The synthetic corpus has no natural cosine≥0.8 pairs, so a rows-only
+    check on the raw table would be vacuous; five deterministic near-dup
+    clones (vec_id+1_000_000, vector scaled ×1.001 — cosine exactly 1,
+    identical RHP sign pattern) are planted so the check verifies the
+    bucket-join + rerank path actually recovers known pairs. Recall on the
+    planted set is additionally asserted in tests/test_parity_extras.py."""
     from tsatool_app_spark.functions.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), min_cosine=0.8
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.orderBy("vec_id").limit(5).collect()
+    planted = spark.createDataFrame(
+        [
+            (int(r.vec_id) + 1_000_000, [float(x) * 1.001 for x in r.embedding], r.label)
+            for r in base
+        ],
+        schema=emb.schema,
     )
+    return embedding_near_dup_pairs(emb.unionByName(planted), min_cosine=0.8)
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -763,8 +872,8 @@ WITH stepped AS (
 ),
 ids AS (
   SELECT statid, ts,
-         SUM(new_sess) OVER (PARTITION BY statid ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY statid ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM stepped
 )
 SELECT statid, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -800,8 +909,20 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
 SELECT user_id AS statid,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id""",
-    # rows-only (non-SQL-expressible: engine-specific hashes / approximate)
-    "minhash_pairs": None,
+    "minhash_pairs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""",
+    # rows-only (non-SQL-expressible: approximate by construction)
     "lsh_ann": None,
 }
 
@@ -849,8 +970,8 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "asof_join": DriverQuery(q_asof_join, ORACLES["asof_join"]),
     "salted_sum": DriverQuery(q_salted_sum, ORACLES["salted_sum"]),
-    "sheet_workload": DriverQuery(q_sheet_workload, None),
-    "minhash_pairs": DriverQuery(q_minhash_pairs, None),
+    "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
+    "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
     "ivf_ann": DriverQuery(q_ivf_ann, None),

@@ -5,8 +5,10 @@ rebuild's extension per the declared approach ("Structured Streaming +
 DataFrame time-series ops"). Semantics decisions the batch engine never had
 to make, fixed here:
 
-- late data beyond the watermark is dropped (windowed aggs) / processed in
-  arrival order within a micro-batch after an event-time sort (pack_ranges);
+- late data beyond the watermark is dropped (windowed aggs); pack_ranges
+  sorts each micro-batch by event time, and a cross-batch late row (event
+  time <= the pending observation already in state) is dropped — state never
+  rewinds, so no inverted (vuntil < vfrom) run can be stored or emitted;
 - run-packing state is per (statid, seid): the last unclosed observation and
   the currently open run. A run is emitted when a different-valued run
   replaces it — identical to the batch gaps-and-islands merge, including the
@@ -135,6 +137,15 @@ def _make_packer(
             sents = predicate(rows["seval"]).map(lambda b: 1 if b else 0).astype("int64")
 
             for t_us, s in zip(ts.tolist(), sents.tolist()):
+                # Cross-batch late data: rows are sorted within a micro-batch,
+                # but a row in a LATER batch can still carry t <= the pending
+                # observation's t. Processing it would produce an inverted run
+                # (vuntil = min(t, pt+cap) < vfrom). Semantic pinned here:
+                # such late rows are DROPPED — same family as the watermark
+                # rule used by the windowed aggs (late data does not rewrite
+                # emitted or in-flight state).
+                if has_pending and t_us <= pt:
+                    continue
                 if has_pending:
                     # pending obs interval = [pt, min(t, pt+cap)) (W1+W2)
                     vuntil = min(t_us, pt + cap_us)
