@@ -62,11 +62,59 @@ def test_error_json(results, tmp_path):
     assert "sipoo_b1" in json.dumps(tree)
 
 
-def test_gated_sinks_raise_cleanly(results, tmp_path):
+def test_summary_excel_native(results, tmp_path):
+    """S6 writes a real .xlsx (built-in codec when openpyxl is absent)."""
+    from tsatool_app_spark.sources.xlsx_codec import read_xlsx
+
     _, res = results
-    with pytest.raises(NotImplementedError):
-        reports.write_summary_excel(res, str(tmp_path / "x.xlsx"))
-    with pytest.raises(NotImplementedError):
-        reports.write_timeline_png(res["sipoo_a1"], str(tmp_path / "x.png"))
-    with pytest.raises(NotImplementedError):
-        reports.write_pptx(res, str(tmp_path / "x.pptx"))
+    p = reports.write_summary_excel(res, str(tmp_path / "x.xlsx"), analysis_name="t")
+    back = read_xlsx(p)
+    assert back["summary"][0] == reports.SUMMARY_COLUMNS
+    by_alias = {r[1]: r for r in back["summary"][1:]}
+    assert by_alias["a1"][5] > 0  # percentage_valid
+    assert by_alias["b1"][8] == 0  # rows for the failed condition
+
+
+def test_timeline_png_native(results, tmp_path):
+    """S8 writes a real PNG: signature, IHDR dims, and the reference's
+    true-red pixels present in the decoded raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    _, res = results
+    p = reports.write_timeline_png(res["sipoo_a1"], str(tmp_path / "x.png"))
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert w == 1200 and h > 40
+    # decode (single IDAT, filter 0 per scanline)
+    idat_off = data.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", data[idat_off - 8 : idat_off - 4])[0]
+    raw = zlib.decompress(data[idat_off : idat_off + idat_len])
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * 3 + 1)[:, 1:].reshape(h, w, 3)
+    cols = {tuple(c) for c in img.reshape(-1, 3)}
+    assert (0xF0, 0x3B, 0x20) in cols  # COLOR_TRUE segments drawn
+    assert (0x2B, 0x83, 0xBA) in cols  # COLOR_FALSE segments drawn
+
+
+def test_pptx_native(results, tmp_path):
+    """S7 writes a structurally valid .pptx: every part parses, one slide
+    per condition, validity table + embedded timeline PNG present."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    _, res = results
+    p = reports.write_pptx(res, str(tmp_path / "x.pptx"))
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert "ppt/presentation.xml" in names
+        assert "ppt/slides/slide1.xml" in names and "ppt/slides/slide2.xml" in names
+        for n in names:
+            if n.endswith(".xml") or n.endswith(".rels"):
+                ET.fromstring(z.read(n))  # well-formed
+        s1 = z.read("ppt/slides/slide1.xml").decode()
+        assert "sipoo_a1" in s1 and "a:tbl" in s1
+        assert "ppt/media/image1.png" in names
+        assert z.read("ppt/media/image1.png")[:8] == b"\x89PNG\r\n\x1a\n"

@@ -73,6 +73,75 @@ def test_cli_dry_validate_exit_codes(tmp_path, capsys):
     assert rc2 == 0
 
 
+def test_xlsx_codec_roundtrip(tmp_path):
+    """write_xlsx → read_xlsx preserves values and types (str/int/float/
+    bool/datetime/None), multiple sheets, sheet order."""
+    from tsatool_app_spark.sources.xlsx_codec import (
+        STYLE_PERCENT,
+        read_xlsx,
+        write_xlsx,
+    )
+
+    grid = [
+        ["name", "pct", "n", "when", "ok"],
+        ["ä & <x>", 12.34, 7, datetime(2018, 3, 25, 14, 30), True],
+        [None, 0.5, -3, datetime(2024, 1, 1), False],
+    ]
+    p = str(tmp_path / "rt.xlsx")
+    write_xlsx(p, {"first": grid, "second": [["only"]]},
+               column_styles={"first": {1: STYLE_PERCENT}})
+    back = read_xlsx(p)
+    assert list(back) == ["first", "second"]
+    assert back["second"] == [["only"]]
+    b = back["first"]
+    assert b[0] == grid[0]
+    assert b[1] == grid[1]
+    assert b[2] == grid[2]
+
+
+def test_read_xlsx_workbook_end_to_end(tmp_path):
+    """A real .xlsx condition workbook (written by the built-in codec) parses
+    into the same collections as the CSV path — S1 un-gated."""
+    from tsatool_app_spark.sources.workbook import read_xlsx_workbook
+    from tsatool_app_spark.sources.xlsx_codec import write_xlsx
+
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, {"Taulukko1": SHEET, "info": [["meta"]]})
+    ac = read_xlsx_workbook(p)
+    assert ac.name == "wb"
+    assert len(ac.collections) == 1  # info sheet skipped
+    coll = ac.collections[0]
+    assert coll.name == "Taulukko1"
+    assert coll.time_from == datetime(2018, 2, 1, 0, 0, 0)
+    assert set(coll.conditions) == {"sipoo_itaan_a1", "sipoo_itaan_d1"}
+
+
+def test_write_summary_excel_without_openpyxl(tmp_path):
+    """S6 writes a real .xlsx via the built-in codec; the percentage columns
+    carry the 0.00 % style and the content matches summary_rows."""
+    import zipfile
+
+    from tsatool_app_spark.reports import SUMMARY_COLUMNS, write_summary_excel
+    from tsatool_app_spark.sources.xlsx_codec import read_xlsx
+
+    class FakeSpec:
+        site, master_alias, raw_condition = "sipoo", "a1", "s1#x > 1"
+
+    class FakeRes:
+        spec = FakeSpec()
+        summary = None
+        ranges = None
+
+    p = str(tmp_path / "summary.xlsx")
+    write_summary_excel({"sipoo_a1": FakeRes()}, p, analysis_name="t")
+    back = read_xlsx(p)
+    assert back["INFO"][0] == ["Analysis", "t"]
+    assert back["summary"][0] == SUMMARY_COLUMNS
+    assert back["summary"][1][:3] == ["sipoo", "a1", "s1#x > 1"]
+    with zipfile.ZipFile(p) as z:
+        assert "0.00&quot; %&quot;" in z.read("xl/styles.xml").decode()
+
+
 def test_cli_full_run(tmp_path, spark, capsys):
     # observation store
     T0 = datetime(2018, 2, 10)
@@ -95,6 +164,7 @@ def test_cli_full_run(tmp_path, spark, capsys):
             "-i", str(sheets), "-n", "run1", "-r", str(tmp_path / "res"),
             "--obs-parquet", str(tmp_path / "obs"),
             "--sensors-csv", str(tmp_path / "sensors.csv"),
+            "--xlsx", "--pptx", "--png",
         ]
     )
     assert rc == 0
@@ -104,3 +174,8 @@ def test_cli_full_run(tmp_path, spark, capsys):
     assert float(a1["percentage_valid"]) > 0
     assert (tmp_path / "res" / "run1_sipoo_itaan_a1_timeline.json").exists()
     assert (tmp_path / "res" / "run1_ERRORS.json").exists()
+    # rich sinks (dependency-free codecs)
+    assert (tmp_path / "res" / "run1_s1.xlsx").exists()
+    assert (tmp_path / "res" / "run1_s1.pptx").exists()
+    png = tmp_path / "res" / "run1_sipoo_itaan_a1_timeline.png"
+    assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"

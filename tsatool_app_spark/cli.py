@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stations-csv", help="stations metadata pipe-CSV")
     p.add_argument("--dry-validate", action="store_true", help="validate inputs only, no execution")
     p.add_argument("--max-minutes", type=int, default=30)
+    p.add_argument("--xlsx", action="store_true", help="also write the summary workbook (.xlsx, S6)")
+    p.add_argument("--pptx", action="store_true", help="also write the per-collection slide deck (.pptx, S7)")
+    p.add_argument("--png", action="store_true", help="also write per-condition timeline PNGs (S8)")
     return p
 
 
@@ -96,11 +99,22 @@ def main(argv: list[str] | None = None) -> int:
     for coll in analysis.collections:
         res = coll.run(obs, max_minutes=args.max_minutes, sensor_name_to_id=sensor_map)
         reports.write_summary_csv(res, str(results_dir / f"{args.name}_{coll.name}.csv"))
+        if args.xlsx:
+            reports.write_summary_excel(
+                res, str(results_dir / f"{args.name}_{coll.name}.xlsx"),
+                analysis_name=args.name,
+            )
+        if args.pptx:
+            reports.write_pptx(res, str(results_dir / f"{args.name}_{coll.name}.pptx"))
         for cid, r in res.items():
             if r.ranges is not None:
                 reports.write_timeline_json(
                     r, str(results_dir / f"{args.name}_{cid}_timeline.json")
                 )
+                if args.png:
+                    reports.write_timeline_png(
+                        r, str(results_dir / f"{args.name}_{cid}_timeline.png")
+                    )
         log.info("collection %s: %d conditions", coll.name, len(coll.conditions))
 
     reports.write_error_json(analysis, str(results_dir / f"{args.name}_ERRORS.json"))

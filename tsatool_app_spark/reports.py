@@ -3,16 +3,19 @@
 The reference emits Excel (openpyxl), PowerPoint (python-pptx) and PNG
 timelines (matplotlib) on the driver after collecting per-condition results
 (analysis_collection.py:195-231, cond_collection.py:205-401,
-condition.py:448-554). Those libraries are not available in this container,
-so each rich sink is gated behind an import-try with an always-available
-structured fallback that carries the SAME content:
+condition.py:448-554). Those libraries are absent in this container, so each
+rich sink has a dependency-free native implementation (the library is used
+when importable); structured CSV/JSON fallbacks carrying the same content
+also remain:
 
-- S6 Excel summary      → write_summary_excel (gated) / write_summary_csv
-- S7 PowerPoint deck    → write_pptx (gated stub)
-- S8 PNG timeline Gantt → write_timeline_png (gated) / timeline_rows (the
-  exact broken_barh segments + colors the reference draws:
-  red=true #f03b20, blue=false #2b83ba, grey=NULL #bababa —
-  condition.py:448-554)
+- S6 Excel summary      → write_summary_excel (openpyxl OR the built-in
+  xlsx codec, sources.xlsx_codec) / write_summary_csv
+- S7 PowerPoint deck    → write_pptx (built-in PresentationML writer,
+  sinks_pptx: one slide per condition with validity table + timeline PNG)
+- S8 PNG timeline Gantt → write_timeline_png (matplotlib OR the built-in
+  rasterizer sinks_png) / timeline_rows (the exact broken_barh segments +
+  colors the reference draws: red=true #f03b20, blue=false #2b83ba,
+  grey=NULL #bababa — condition.py:448-554)
 - S9 JSON error tree    → write_error_json (runner.error_tree → json)
 - S10 log sink          → stdlib logging, configured in setup_logging
 
@@ -97,14 +100,31 @@ def write_summary_csv(results: dict, path: str) -> str:
 
 
 def write_summary_excel(results: dict, path: str, *, analysis_name: str = "") -> str:
-    """S6: Excel workbook — INFO sheet + one summary sheet. Requires
-    openpyxl (gated; absent in this container)."""
+    """S6: Excel workbook — INFO sheet + one summary sheet, with the
+    reference's ``0.00 %`` number format on the percentage columns
+    (analysis_collection.py:195-231).
+
+    Uses openpyxl when present; otherwise the built-in dependency-free
+    codec (sources.xlsx_codec) — a real .xlsx is produced either way."""
+    rows = summary_rows(results)
     try:
         import openpyxl
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "openpyxl not available; use write_summary_csv for the same content"
-        ) from e
+    except ImportError:
+        from tsatool_app_spark.sources.xlsx_codec import STYLE_PERCENT, write_xlsx
+
+        pct_cols = {
+            SUMMARY_COLUMNS.index(c): STYLE_PERCENT
+            for c in ("percentage_valid", "percentage_notvalid", "percentage_nodata")
+        }
+        return write_xlsx(
+            path,
+            {
+                "INFO": [["Analysis", analysis_name]],
+                "summary": [SUMMARY_COLUMNS]
+                + [[row[c] for c in SUMMARY_COLUMNS] for row in rows],
+            },
+            column_styles={"summary": pct_cols},
+        )
     wb = openpyxl.Workbook()
     info = wb.active
     info.title = "INFO"
@@ -112,7 +132,7 @@ def write_summary_excel(results: dict, path: str, *, analysis_name: str = "") ->
     info["B1"] = analysis_name
     sheet = wb.create_sheet("summary")
     sheet.append(SUMMARY_COLUMNS)
-    for row in summary_rows(results):
+    for row in rows:
         sheet.append([row[c] for c in SUMMARY_COLUMNS])
     for cell in sheet["F2":f"H{sheet.max_row}"] if sheet.max_row > 1 else []:
         for c in cell:
@@ -155,13 +175,20 @@ def write_timeline_json(cond_result, path: str) -> str:
 
 
 def write_timeline_png(cond_result, path: str) -> str:
-    """S8: matplotlib broken_barh Gantt (gated; absent in this container)."""
+    """S8: the per-condition validity Gantt as a real PNG
+    (condition.py:448-554 broken_barh figure).
+
+    matplotlib renders it when present; otherwise the built-in rasterizer
+    (sinks_png.render_timeline_png — stdlib zlib PNG, same segments, same
+    colors, 5×7 bitmap labels)."""
     try:
         import matplotlib
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "matplotlib not available; use write_timeline_json for the segments"
-        ) from e
+    except ImportError:
+        from tsatool_app_spark.sinks_png import render_timeline_png
+
+        with open(path, "wb") as f:
+            f.write(render_timeline_png(timeline_rows(cond_result)))
+        return path
     matplotlib.use("Agg")
     import matplotlib.dates as mdates
     import matplotlib.pyplot as plt
@@ -184,17 +211,42 @@ def write_timeline_png(cond_result, path: str) -> str:
 
 
 def write_pptx(results: dict, path: str, template: str | None = None) -> str:
-    """S7: one slide per condition (gated stub; python-pptx absent).
+    """S7: one slide per condition, matching the reference's deck contract
+    (cond_collection.py:257-401): title, condition text, time range,
+    validity table, errors, timeline image.
 
-    Contract (cond_collection.py:257-401): title, condition text, time
-    range, 3×4 validity table, errors, timeline image placeholder."""
-    try:
-        import pptx  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "python-pptx not available; summary content is in write_summary_csv"
-        ) from e
-    raise NotImplementedError("pptx rendering not implemented in this build")
+    Rendered with the built-in dependency-free PresentationML writer
+    (sinks_pptx) — a real .pptx with real tables and the S8 timeline PNG
+    embedded per slide. ``template`` is accepted for API parity with the
+    reference's report_template.pptx but ignored (the built-in master/theme
+    is used)."""
+    from tsatool_app_spark.sinks_png import render_timeline_png
+    from tsatool_app_spark.sinks_pptx import write_pptx_deck
+
+    slides = []
+    for cid, res in results.items():
+        spec = res.spec
+        lines = [f"Condition: {spec.raw_condition}"]
+        table = None
+        png = None
+        if res.summary is not None:
+            s = res.summary.collect()[0]
+            lines.append(f"Data range: {s.data_from} - {s.data_until}")
+            table = [
+                ["", "seconds", "percent"],
+                ["valid", str(s.tottime_valid_s), f"{s.percentage_valid:.2f} %"],
+                ["not valid", str(s.tottime_notvalid_s), f"{s.percentage_notvalid:.2f} %"],
+                ["no data", str(s.tottime_nodata_s), f"{s.percentage_nodata:.2f} %"],
+            ]
+        else:
+            lines.append("No result (condition not run)")
+        err_coll = getattr(spec, "errors", None)
+        for msg in (err_coll.messages if err_coll else [])[:5]:
+            lines.append(f"Error: {msg}")
+        if res.ranges is not None:
+            png = render_timeline_png(timeline_rows(res))
+        slides.append({"title": cid, "lines": lines, "table": table, "png": png})
+    return write_pptx_deck(path, slides)
 
 
 def write_error_json(analysis, path: str) -> str:

@@ -8,9 +8,10 @@ Reference: an Excel workbook where each sheet is one condition collection
 - rows ≥ 4, columns A/B/C = (site, master_alias, condition); any empty cell
   ⇒ row skipped with an error.
 
-openpyxl is absent in this container, so the Excel reader is gated; the CSV
-reader accepts the same sheet layout (the reference itself ships its example
-sheets as CSV exports — example_data/toimiva.csv) and is always available.
+Real .xlsx workbooks are read via openpyxl when present, else via the
+built-in dependency-free codec (sources.xlsx_codec) — no gating either way.
+The CSV reader accepts the same sheet layout (the reference itself ships its
+example sheets as CSV exports — example_data/toimiva.csv).
 Everything is driver-side: condition sets are tiny (no distributed read).
 """
 
@@ -74,14 +75,21 @@ def read_csv_workbook(dir_path: str, analysis_name: str) -> AnalysisCollection:
 
 
 def read_xlsx_workbook(path: str, analysis_name: str | None = None) -> AnalysisCollection:
-    """S1: Excel workbook intake (gated — openpyxl absent here)."""
+    """S1: Excel workbook intake (analysis_collection.py:67-110).
+
+    Uses openpyxl when present; otherwise the built-in dependency-free
+    codec (sources.xlsx_codec) — real .xlsx files work either way."""
     try:
         import openpyxl
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "openpyxl not available; export sheets to CSV and use "
-            "read_csv_workbook (same layout)"
-        ) from e
+    except ImportError:
+        from tsatool_app_spark.sources.xlsx_codec import read_xlsx
+
+        ac = AnalysisCollection(analysis_name or Path(path).stem)
+        for title, rows in read_xlsx(path).items():
+            if title.lower() in INFO_SHEET_NAMES:
+                continue
+            ac.add_collection(parse_sheet_rows(title, rows))
+        return ac
     wb = openpyxl.load_workbook(path, read_only=True)
     ac = AnalysisCollection(analysis_name or Path(path).stem)
     for ws in wb.worksheets:
