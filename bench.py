@@ -6,6 +6,16 @@ line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 
 Each query is executed to completion (count + a cheap checksum collect) so
 lazy plans can't cheat; per-query wall time includes Catalyst planning.
+
+The same parquet is also timed through DuckDB running each query's oracle SQL
+(single process, all cores — the strongest practical single-node baseline),
+giving a measured denominator: "queries_duckdb" holds oracle seconds,
+"ratio" spark/duckdb per query, "ratio_geomean" the overall factor. Oracles
+are best-of-k like the Spark side; a per-oracle budget (interrupt) keeps
+brute-force oracles (e.g. the all-pairs Jaccard check) from dominating the
+bench wall time. Spark's ~0.2 s fixed per-job overhead dominates the tiny
+queries' ratios — the geomean is the honest summary, per-query ratios the
+detail.
 """
 
 from __future__ import annotations
@@ -13,7 +23,41 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
+
+ORACLE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET_S", "60"))
+
+
+def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str, float]:
+    import duckdb
+
+    from tsatool_app_spark.model import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name, sql in oracles.items():
+        best = None
+        for _ in range(repeats):
+            timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception:  # interrupted (budget) or oracle error
+                best = -1.0
+                break
+            finally:
+                timer.cancel()
+        out[name] = round(best, 3)
+    con.close()
+    return out
 
 
 def main() -> None:
@@ -49,12 +93,31 @@ def main() -> None:
         # still included — only OS/JIT jitter is excluded.
         timings[name] = round(best, 3)
 
+    oracle_timings = time_oracles(
+        sf_dir, {n: q.oracle for n, q in QUERIES.items() if q.oracle}, repeats
+    )
+    ratios = {
+        n: round(timings[n] / oracle_timings[n], 2)
+        for n in oracle_timings
+        if timings.get(n, -1) > 0 and oracle_timings[n] > 0
+    }
+    geomean = None
+    if ratios:
+        import math
+
+        geomean = round(
+            math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+        )
+
     result = {
         "metric": "driver_queries_total_wall",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_duckdb": oracle_timings,
+        "ratio": ratios,
+        "ratio_geomean": geomean,
     }
     if failures:
         result["failures"] = failures
