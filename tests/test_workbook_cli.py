@@ -179,3 +179,26 @@ def test_cli_full_run(tmp_path, spark, capsys):
     assert (tmp_path / "res" / "run1_s1.pptx").exists()
     png = tmp_path / "res" / "run1_sipoo_itaan_a1_timeline.png"
     assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_dry_validate_zero_config_snapshots(tmp_path, capsys):
+    """--dry-validate with NO metadata inputs validates against the embedded
+    2019 snapshots (reference utils.py:115-273 behavior): known station 1122
+    and sensors tie_1/keli_1 pass; an unknown station fails."""
+    sheets = tmp_path / "ok"
+    sheets.mkdir()
+    write_sheet(sheets / "s.csv", CLEAN_SHEET)
+    rc = main(["-i", str(sheets), "-n", "z1", "-r", str(tmp_path / "r1"), "--dry-validate"])
+    assert rc == 0
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    write_sheet(
+        bad / "s.csv",
+        SHEET[:3] + [["X", "A1", "s99999#tie_1 < 3"]],  # station not in snapshot
+    )
+    rc2 = main(["-i", str(bad), "-n", "z2", "-r", str(tmp_path / "r2"), "--dry-validate"])
+    assert rc2 == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tree = json.load(open(out["errors_file"]))
+    assert "99999" in json.dumps(tree)

@@ -53,9 +53,16 @@ def main(argv: list[str] | None = None) -> int:
     log.info("parsed %d collections", len(analysis.collections))
 
     if args.dry_validate:
-        # Metadata snapshots: from CSVs if given, else structural checks only.
-        station_ids: set[int] = set()
-        sensor_map: dict[str, int] = {}
+        # Metadata: CSVs when given; otherwise the embedded 2019 snapshots
+        # (reference behavior — utils.py:115-273 hard-codes them so
+        # --dryvalidate needs no database/inputs at all).
+        from tsatool_app_spark.snapshots import (
+            snapshot_sensor_name_to_id,
+            snapshot_station_ids,
+        )
+
+        station_ids: set[int] = set(snapshot_station_ids())
+        sensor_map: dict[str, int] = snapshot_sensor_name_to_id()
         if args.stations_csv or args.sensors_csv:
             from tsatool_app_spark.session import get_spark
             from tsatool_app_spark.sources.metadata import (
@@ -70,13 +77,15 @@ def main(argv: list[str] | None = None) -> int:
                 }
             if args.sensors_csv:
                 sensor_map = sensor_name_to_id(read_metadata_csv(spark, args.sensors_csv))
-            tree = analysis.dry_validate(station_ids, sensor_map)
-        else:
-            tree = analysis.error_tree()
+        tree = analysis.dry_validate(station_ids, sensor_map)
         out = results_dir / f"{args.name}_ERRORS.json"
         out.write_text(json.dumps(tree, indent=1, default=str))
         has_errors = any(
-            coll.errors or any(c.errors for c in coll.conditions.values())
+            coll.errors
+            or any(
+                c.errors or any(b.errors for b in c.blocks.values())
+                for c in coll.conditions.values()
+            )
             for coll in analysis.collections
         )
         print(json.dumps({"dry_validate": "failed" if has_errors else "ok", "errors_file": str(out)}))
