@@ -566,6 +566,51 @@ def q_salted_sum(spark, sf_dir):
     )
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing, driver-visible: documents' text re-materialized
+    as an opaque ``binary`` content column (the media shape), then a
+    mapInPandas metadata kernel — Arrow binary transfer in, typed metadata
+    out, bytes never in a shuffle (functions/multimodal design rules).
+    Oracle-checkable because the kernel's outputs (byte length, md5) are
+    byte-deterministic."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("content_md5", StringType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "content_md5": [
+                        hashlib.md5(bytes(b)).hexdigest() for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(kernel, out_schema)
+
+
 def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
@@ -922,6 +967,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""",
+    "multimodal_meta": """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents""",
     # rows-only (non-SQL-expressible: approximate by construction)
     "lsh_ann": None,
 }
@@ -970,6 +1020,7 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "asof_join": DriverQuery(q_asof_join, ORACLES["asof_join"]),
     "salted_sum": DriverQuery(q_salted_sum, ORACLES["salted_sum"]),
+    "multimodal_meta": DriverQuery(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
