@@ -254,3 +254,51 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dedup_out").collect()
     assert len(out) == 3  # exact (tfrom, statid) dup dropped
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessions equal batch sessionize on closed sessions:
+    same start and count, streaming end = batch end + gap."""
+    from datetime import timedelta
+
+    from tsatool_app_spark.operators.summary import sessionize
+    from tsatool_app_spark.streaming.pack_ranges_stream import streaming_sessionize
+
+    src = str(tmp_path / "obs")
+    ckpt = str(tmp_path / "ckpt")
+    # key 1: two sessions (gap 40 min > 30); a far-future row advances the
+    # watermark so both emit in append mode.
+    rows = [
+        (0, 1, 3, 1.0), (5, 1, 3, 1.0), (10, 1, 3, 1.0),
+        (50, 1, 3, 1.0), (55, 1, 3, 1.0),
+        (600, 2, 3, 1.0),  # watermark pusher
+    ]
+    write_obs_batch(spark, src, rows, 0)
+    q = (
+        streaming_sessionize(stream_observations(spark, src), 30)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.statid, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = sessionize(
+        spark.createDataFrame(
+            [(T0 + timedelta(minutes=m), s, se, v) for m, s, se, v in rows],
+            "tfrom timestamp, statid int, seid int, seval float",
+        ),
+        30,
+    ).collect()
+    expected = {
+        (r.statid, r.session_start, r.session_end + timedelta(minutes=30), r.n_events)
+        for r in batch
+        if r.statid == 1  # key 2's session is still open (watermark at its end)
+    }
+    assert expected <= got
+    assert len([g for g in got if g[0] == 1]) == 2

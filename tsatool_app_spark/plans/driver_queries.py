@@ -566,6 +566,22 @@ def q_salted_sum(spark, sf_dir):
     )
 
 
+def q_ann_topk_exact(spark, sf_dir):
+    """Exact top-k nearest neighbours (the ANN ground-truth baseline):
+    one scan, per-partition top-k + single merge (TakeOrdered — no global
+    sort). Ranking by the quantized integer dot product makes the ordering
+    engine-exact, so the whole top-k is oracle-checkable (float cosine would
+    tie-break differently across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    q = F.array(*[F.lit(float(v)) for v in qrow.embedding])
+    return (
+        emb.select("vec_id", quantized_dot(F.col("embedding"), q).alias("dotq"))
+        .orderBy(F.desc("dotq"), "vec_id")
+        .limit(10)
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing, driver-visible: documents' text re-materialized
     as an opaque ``binary`` content column (the media shape), then a
@@ -967,6 +983,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""",
+    "ann_topk_exact": """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT e.vec_id,
+       CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+                 CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dotq
+FROM embeddings e, q
+ORDER BY dotq DESC, e.vec_id
+LIMIT 10""",
     "multimodal_meta": """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1020,6 +1048,7 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "asof_join": DriverQuery(q_asof_join, ORACLES["asof_join"]),
     "salted_sum": DriverQuery(q_salted_sum, ORACLES["salted_sum"]),
+    "ann_topk_exact": DriverQuery(q_ann_topk_exact, ORACLES["ann_topk_exact"]),
     "multimodal_meta": DriverQuery(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),

@@ -1,5 +1,6 @@
 from tsatool_app_spark.streaming.pack_ranges_stream import (
     streaming_dedup,
+    streaming_sessionize,
     stream_observations,
     pack_ranges_stream,
     windowed_observation_counts,
@@ -10,6 +11,7 @@ __all__ = [
     "pack_ranges_stream",
     "windowed_observation_counts",
     "streaming_dedup",
+    "streaming_sessionize",
 ]
 from tsatool_app_spark.streaming.condition_stream import streaming_condition_analysis
 

@@ -229,6 +229,40 @@ def streaming_dedup(
     )
 
 
+def streaming_sessionize(
+    obs_stream: DataFrame,
+    gap_minutes: int = 30,
+    *,
+    key_col: str = "statid",
+    time_col: str = "tfrom",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming counterpart of operators.summary.sessionize: native
+    ``session_window`` sessions (gap-merged in the state store, watermark-
+    bounded) instead of the batch gaps-and-islands window pass.
+
+    Semantics note vs batch: Spark's session window END is
+    ``last event + gap`` (the dynamic window extent), where the batch
+    sessionize reports ``session_end = max(ts)``; so
+    ``window.end == batch session_end + gap`` exactly. session_start and
+    n_events agree. Sessions are emitted (append mode) once the watermark
+    passes their end."""
+    from pyspark.sql import functions as F
+
+    w = F.session_window(time_col, f"{gap_minutes} minutes")
+    return (
+        obs_stream.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_observation_counts(
     obs_stream: DataFrame,
     *,
