@@ -154,3 +154,46 @@ def test_condition_parser_never_crashes(tokens):
 
         names = set(_re.findall(r"[a-z_][a-z0-9_]*", spec.alias_condition))
         assert names - {"and", "or", "not"} <= set(spec.blocks)
+
+
+# ---------------------------------------------------------------------------
+# xlsx codec round-trip property: arbitrary grids of supported value types
+# survive write_xlsx → read_xlsx bit-exactly (no Spark involved).
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc"), exclude_characters="\r"
+        ),
+        max_size=40,
+    ),
+    st.datetimes(
+        min_value=datetime(1950, 1, 1),
+        max_value=datetime(2100, 1, 1),
+    ).map(lambda d: d.replace(microsecond=0)),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(grid=st.lists(st.lists(_cell, max_size=6), min_size=1, max_size=8))
+def test_xlsx_roundtrip_property(tmp_path_factory, grid):
+    from tsatool_app_spark.sources.xlsx_codec import read_xlsx, write_xlsx
+
+    p = str(tmp_path_factory.mktemp("xlsx") / "rt.xlsx")
+    write_xlsx(p, {"s": grid})
+    back = read_xlsx(p)["s"]
+    # trailing empty rows/cells are structurally equivalent: compare cellwise
+    for ri, row in enumerate(grid):
+        for ci, val in enumerate(row):
+            got = back[ri][ci] if ri < len(back) and ci < len(back[ri]) else None
+            if isinstance(val, datetime):
+                assert abs((got - val).total_seconds()) < 1e-3, (ri, ci, val, got)
+            elif isinstance(val, float) and val == int(val) and abs(val) < 10**15:
+                assert float(got) == val, (ri, ci, val, got)
+            else:
+                assert got == val, (ri, ci, val, got)
