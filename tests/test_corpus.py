@@ -1,0 +1,135 @@
+"""Corpus-preparation operators (functions/corpus.py): chunking, repetition
+signals, PII redaction, stratified sampling, top terms.
+
+Semantics are pinned on tiny hand-computed fixtures; the DuckDB oracle
+cross-check runs in the driver harness (plans/driver_queries.py) and in
+test_driver_contract.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsatool_app_spark.functions.corpus import (
+    chunk_documents,
+    redact_pii,
+    repetition_signals,
+    stratified_sample_n,
+    top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunking_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    out = chunk_documents(
+        _docs(spark, [(1, words)]), chunk_tokens=4, overlap_tokens=2
+    ).orderBy("chunk_id")
+    rows = out.collect()
+    # starts 1,3,5,7,9 (step 2): windows of 4 tokens, last two truncated
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[3].chunk_text == "w6 w7 w8 w9"
+    assert rows[4].chunk_text == "w8 w9"  # truncated tail
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 4, 2]
+
+
+def test_chunking_short_and_empty_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "only three words"), (2, "")]),
+        chunk_tokens=64,
+        overlap_tokens=16,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 2  # one chunk each — row-per-document invariant
+    assert rows[1].chunk_text == "only three words"
+    assert rows[1].n_tokens == 3
+    assert rows[2].chunk_text == ""
+    assert rows[2].n_tokens == 0
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=8, overlap_tokens=8)
+
+
+def test_chunking_is_zero_shuffle(spark):
+    df = chunk_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    # "a b a b a": words 5, top word a=3; bigrams: "a b"x2 "b a"x2 -> top 2;
+    # trigrams: "a b a"x2, "b a b" -> 3 total, 2 distinct -> excess 1
+    out = repetition_signals(_docs(spark, [(1, "a b a b a"), (2, "")])).collect()
+    r = {x.doc_id: x for x in out}
+    assert (r[1].n_words, r[1].top_word_count) == (5, 3)
+    assert (r[1].n_bigrams, r[1].top_bigram_count) == (4, 2)
+    assert (r[1].n_trigrams, r[1].dup_trigram_excess) == (3, 1)
+    assert (r[2].n_words, r[2].top_word_count) == (0, 0)
+    assert (r[2].n_trigrams, r[2].dup_trigram_excess) == (0, 0)
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    df = repetition_signals(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_counts_and_text(spark):
+    out = redact_pii(
+        _docs(
+            spark,
+            [
+                (1, "mail bob.smith+x@corp.example.org and acct 1234567890 ok"),
+                (2, "clean text no pii here"),
+                (3, "short digits 12345678 stay"),  # 8 digits: below threshold
+            ],
+        )
+    ).collect()
+    r = {x.doc_id: x for x in out}
+    assert r[1].n_redacted == 2
+    assert r[1].clean_text == "mail <EMAIL> and acct <NUM> ok"
+    assert r[2].n_redacted == 0 and r[2].clean_text == "clean text no pii here"
+    assert r[3].n_redacted == 0 and "12345678" in r[3].clean_text
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = stratified_sample_n(docs, 5, "lang").collect()
+    per_group: dict[str, int] = {}
+    for r in s1:
+        per_group[r.lang] = per_group.get(r.lang, 0) + 1
+    assert all(v == 5 for v in per_group.values())
+    # deterministic: same rows under a different partitioning
+    s2 = stratified_sample_n(docs.repartition(7), 5, "lang").collect()
+    assert sorted((r.doc_id, r.lang, r.rk) for r in s1) == sorted(
+        (r.doc_id, r.lang, r.rk) for r in s2
+    )
+
+
+def test_top_terms_ranking_and_ties(spark):
+    out = top_terms(
+        _docs(spark, [(1, "b a b c a b"), (2, "z y z y")]), k=2
+    ).collect()
+    r1 = sorted([(x.rk, x.term, x.tf) for x in out if x.doc_id == 1])
+    assert r1 == [(1, "b", 3), (2, "a", 2)]
+    r2 = sorted([(x.rk, x.term, x.tf) for x in out if x.doc_id == 2])
+    assert r2 == [(1, "y", 2), (2, "z", 2)]  # tf tie broken by term asc
+
+
+def test_top_terms_partial_agg_before_exchange(spark):
+    # the groupBy must combine map-side: partial_count before the exchange
+    df = top_terms(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan

@@ -1,0 +1,220 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (same extension family as functions/text.py):
+document chunking, Gopher-style repetition signals, PII redaction,
+per-group stratified sampling, and per-document top terms.
+
+Scale design rules applied throughout:
+
+- Chunking and repetition signals are PURE per-row Column expressions
+  (split / slice / zip_with / aggregate higher-order functions) — zero
+  shuffle, whole-stage codegen, so a 100 TB documents table chunks at scan
+  speed. No explode-then-regroup round trip for per-document stats.
+- Top-terms and stratified sampling shuffle exactly once each, on keys
+  (doc_id resp. group) that are either unique or low-cardinality-but-
+  bounded-output — no skew amplification.
+- Every output column is integer/string-typed (counts, not float ratios),
+  so DuckDB oracles compare hash-exactly; callers derive ratios downstream.
+
+Reference scope parity note: the reference app has no corpus operators
+(it is a road-weather condition engine); these belong to the rebuild's
+stated LLM-pipeline extension surface, same contract as functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Conservative PII patterns in the regex subset shared by java.util.regex
+#: (Spark) and RE2 (DuckDB, Go): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"\b[0-9]{9,}\b"  # account/phone-like digit runs
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (split collapses nothing)."""
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    pre-embedding / pre-tokenization step for training pipelines).
+
+    Plan: one narrow projection — tokenize, generate chunk starts with
+    ``sequence``, ``posexplode`` the starts, ``slice`` out each window.
+    The only row-count growth is the output chunks themselves; no shuffle,
+    no UDF, so it runs at parquet scan speed regardless of corpus size.
+
+    Output: (id, chunk_id, chunk_text, n_tokens); the final chunk may be
+    shorter than ``chunk_tokens``. Empty documents yield one empty chunk
+    (keeps the row-per-document invariant for downstream joins).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = _tokens(F.col(text_col))
+    with_starts = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step)
+            )
+        ).alias("chunk_id", "_start"),
+    )
+    window = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return with_starts.select(
+        id_col,
+        "chunk_id",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_tokens"),
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e. the
+    count of the most frequent element — via a single ``aggregate`` fold.
+    Runs entirely inside codegen; no explode, no shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc.best)
+
+
+def repetition_signals(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+    most-frequent word/bigram counts and repeated-trigram excess.
+
+    All counts are computed inside the row with array higher-order
+    functions (sort + linear fold for the mode count; zip_with for n-gram
+    assembly) — the per-document group-by that the naive explode plan would
+    shuffle is eliminated entirely. Emits integer numerators/denominators
+    (not float ratios) so results are engine-exact; filter thresholds like
+    "top bigram covers >18% of text" are one downstream expression.
+    """
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    tri_len = F.greatest(n - 2, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, pair_len),
+        F.slice(t, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.zip_with(
+        F.zip_with(
+            F.slice(t, 1, tri_len),
+            F.slice(t, 2, tri_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(t, 3, tri_len),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        _max_run_length(F.sort_array(t)).cast("long").alias("top_word_count"),
+        pair_len.cast("long").alias("n_bigrams"),
+        _max_run_length(F.sort_array(bigrams)).cast("long").alias("top_bigram_count"),
+        tri_len.cast("long").alias("n_trigrams"),
+        (tri_len - F.size(F.array_distinct(trigrams)))
+        .cast("long")
+        .alias("dup_trigram_excess"),
+    )
+
+
+def redact_pii(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email addresses and long digit runs (account/phone-like),
+    returning the cleaned text plus a redaction count per document.
+
+    Pure regexp Column expressions (JVM regex, no UDF). The patterns stay
+    in the common java.util.regex ∩ RE2 subset so the same strings drive
+    the DuckDB oracle; at scale this is a scan-speed map with no shuffle.
+    """
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+    )
+    n = F.regexp_count(t, F.lit(EMAIL_RE)) + F.regexp_count(
+        t, F.lit(LONG_DIGITS_RE)
+    )
+    return docs.select(
+        id_col, n.cast("long").alias("n_redacted"), cleaned.alias("clean_text")
+    )
+
+
+def stratified_sample_n(
+    docs: DataFrame,
+    n_per_group: int,
+    group_col: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group quota sample: the ``n_per_group`` rows with
+    the smallest md5(id) per group — the standard recipe for balancing a
+    training mix across languages/sources without a random seed.
+
+    One shuffle on the group key. Engine- and partitioning-independent
+    (the md5 order is a pure function of the id), so any two runs — or two
+    engines — select identical rows. Group count is low (languages,
+    sources), but per-group row counts are huge and NOT collected anywhere;
+    the window stays distributed. For pathological single-group skew,
+    pre-aggregate with the salted path (operators/skew.py).
+    """
+    order_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(order_key, id_col)
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= n_per_group)
+        .select(id_col, group_col, "rk")
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by term frequency (tie-break: term asc) —
+    the building block for keyword extraction / index construction.
+
+    Plan: explode → partial-aggregated groupBy (map-side combine collapses
+    each document's repeats before the exchange) → per-doc window. Both
+    shuffles key on doc_id(+term): unique-ish keys, no skew. Ranking is
+    (tf desc, term asc) — integers and strings only, so the selection is
+    deterministic in any engine (a float tf-idf score would tie-break on
+    last-ulp differences across libm implementations).
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "rk")
+    )

@@ -627,6 +627,62 @@ def q_multimodal_meta(spark, sf_dir):
     return media.mapInPandas(kernel, out_schema)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    the pre-embedding step of a training pipeline; zero-shuffle plan."""
+    from tsatool_app_spark.functions.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap_tokens=16
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (top word/bigram counts,
+    repeated-trigram excess) as per-row array folds — no explode shuffle."""
+    from tsatool_app_spark.functions.corpus import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (emails + long digit runs). The corpus has no natural
+    PII, so matches are planted deterministically (doc_id % 10) — the check
+    verifies both the hit and the no-op path on every row."""
+    from tsatool_app_spark.functions.corpus import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 123456789 now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(planted)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (20 docs/lang by md5(id)
+    order) — training-mix balancing without a random seed."""
+    from tsatool_app_spark.functions.corpus import stratified_sample_n
+
+    return stratified_sample_n(load_table(spark, sf_dir, "documents"), 20, "lang")
+
+
+def q_top_terms(spark, sf_dir):
+    """Top-3 terms per document by (tf desc, term asc) — integer/string
+    ranking only, so the selection is engine-exact."""
+    from tsatool_app_spark.functions.corpus import top_terms
+
+    return top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
@@ -1000,6 +1056,88 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents""",
+    "chunk_documents": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST((g - 1) // 48 AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(toks, g, least(g + 63, len(toks))), ' ') AS chunk_text,
+       CAST(greatest(least(g + 63, len(toks)) - g + 1, 0) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 48)) AS g
+      FROM base)""",
+    "repetition_signals": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(t) AS w FROM base),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+topw AS (SELECT doc_id, max(c) AS top_word_count FROM wc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM base)
+),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+topb AS (SELECT doc_id, max(c) AS top_bigram_count FROM bgc GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM base)
+),
+tric AS (
+  SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d
+  FROM tri GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_words,
+       CAST(COALESCE(topw.top_word_count, 0) AS BIGINT) AS top_word_count,
+       CAST(greatest(len(b.t) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(topb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CAST(greatest(len(b.t) - 2, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(tric.n_tri - tric.n_tri_d, 0) AS BIGINT) AS dup_trigram_excess
+FROM base b
+LEFT JOIN topw ON b.doc_id = topw.doc_id
+LEFT JOIN topb ON b.doc_id = topb.doc_id
+LEFT JOIN tric ON b.doc_id = tric.doc_id""",
+    "redact_pii": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 123456789 now'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS BIGINT) AS n_redacted,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\b[0-9]{9,}\b', '<NUM>', 'g') AS clean_text
+FROM planted""",
+    "stratified_sample": """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+              AS INTEGER) AS rk
+  FROM documents
+) WHERE rk <= 20""",
+    "top_terms": """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term)
+SELECT doc_id, term, tf, rk FROM (
+  SELECT doc_id, term, tf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term)
+              AS INTEGER) AS rk
+  FROM tf
+) WHERE rk <= 3""",
     # rows-only (non-SQL-expressible: approximate by construction)
     "lsh_ann": None,
 }
@@ -1050,6 +1188,15 @@ QUERIES: dict[str, DriverQuery] = {
     "salted_sum": DriverQuery(q_salted_sum, ORACLES["salted_sum"]),
     "ann_topk_exact": DriverQuery(q_ann_topk_exact, ORACLES["ann_topk_exact"]),
     "multimodal_meta": DriverQuery(q_multimodal_meta, ORACLES["multimodal_meta"]),
+    "chunk_documents": DriverQuery(q_chunk_documents, ORACLES["chunk_documents"]),
+    "repetition_signals": DriverQuery(
+        q_repetition_signals, ORACLES["repetition_signals"]
+    ),
+    "redact_pii": DriverQuery(q_redact_pii, ORACLES["redact_pii"]),
+    "stratified_sample": DriverQuery(
+        q_stratified_sample, ORACLES["stratified_sample"]
+    ),
+    "top_terms": DriverQuery(q_top_terms, ORACLES["top_terms"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
