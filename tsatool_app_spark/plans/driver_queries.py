@@ -732,17 +732,19 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via RHP-LSH buckets + exact
-    rerank (rows-only: approximate candidate generation).
+    rerank, hash-checked against a brute-force all-pairs DuckDB oracle.
 
-    The synthetic corpus has no natural cosine≥0.8 pairs, so a rows-only
-    check on the raw table would be vacuous; five deterministic near-dup
-    clones (vec_id+1_000_000, vector scaled ×1.001 — cosine exactly 1,
-    identical RHP sign pattern) are planted so the check verifies the
-    bucket-join + rerank path actually recovers known pairs. Recall on the
-    planted set is additionally asserted in tests/test_parity_extras.py."""
+    Two constructions make the approximate pipeline oracle-exact here:
+    (a) five deterministic near-dup clones (vec_id+1_000_000, vector scaled
+    ×1.001 — cosine ≈ 1, identical RHP sign pattern, so LSH recall on them
+    is certain) are planted, because the synthetic corpus has no natural
+    cosine≥0.8 pairs; (b) the input is restricted to a deterministic subset
+    (vec_id % 20 == 0) so the oracle's O(n²) exact check stays bounded at
+    any driver scale factor. The unrestricted scale path is exercised in
+    tests/test_parity_extras.py and SCALING.md."""
     from tsatool_app_spark.functions.dedup import embedding_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
     base = emb.orderBy("vec_id").limit(5).collect()
     planted = spark.createDataFrame(
         [
@@ -751,7 +753,9 @@ def q_embedding_near_dups(spark, sf_dir):
         ],
         schema=emb.schema,
     )
-    return embedding_near_dup_pairs(emb.unionByName(planted), min_cosine=0.8)
+    return embedding_near_dup_pairs(emb.unionByName(planted), min_cosine=0.8).select(
+        "id_a", "id_b"
+    )
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -1138,6 +1142,25 @@ SELECT doc_id, term, tf, rk FROM (
               AS INTEGER) AS rk
   FROM tf
 ) WHERE rk <= 3""",
+    "embedding_near_dups": """
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+seed AS (
+  SELECT vec_id, embedding FROM sub ORDER BY vec_id LIMIT 5
+),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * 1.001) AS embedding
+  FROM seed
+),
+allv AS (
+  SELECT vec_id, embedding FROM sub
+  UNION ALL SELECT vec_id, embedding FROM planted
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""",
     # rows-only (non-SQL-expressible: approximate by construction)
     "lsh_ann": None,
 }
@@ -1199,7 +1222,9 @@ QUERIES: dict[str, DriverQuery] = {
     "top_terms": DriverQuery(q_top_terms, ORACLES["top_terms"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
-    "embedding_near_dups": DriverQuery(q_embedding_near_dups, None),
+    "embedding_near_dups": DriverQuery(
+        q_embedding_near_dups, ORACLES["embedding_near_dups"]
+    ),
     "lsh_ann": DriverQuery(q_lsh_ann, None),
     "ivf_ann": DriverQuery(q_ivf_ann, None),
 }
