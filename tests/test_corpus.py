@@ -17,6 +17,7 @@ from tsatool_app_spark.functions.corpus import (
     repetition_signals,
     stratified_sample_n,
     top_terms,
+    vocab_top_terms,
 )
 
 
@@ -126,6 +127,36 @@ def test_top_terms_ranking_and_ties(spark):
     assert r1 == [(1, "b", 3), (2, "a", 2)]
     r2 = sorted([(x.rk, x.term, x.tf) for x in out if x.doc_id == 2])
     assert r2 == [(1, "y", 2), (2, "z", 2)]  # tf tie broken by term asc
+
+
+def test_vocab_top_terms_ordering_and_df(spark):
+    out = vocab_top_terms(_docs(spark, [(1, "a b a"), (2, "b c")]), n=2).collect()
+    # tf: a=2 b=2 c=1; tf tie between a and b broken by term asc
+    assert [(r.term, r.tf, r.df) for r in out] == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_chunking_is_streaming_safe(spark, tmp_path):
+    """chunk_documents is stateless (pure projection + generator explode),
+    so the same plan must run unchanged on a streaming DataFrame — the
+    ingestion shape of a continuously-arriving corpus."""
+    src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    _docs(spark, [(1, " ".join(f"w{i}" for i in range(10)))]).coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        chunk_documents(stream, chunk_tokens=4, overlap_tokens=2)
+        .writeStream.format("memory")
+        .queryName("chunks_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM chunks_out ORDER BY chunk_id").collect()
+    assert [r.chunk_text for r in rows][:2] == ["w0 w1 w2 w3", "w2 w3 w4 w5"]
+    assert len(rows) == 5
 
 
 def test_top_terms_partial_agg_before_exchange(spark):

@@ -191,6 +191,38 @@ def stratified_sample_n(
     )
 
 
+def vocab_top_terms(
+    docs: DataFrame,
+    *,
+    n: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level vocabulary: the ``n`` most frequent terms with total
+    and document frequencies — the input to tokenizer/vocab training.
+
+    Plan: explode → ONE global groupBy(term). Map-side partial aggregation
+    collapses each partition's term counts before the exchange, so the
+    shuffle carries at most |vocab| rows per partition regardless of corpus
+    size — hot terms ("the") are pre-summed locally, which is exactly the
+    skew story a naive count-by-key would lose. df uses count(DISTINCT id)
+    per term: Spark expands it to a two-stage exact aggregate, still keyed
+    on term. Final top-n by (tf desc, term asc) — integer/string ordering,
+    engine-exact."""
+    words = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct(id_col).cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def top_terms(
     docs: DataFrame,
     *,

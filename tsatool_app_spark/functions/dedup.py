@@ -77,7 +77,12 @@ def minhash_signatures(
     a = rng.integers(1, p, size=num_hashes)
     b = rng.integers(0, p, size=num_hashes)
 
-    exploded = df.select(
+    from tsatool_app_spark.model import spread_small_input
+
+    # Hash-spread on id before the ~150× explode: reused by the groupBy
+    # (same key), and a no-op whenever the scan is already parallel.
+    narrow = spread_small_input(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+    exploded = narrow.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
     ).select(id_col, F.pmod(F.xxhash64("sh"), F.lit(p)).alias("x"))
     mins = [
@@ -298,12 +303,22 @@ def ngram_jaccard_pairs(
 
     Intersection via equi-join of exploded distinct shingles restricted to
     candidate ids (semi-join pushdown), union by inclusion-exclusion —
-    |A∪B| = |A| + |B| − |A∩B| — so no giant union materialization."""
+    |A∪B| = |A| + |B| − |A∩B| — so no giant union materialization.
+
+    ``candidate_pairs`` is referenced three times below; it is checkpointed
+    lazily so the (potentially expensive: LSH banding) candidate subtree
+    computes ONCE. The shingle relation is deliberately NOT materialized:
+    its consumers all sit behind the dropDuplicates exchange, which Spark
+    already shares via ReusedExchange — forcing a checkpoint there was
+    measured slower (it blocks the reuse and re-shuffles per consumer)."""
+    candidate_pairs = candidate_pairs.localCheckpoint(eager=False)
     ids = candidate_pairs.select(F.col("id_a").alias(id_col)).union(
         candidate_pairs.select(F.col("id_b"))
     ).distinct()
+    from tsatool_app_spark.model import spread_small_input
+
     sh = (
-        df.join(ids, id_col, "leftsemi")
+        spread_small_input(df.join(ids, id_col, "leftsemi"), key=id_col)
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
         .dropDuplicates([id_col, "sh"])
     )

@@ -124,6 +124,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition only when the input has fewer partitions than the
+    session's parallelism — the single-small-file regime (one parquet row
+    group cannot be split, so an explode- or UDF-heavy pipeline downstream
+    would run on ONE core no matter how many are available).
+
+    At scale this is a structural no-op: a large scan always has at least
+    as many splits as the cluster has slots, so no shuffle is added. When it
+    does fire, the shuffle moves the NARROW pre-explode projection (e.g.
+    (id, text)), which is many times smaller than the exploded relation the
+    parallelism unlocks. With ``key``, hash-partitions on that column so a
+    downstream groupBy(key) reuses the exchange instead of adding one."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def load_observations_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver ``events`` table onto the observations shape.
 

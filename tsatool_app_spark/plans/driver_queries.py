@@ -683,6 +683,14 @@ def q_top_terms(spark, sf_dir):
     return top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def q_vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary: top-100 terms by total frequency with document
+    frequencies — map-side-combined single global aggregation."""
+    from tsatool_app_spark.functions.corpus import vocab_top_terms
+
+    return vocab_top_terms(load_table(spark, sf_dir, "documents"), n=100)
+
+
 def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
@@ -1142,6 +1150,16 @@ SELECT doc_id, term, tf, rk FROM (
               AS INTEGER) AS rk
   FROM tf
 ) WHERE rk <= 3""",
+    "vocab_top_terms": """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM words GROUP BY term
+)
+SELECT term, tf, df FROM agg ORDER BY tf DESC, term LIMIT 100""",
     "embedding_near_dups": """
 WITH sub AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
@@ -1220,6 +1238,7 @@ QUERIES: dict[str, DriverQuery] = {
         q_stratified_sample, ORACLES["stratified_sample"]
     ),
     "top_terms": DriverQuery(q_top_terms, ORACLES["top_terms"]),
+    "vocab_top_terms": DriverQuery(q_vocab_top_terms, ORACLES["vocab_top_terms"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "embedding_near_dups": DriverQuery(
