@@ -159,6 +159,65 @@ def test_chunking_is_streaming_safe(spark, tmp_path):
     assert len(rows) == 5
 
 
+_word = __import__("hypothesis").strategies.text(
+    alphabet="abcde", min_size=1, max_size=4
+)
+_texts = __import__("hypothesis").strategies.lists(
+    _word, min_size=0, max_size=40
+).map(lambda ws: " ".join(ws))
+
+
+def _hyp():
+    from hypothesis import HealthCheck, given, settings
+
+    def deco(fn):
+        return settings(
+            max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+        )(given(_texts)(fn))
+
+    return deco
+
+
+@_hyp()
+def test_chunking_reconstruction_property(spark, text):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating reconstructs the tokenized document exactly — no token
+    lost or duplicated at any window boundary."""
+    chunk, overlap = 7, 3
+    rows = (
+        chunk_documents(
+            _docs(spark, [(1, text)]), chunk_tokens=chunk, overlap_tokens=overlap
+        )
+        .orderBy("chunk_id")
+        .collect()
+    )
+    toks = [w for w in text.split(" ") if w]
+    rebuilt = []
+    for i, r in enumerate(rows):
+        ctoks = [w for w in r.chunk_text.split(" ") if w]
+        assert r.n_tokens == len(ctoks)
+        rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+
+
+@_hyp()
+def test_repetition_signals_invariants(spark, text):
+    """Counts are consistent: 0 ≤ top counts ≤ n; denominators follow from
+    n_words; dup excess < n_trigrams unless zero."""
+    r = repetition_signals(_docs(spark, [(1, text)])).collect()[0]
+    n = len([w for w in text.split(" ") if w])
+    assert r.n_words == n
+    assert r.n_bigrams == max(n - 1, 0)
+    assert r.n_trigrams == max(n - 2, 0)
+    assert (n == 0) == (r.top_word_count == 0)
+    assert r.top_word_count <= n and r.top_bigram_count <= r.n_bigrams
+    assert 0 <= r.dup_trigram_excess <= max(r.n_trigrams - 1, 0)
+    # mode count cross-check in plain Python
+    toks = [w for w in text.split(" ") if w]
+    expect_top = max((toks.count(w) for w in set(toks)), default=0)
+    assert r.top_word_count == expect_top
+
+
 def test_top_terms_partial_agg_before_exchange(spark):
     # the groupBy must combine map-side: partial_count before the exchange
     df = top_terms(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

@@ -109,3 +109,33 @@ def test_pack_ranges_multi_single_shuffle(spark):
     plan = executed_plan(df)
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 2
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on (statid, seid) must join AND aggregate on those
+    keys without any shuffle — the co-located storage path SCALING.md
+    prescribes for the hot join/agg keys at cluster scale."""
+    from tsatool_app_spark.model import (
+        load_observations_from_events,
+        write_observations_bucketed,
+    )
+
+    obs = load_observations_from_events(spark, sf_dir)
+    write_observations_bucketed(obs, "obs_ba", str(tmp_path / "ba"), n_buckets=4)
+    write_observations_bucketed(
+        obs.groupBy("statid", "seid").agg({"seval": "max"}),
+        "obs_bb",
+        str(tmp_path / "bb"),
+        n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("obs_ba").join(spark.table("obs_bb"), ["statid", "seid"])
+        assert "Exchange" not in executed_plan(joined)
+        agg = spark.table("obs_ba").groupBy("statid", "seid").count()
+        assert "Exchange" not in executed_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS obs_ba")
+        spark.sql("DROP TABLE IF EXISTS obs_bb")
