@@ -218,6 +218,25 @@ def test_repetition_signals_invariants(spark, text):
     assert r.top_word_count == expect_top
 
 
+def test_contamination_hits_semantics_and_broadcast(spark):
+    from tsatool_app_spark.functions.corpus import contamination_hits
+
+    train = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),      # contains bench gram a..h
+            (2, "z z z z z z z z z"),        # no overlap
+            (3, "x a b c d e f g h"),        # bench gram shifted: 2 windows hit? only a..h
+            (4, "short doc"),                # < n words: never flagged
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c d e f g h")])
+    out = {r.doc_id: r.n_hits for r in contamination_hits(train, bench, n=8).collect()}
+    assert out == {1: 1, 3: 1}
+    plan = contamination_hits(train, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_top_terms_partial_agg_before_exchange(spark):
     # the groupBy must combine map-side: partial_count before the exchange
     df = top_terms(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

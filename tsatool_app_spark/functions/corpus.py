@@ -191,6 +191,44 @@ def stratified_sample_n(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    ``n``-gram with the benchmark set, with the number of shared-gram
+    occurrences — the standard eval-leakage filter for training corpora.
+
+    Plan: the benchmark's distinct grams are BROADCAST (eval sets are
+    thousands of rows; the corpus is the big side), so the containment
+    check is a map-side hash probe on the training scan — no shuffle of
+    training grams. Only the matched (id, gram) survivors are aggregated.
+    Documents shorter than ``n`` words contribute no grams (and cannot be
+    flagged)."""
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        toks = _tokens(F.col(text_col))
+        g = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(g).alias(out))
+
+    bench_grams = grams(benchmark, "g").select("g").distinct()
+    return (
+        grams(train, "g")
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def vocab_top_terms(
     docs: DataFrame,
     *,

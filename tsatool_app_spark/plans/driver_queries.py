@@ -691,6 +691,16 @@ def q_vocab_top_terms(spark, sf_dir):
     return vocab_top_terms(load_table(spark, sf_dir, "documents"), n=100)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing an 8-word-gram with the
+    deterministic 'benchmark' subset (doc_id % 97 == 0); benchmark grams
+    broadcast, no training-side shuffle before the match."""
+    from tsatool_app_spark.functions.corpus import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_hits(docs, docs.where(F.col("doc_id") % 97 == 0), n=8)
+
+
 def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
@@ -1150,6 +1160,23 @@ SELECT doc_id, term, tf, rk FROM (
               AS INTEGER) AS rk
   FROM tf
 ) WHERE rk <= 3""",
+    "decontaminate": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+train_grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM toks)
+),
+bench_grams AS (
+  SELECT DISTINCT g FROM train_grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM train_grams JOIN bench_grams USING (g)
+GROUP BY doc_id""",
     "vocab_top_terms": """
 WITH words AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -1239,6 +1266,7 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "top_terms": DriverQuery(q_top_terms, ORACLES["top_terms"]),
     "vocab_top_terms": DriverQuery(q_vocab_top_terms, ORACLES["vocab_top_terms"]),
+    "decontaminate": DriverQuery(q_decontaminate, ORACLES["decontaminate"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "embedding_near_dups": DriverQuery(
