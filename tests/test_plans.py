@@ -139,3 +139,23 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS obs_ba")
         spark.sql("DROP TABLE IF EXISTS obs_bb")
+
+
+def test_corpus_ops_prune_scan_columns(spark, sf_dir):
+    """Corpus operators must push column pruning into the parquet scan —
+    a 100 TB documents table with media/metadata columns reads only
+    (doc_id, text)."""
+    from tsatool_app_spark.functions.corpus import (
+        chunk_documents,
+        repetition_signals,
+        vocab_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        chunk_documents(docs),
+        repetition_signals(docs),
+        vocab_top_terms(docs),
+    ):
+        m = re.search(r"ReadSchema: (\S+)", executed_plan(df))
+        assert m and m.group(1) == "struct<doc_id:bigint,text:string>"
