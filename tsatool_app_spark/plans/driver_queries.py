@@ -776,24 +776,61 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _planted_ann_corpus(spark, sf_dir, id_base: int):
+    """Shared construction that makes an approximate top-k oracle-exact:
+    remove the query's own row, then plant exactly k=10 positively-scaled
+    clones of the query vector (ids ``id_base+j``, scale 1+(j+1)/1000).
+
+    Why this pins the answer: cosine is scale-invariant, so every clone's
+    cosine to q is ~1 (float32 storage perturbs it by <1e-12), while the
+    nearest NATURAL vector sits below 0.41 on this corpus (measured at
+    sf0.01 and sf0.1) — the true top-10 is exactly the clone set, at any
+    tie-break order.  Positive scaling also preserves every random-
+    hyperplane sign and the k-means argmin, so LSH/IVF retrieval of the
+    clones is certain, making approximate == exact and therefore
+    hash-checkable against a brute-force oracle (the recipe proven by
+    q_embedding_near_dups)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").first()
+    q = [float(x) for x in qrow.embedding]
+    clones = spark.createDataFrame(
+        [
+            (id_base + j, [x * (1.0 + (j + 1) / 1000.0) for x in q], None)
+            for j in range(10)
+        ],
+        schema=emb.schema,
+    )
+    corpus = emb.where(F.col("vec_id") != qrow.vec_id).unionByName(clones)
+    return corpus, q
+
+
 def q_ivf_ann(spark, sf_dir):
-    """IVF-bucketed approximate nearest neighbours (rows-only:
-    approximate by construction; full-probe equivalence to brute force is
-    asserted in tests)."""
+    """IVF-bucketed approximate nearest neighbours, hash-checked: the
+    planted-clone construction (see _planted_ann_corpus) makes the true
+    top-10 certain; the query's cluster is by definition the nearest
+    centroid, so nprobe>=1 scans it and retrieves all clones.  The oracle
+    is the exact brute-force top-10 over the same planted corpus — the
+    check asserts recall == 1.0 on a workload where that is guaranteed."""
     from tsatool_app_spark.functions.similarity import build_ivf_index, ivf_ann_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    indexed, centroids = build_ivf_index(emb, n_clusters=16)
-    q = list(emb.orderBy("vec_id").first().embedding)
-    return ivf_ann_topk(indexed, centroids, q, k=10, nprobe=4)
+    corpus, q = _planted_ann_corpus(spark, sf_dir, 3_000_000)
+    indexed, centroids = build_ivf_index(corpus, n_clusters=16)
+    return (
+        ivf_ann_topk(indexed, centroids, q, k=10, nprobe=4)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
 
 
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbours (rows-only check:
-    approximate by construction)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = list(emb.orderBy("vec_id").first().embedding)
-    return lsh_ann_topk(emb, q, k=10)
+    """LSH-bucketed approximate nearest neighbours, hash-checked: planted
+    clones share the query's full RHP signature (positive scaling preserves
+    every hyperplane sign), so every band matches and retrieval is certain;
+    the exact cosine rerank then must rank them above every natural vector
+    (margin ~1.0 vs <0.41).  Oracle: exact brute-force top-10 over the same
+    planted corpus."""
+    corpus, q = _planted_ann_corpus(spark, sf_dir, 2_000_000)
+    return lsh_ann_topk(corpus, q, k=10).select("vec_id").orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1206,8 +1243,61 @@ allv AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""",
-    # rows-only (non-SQL-expressible: approximate by construction)
-    "lsh_ann": None,
+    # ANN oracles: exact brute-force top-10 over the planted-clone corpus
+    # (construction makes approximate == exact with certainty; see
+    # _planted_ann_corpus).  Only ids are emitted: clone embeddings differ
+    # between engines in the last float32 ulp (Spark stores float32(c*x),
+    # DuckDB computes double(c*x)), but the top-10 id SET is invariant to
+    # that — the margin between clones (~1.0) and the nearest natural
+    # vector (<0.41 measured) is ~12 orders above the perturbation.
+    "lsh_ann": """
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+clones AS (
+  SELECT 2000000 + j.j AS vec_id,
+         list_transform(q.qe, x -> x * (1.0 + (j.j + 1) / 1000.0)) AS embedding
+  FROM q, (SELECT unnest(generate_series(0, 9)) AS j) j
+),
+corpus AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+  UNION ALL
+  SELECT vec_id, embedding FROM clones
+),
+topk AS (
+  SELECT c.vec_id
+  FROM corpus c, q
+  ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC, c.vec_id
+  LIMIT 10
+)
+SELECT vec_id FROM topk ORDER BY vec_id""",
+    "ivf_ann": """
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+clones AS (
+  SELECT 3000000 + j.j AS vec_id,
+         list_transform(q.qe, x -> x * (1.0 + (j.j + 1) / 1000.0)) AS embedding
+  FROM q, (SELECT unnest(generate_series(0, 9)) AS j) j
+),
+corpus AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+  UNION ALL
+  SELECT vec_id, embedding FROM clones
+),
+topk AS (
+  SELECT c.vec_id
+  FROM corpus c, q
+  ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC, c.vec_id
+  LIMIT 10
+)
+SELECT vec_id FROM topk ORDER BY vec_id""",
 }
 
 
@@ -1272,8 +1362,8 @@ QUERIES: dict[str, DriverQuery] = {
     "embedding_near_dups": DriverQuery(
         q_embedding_near_dups, ORACLES["embedding_near_dups"]
     ),
-    "lsh_ann": DriverQuery(q_lsh_ann, None),
-    "ivf_ann": DriverQuery(q_ivf_ann, None),
+    "lsh_ann": DriverQuery(q_lsh_ann, ORACLES["lsh_ann"]),
+    "ivf_ann": DriverQuery(q_ivf_ann, ORACLES["ivf_ann"]),
 }
 
 
