@@ -118,3 +118,31 @@ def test_pptx_native(results, tmp_path):
         assert "sipoo_a1" in s1 and "a:tbl" in s1
         assert "ppt/media/image1.png" in names
         assert z.read("ppt/media/image1.png")[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_pptx_no_data_condition(spark, tmp_path):
+    """A condition that matched no rows yields a summary of NULLs
+    (x/0 -> NULL in Spark); the deck must render 'n/a' cells instead of
+    raising TypeError on float formatting (r2 ADVICE)."""
+    import zipfile
+    from types import SimpleNamespace
+
+    summary = spark.createDataFrame(
+        [(None,) * 9],
+        "data_from timestamp, data_until timestamp, tottime_s bigint, "
+        "tottime_valid_s bigint, tottime_notvalid_s bigint, "
+        "tottime_nodata_s bigint, percentage_valid double, "
+        "percentage_notvalid double, percentage_nodata double",
+    )
+    res = {
+        "c_nodata": SimpleNamespace(
+            spec=SimpleNamespace(raw_condition="s1#x > 1", errors=None),
+            summary=summary,
+            ranges=None,
+        )
+    }
+    p = reports.write_pptx(res, str(tmp_path / "nodata.pptx"))
+    with zipfile.ZipFile(p) as z:
+        s1 = z.read("ppt/slides/slide1.xml").decode()
+    assert "n/a" in s1
+    assert "Data range: n/a" in s1

@@ -231,12 +231,25 @@ def write_pptx(results: dict, path: str, template: str | None = None) -> str:
         png = None
         if res.summary is not None:
             s = res.summary.collect()[0]
-            lines.append(f"Data range: {s.data_from} - {s.data_until}")
+
+            # A condition that matched no rows (or tottime_s == 0, x/0 →
+            # NULL in Spark) yields NULL data_from/until and percentages —
+            # render "n/a" instead of crashing the deck on a no-data slide.
+            def _pct(v):
+                return "n/a" if v is None else f"{v:.2f} %"
+
+            def _sec(v):
+                return "n/a" if v is None else str(v)
+
+            if s.data_from is None and s.data_until is None:
+                lines.append("Data range: n/a")
+            else:
+                lines.append(f"Data range: {s.data_from} - {s.data_until}")
             table = [
                 ["", "seconds", "percent"],
-                ["valid", str(s.tottime_valid_s), f"{s.percentage_valid:.2f} %"],
-                ["not valid", str(s.tottime_notvalid_s), f"{s.percentage_notvalid:.2f} %"],
-                ["no data", str(s.tottime_nodata_s), f"{s.percentage_nodata:.2f} %"],
+                ["valid", _sec(s.tottime_valid_s), _pct(s.percentage_valid)],
+                ["not valid", _sec(s.tottime_notvalid_s), _pct(s.percentage_notvalid)],
+                ["no data", _sec(s.tottime_nodata_s), _pct(s.percentage_nodata)],
             ]
         else:
             lines.append("No result (condition not run)")
