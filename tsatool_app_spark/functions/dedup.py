@@ -317,8 +317,15 @@ def ngram_jaccard_pairs(
     ).distinct()
     from tsatool_app_spark.model import spread_small_input
 
+    # Spread the SCAN-side projection, then semi-join: the candidate id set
+    # is small (broadcast), so the left partitioning survives the join and
+    # the explode below still fans out.  Spreading the join output instead
+    # would make spread_small_input probe a plan with exchanges — under AQE
+    # that materializes the candidate subtree eagerly just to read a
+    # partition count (r2 ADVICE).
     sh = (
-        spread_small_input(df.join(ids, id_col, "leftsemi"), key=id_col)
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .join(ids, id_col, "leftsemi")
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
         .dropDuplicates([id_col, "sh"])
     )

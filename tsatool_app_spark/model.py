@@ -135,9 +135,19 @@ def spread_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
     does fire, the shuffle moves the NARROW pre-explode projection (e.g.
     (id, text)), which is many times smaller than the exploded relation the
     parallelism unlocks. With ``key``, hash-partitions on that column so a
-    downstream groupBy(key) reuses the exchange instead of adding one."""
+    downstream groupBy(key) reuses the exchange instead of adding one.
+
+    Only scan-shaped plans are probed: reading ``df.rdd`` under AQE
+    materializes query stages when the plan contains exchanges (a join /
+    aggregate input would execute EAGERLY just to report a partition
+    count), so for any plan with wide operators this returns ``df``
+    unchanged — callers spread the source projection, not the join."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in ("Join", "Aggregate", "Repartition", "Window", "Sort")):
+        return df
+    # Scan-only plan: no exchanges, so AQE leaves it alone and .rdd stays lazy.
     if df.rdd.getNumPartitions() >= target:
         return df
     if key is not None:
