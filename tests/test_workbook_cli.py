@@ -202,3 +202,40 @@ def test_dry_validate_zero_config_snapshots(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     tree = json.load(open(out["errors_file"]))
     assert "99999" in json.dumps(tree)
+
+
+def test_xlsx_date_format_classification():
+    """Quoted literal text in a formatCode must not trigger date detection
+    (r2 ADVICE: ElementTree unescapes &quot; to literal quotes before the
+    codec sees the attribute), while real date formats still do."""
+    from tsatool_app_spark.sources.xlsx_codec import _is_date_format
+
+    assert not _is_date_format('0.0" m"')
+    assert not _is_date_format('#,##0 "days"')
+    assert not _is_date_format("[Red]0.00")
+    assert not _is_date_format("0.00 %")
+    assert _is_date_format("dd.mm.yyyy")
+    assert _is_date_format("[$-F400]h:mm:ss")
+    assert _is_date_format('yyyy"y"')  # date letters outside the literal
+
+
+def test_xlsx_1900_leap_serials(tmp_path):
+    """Excel's phantom 1900-02-29 (serial 60): 1900-02-28 must write as 59
+    and round-trip; 1900-03-01 stays at 61 (r2 ADVICE)."""
+    from tsatool_app_spark.sources.xlsx_codec import (
+        _datetime_to_serial,
+        read_xlsx,
+        write_xlsx,
+    )
+
+    assert _datetime_to_serial(datetime(1900, 2, 28)) == 59
+    assert _datetime_to_serial(datetime(1900, 3, 1)) == 61
+    grid = [
+        ["when"],
+        [datetime(1900, 2, 28)],
+        [datetime(1900, 3, 1)],
+        [datetime(1900, 1, 1)],
+    ]
+    p = str(tmp_path / "leap.xlsx")
+    write_xlsx(p, {"s": grid})
+    assert read_xlsx(p)["s"] == grid

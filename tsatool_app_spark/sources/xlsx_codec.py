@@ -60,6 +60,17 @@ def _idx_to_col(i: int) -> str:
     return s
 
 
+def _is_date_format(code: str) -> bool:
+    """True if a numFmt formatCode renders as a date/time.
+
+    Probes for date letters AFTER stripping [bracket] sections and
+    "quoted literal" text — ElementTree has already unescaped entities, so
+    quoted literals arrive as plain ``"..."``; without stripping them a
+    numeric format like ``0.0" m"`` or ``#,##0 "days"`` would be
+    misclassified as a date."""
+    return bool(re.search(r"[dmyhs]", re.sub(r'\[[^\]]*\]|"[^"]*"', "", code), re.I))
+
+
 def _serial_to_datetime(serial: float) -> datetime:
     # Excel's 1900 system counts a nonexistent 1900-02-29 (serial 60);
     # serials >= 61 are therefore offset by one extra day in _EPOCH_1900.
@@ -70,8 +81,13 @@ def _serial_to_datetime(serial: float) -> datetime:
 
 def _datetime_to_serial(dt: datetime) -> float:
     delta = dt - _EPOCH_1900
-    serial = delta.days + delta.seconds / 86400.0
-    return serial if serial >= 60 else serial - 1
+    # total_seconds, not delta.seconds: .seconds is the within-day remainder
+    # and mishandles pre-epoch datetimes (negative deltas).
+    serial = delta.total_seconds() / 86400.0
+    # Serial 60 is Excel's phantom 1900-02-29; real dates <= 1900-02-28 map
+    # one lower (1900-02-28 -> 59), only 1900-03-01+ (>= 61) keep the raw
+    # offset.
+    return serial if serial >= 61 else serial - 1
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +122,7 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
                 int(nf.get("numFmtId"))
                 for nfs in styles.findall("m:numFmts", _NS)
                 for nf in nfs.findall("m:numFmt", _NS)
-                if re.search(r"[dmyhs]", re.sub(r"\[[^\]]*\]|&quot;.*?&quot;", "", nf.get("formatCode", "")), re.I)
+                if _is_date_format(nf.get("formatCode", ""))
             }
             cell_xfs = styles.find("m:cellXfs", _NS)
             if cell_xfs is not None:
