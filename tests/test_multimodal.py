@@ -59,3 +59,132 @@ def test_media_metadata_prunes_bytes(spark, media_df):
 def test_video_sampling_contract(spark, media_df):
     with pytest.raises(NotImplementedError):
         sample_video_frames(media_df, 5)
+
+
+# ---------------------------------------------------------------------------
+# Native PNG decode path (r2 VERDICT #4: un-gate PNG decode)
+# ---------------------------------------------------------------------------
+
+
+def _filtered_png(arr, filters):
+    """Forward-filter a (H, W, C) uint8 array into PNG bytes using a chosen
+    filter type per scanline — lets the test exercise decode paths our own
+    encoder (filter 0 only) never emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        out = [f]
+        for i in range(w * ch):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(cur[i]) - pred) & 0xFF)
+        lines.append(bytes(out))
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_own_encoder():
+    import numpy as np
+
+    from tsatool_app_spark.sinks_png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_decode_png_all_filters_and_color_types():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth) and color
+    types 0/2/6 reconstruct exactly."""
+    import numpy as np
+
+    from tsatool_app_spark.sinks_png import decode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        arr = rng.integers(0, 256, size=(10, 9, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(_filtered_png(arr, filters))
+            assert got.shape == arr.shape, (ch, filters)
+            assert np.array_equal(got, arr), (ch, filters)
+
+
+def test_decode_image_batch_real_png(spark):
+    """decode_image_batch with fake_decoder=False decodes real PNG bytes
+    produced by the repo's own encoder — no gating (r2 VERDICT #4)."""
+    import numpy as np
+
+    from tsatool_app_spark.sinks_png import encode_png
+
+    rng = np.random.default_rng(3)
+    imgs = {
+        1: rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8),
+        2: rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8),
+    }
+    rows = [
+        (mid, encode_png(a), ("image", "png", a.shape[1], a.shape[0], None))
+        for mid, a in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_image_batch(df).collect()}
+    for mid, a in imgs.items():
+        r = out[mid]
+        assert (r.width, r.height, r.channels) == (a.shape[1], a.shape[0], 3)
+        assert r.mean_px == f"{float(a.mean()):.6f}"
+
+
+def test_resize_images_real_png(spark):
+    """Native PNG resize: output is a decodable PNG at the target size whose
+    pixels are the exact nearest-neighbour selection."""
+    import numpy as np
+
+    from tsatool_app_spark.sinks_png import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(arr), ("image", "png", 16, 16, None))], MEDIA_SCHEMA
+    )
+    out = resize_images(df, 4, 8).collect()
+    got = decode_png(bytes(out[0].content))
+    ys = (np.arange(8) * 16) // 8
+    xs = (np.arange(4) * 16) // 4
+    assert np.array_equal(got, arr[ys][:, xs])

@@ -2,13 +2,13 @@
 
 Large-scale training pipelines carry media as opaque ``binary`` columns with
 typed metadata; the Spark-side concerns — schema, batch shape, partition
-sizing, Arrow transfer — are real and tested here. The actual codec work
-(JPEG decode, audio resample, video frame extraction) requires native
-libraries not present in this container, so the decode kernels are STUBS:
-:func:`decode_image_batch` raises NotImplementedError unless
-``fake_decoder=True``, in which case a deterministic fake (parses our own
-16-byte test header) stands in so the distributed plumbing is testable
-end-to-end.
+sizing, Arrow transfer — are real and tested here. PNG decode/resize are
+REAL (sinks_png.decode_png/encode_png — pure zlib + numpy, no image
+libraries needed). Codecs that require native libraries absent from this
+container (JPEG, audio resample, video frame extraction) fall back to PIL
+when importable and otherwise raise NotImplementedError; a deterministic
+fake (``fake_decoder=True``, 16-byte test header) keeps the distributed
+plumbing testable independently of any codec.
 
 Design rules for 100 TB of media:
 
@@ -110,8 +110,13 @@ def decode_image_batch(
 
     mapInPandas: one Arrow batch in, one out; the binary column is consumed
     inside the worker and NOT carried into the output (keep shuffles
-    byte-free). Real decode = PIL/turbojpeg — NOT AVAILABLE in this
-    container; pass fake_decoder=True to run the deterministic stub.
+    byte-free).
+
+    Real decode: PNG is decoded natively (sinks_png.decode_png — pure
+    zlib/numpy, all filter types, grey/RGB/RGBA); JPEG and other formats
+    fall back to PIL if it is importable, else raise NotImplementedError
+    (libjpeg is absent in this container). fake_decoder=True keeps the
+    deterministic stub for plumbing tests.
     """
     out_schema = StructType(
         [
@@ -123,16 +128,41 @@ def decode_image_batch(
         ]
     )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake_decoder:
-            raise NotImplementedError(
-                "real image decoding requires PIL/libjpeg (absent here); "
-                "use fake_decoder=True for the plumbing path"
+    def _decode_real(buf: bytes) -> tuple[int, int, int, float]:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            from tsatool_app_spark.sinks_png import decode_png
+
+            arr = decode_png(buf)
+            return (
+                arr.shape[1],
+                arr.shape[0],
+                arr.shape[2],
+                float(arr.mean()),
             )
+        try:
+            from PIL import Image  # optional — not in this container
+        except ImportError:
+            raise NotImplementedError(
+                "non-PNG decode requires PIL/libjpeg (absent here); PNG is "
+                "decoded natively, or use fake_decoder=True"
+            ) from None
+        import io
+
+        import numpy as _np
+
+        img = Image.open(io.BytesIO(buf))
+        arr = _np.asarray(img)
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, c, float(arr.mean())
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                w, h, c, mean = _fake_decode(bytes(buf))
+                if fake_decoder:
+                    w, h, c, mean = _fake_decode(bytes(buf))
+                else:
+                    w, h, c, mean = _decode_real(bytes(buf))
                 rows.append((mid, w, h, c, f"{mean:.6f}"))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "channels", "mean_px"]
@@ -151,8 +181,10 @@ def resize_images(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Resize kernel: (media_id, content) → (media_id, content) at target
-    size. Stub semantics with fake_decoder: nearest-neighbour subsample of
-    the fake payload, re-packed with the fake header — byte-deterministic."""
+    size. RGB PNG input is resized for real (native decode → vectorized
+    nearest-neighbour index → native encode); with fake_decoder the
+    nearest-neighbour subsample runs on the fake payload, re-packed with
+    the fake header — byte-deterministic either way."""
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -160,16 +192,36 @@ def resize_images(
         ]
     )
 
+    def _resize_png(buf: bytes) -> bytes:
+        import numpy as _np
+
+        from tsatool_app_spark.sinks_png import decode_png, encode_png
+
+        arr = decode_png(buf)
+        if arr.shape[2] == 1:  # grey → RGB so encode_png (color type 2) applies
+            arr = _np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        h, w = arr.shape[:2]
+        ys = (_np.arange(target_h) * h) // target_h
+        xs = (_np.arange(target_w) * w) // target_w
+        return encode_png(_np.ascontiguousarray(arr[ys][:, xs]))
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake_decoder:
-            raise NotImplementedError(
-                "real resize requires an image library (absent here); "
-                "use fake_decoder=True for the plumbing path"
-            )
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                w, h, c, payload = _unpack_fake_header(bytes(buf))
+                buf = bytes(buf)
+                if not fake_decoder:
+                    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise NotImplementedError(
+                            "non-PNG resize requires an image library "
+                            "(absent here); PNG is handled natively, or use "
+                            "fake_decoder=True"
+                        )
+                    rows.append((mid, _resize_png(buf)))
+                    continue
+                w, h, c, payload = _unpack_fake_header(buf)
                 out = bytearray(_pack_fake_header(target_w, target_h, c))
                 for y in range(target_h):
                     sy = y * h // target_h

@@ -97,6 +97,87 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 ndarray (H, W, C) — the inverse of
+    :func:`encode_png`, but general: all five scanline filter types
+    (None/Sub/Up/Average/Paeth), color types 0 (grey), 2 (RGB) and
+    6 (RGBA), multiple IDAT chunks. 8-bit, non-interlaced only (the
+    overwhelmingly common profile; Adam7 and 16-bit raise ValueError).
+
+    This un-gates PNG for the multimodal decode kernels
+    (functions/multimodal.py): the container has no image libraries, but
+    PNG needs nothing beyond zlib."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        elif tag == b"PLTE":
+            raise ValueError("palette PNG not supported")
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG profile (depth={depth}, interlace={interlace})")
+    try:
+        ch = {0: 1, 2: 3, 6: 4}[color]
+    except KeyError:
+        raise ValueError(f"unsupported color type {color}") from None
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256 per spec)
+            rec = line + prev
+        else:  # Sub/Average/Paeth need the reconstructed left neighbour
+            rec = np.empty(stride, dtype=np.uint8)
+            ln = line.tolist()
+            pv = prev.tolist()
+            rc = [0] * stride
+            if f == 1:  # Sub
+                for i in range(stride):
+                    a = rc[i - bpp] if i >= bpp else 0
+                    rc[i] = (ln[i] + a) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = rc[i - bpp] if i >= bpp else 0
+                    rc[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = rc[i - bpp] if i >= bpp else 0
+                    b = pv[i]
+                    c = pv[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rc[i] = (ln[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {f}")
+            rec[:] = rc
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def _hex_rgb(color: str) -> tuple[int, int, int]:
     c = color.lstrip("#")
     return int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)
