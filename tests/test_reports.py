@@ -146,3 +146,65 @@ def test_pptx_no_data_condition(spark, tmp_path):
         s1 = z.read("ppt/slides/slide1.xml").decode()
     assert "n/a" in s1
     assert "Data range: n/a" in s1
+
+
+def test_pptx_template_preserves_branding(results, tmp_path):
+    """write_pptx with template_path clones the template's master/layout/
+    theme byte-identically (r2 VERDICT #5: a user who brands the template
+    keeps their branding), attaches generated slides to the template's
+    first layout, and keeps template media separate from timeline PNGs."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from tsatool_app_spark.sinks_pptx import write_pptx_deck
+
+    # Build a synthetic "branded" template: generate a minimal deck, then
+    # rewrite its theme/master with distinctive markers and add a media part
+    # referenced by the master (a logo), as a real branded template would.
+    base = str(tmp_path / "base.pptx")
+    write_pptx_deck(base, [{"title": "placeholder", "lines": ["x"]}])
+    tpl = str(tmp_path / "template.pptx")
+    logo = b"\x89PNG\r\n\x1a\n" + b"logo-bytes"
+    with zipfile.ZipFile(base) as zin, zipfile.ZipFile(tpl, "w") as zout:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n == "ppt/theme/theme1.xml":
+                data = data.replace(b'name="min"', b'name="branded-corp"')
+            if n == "ppt/slideMasters/_rels/slideMaster1.xml.rels":
+                data = data.replace(
+                    b"</Relationships>",
+                    b'<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/'
+                    b'officeDocument/2006/relationships/image" Target="../media/image1.png"/>'
+                    b"</Relationships>",
+                )
+            zout.writestr(n, data)
+        zout.writestr("ppt/media/image1.png", logo)
+
+    _, res = results
+    p = reports.write_pptx(res, str(tmp_path / "branded.pptx"), template=tpl)
+    with zipfile.ZipFile(tpl) as zt, zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        # master/layout/theme cloned byte-identically, logo media included
+        for part in (
+            "ppt/slideMasters/slideMaster1.xml",
+            "ppt/slideMasters/_rels/slideMaster1.xml.rels",
+            "ppt/slideLayouts/slideLayout1.xml",
+            "ppt/theme/theme1.xml",
+            "ppt/media/image1.png",
+        ):
+            assert z.read(part) == zt.read(part), part
+        assert b"branded-corp" in z.read("ppt/theme/theme1.xml")
+        # template's placeholder slide is NOT carried over; ours are
+        assert "ppt/slides/slide1.xml" in names and "ppt/slides/slide2.xml" in names
+        assert "ppt/slides/slide3.xml" not in names
+        s1 = z.read("ppt/slides/slide1.xml").decode()
+        assert "sipoo_a1" in s1
+        # timeline PNGs use the non-colliding prefix
+        assert "ppt/media/timeline1.png" in names
+        assert z.read("ppt/media/image1.png") == logo
+        # every XML part well-formed; slide rels point at the template layout
+        for n in names:
+            if n.endswith(".xml") or n.endswith(".rels"):
+                ET.fromstring(z.read(n))
+        rels1 = z.read("ppt/slides/_rels/slide1.xml.rels").decode()
+        assert "../slideLayouts/slideLayout1.xml" in rels1

@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-minutes", type=int, default=30)
     p.add_argument("--xlsx", action="store_true", help="also write the summary workbook (.xlsx, S6)")
     p.add_argument("--pptx", action="store_true", help="also write the per-collection slide deck (.pptx, S7)")
+    p.add_argument(
+        "--pptx-template",
+        default=None,
+        help="branded .pptx whose master/layout/theme the deck clones "
+        "(the reference's report_template.pptx role)",
+    )
     p.add_argument("--png", action="store_true", help="also write per-condition timeline PNGs (S8)")
     return p
 
@@ -114,7 +120,11 @@ def main(argv: list[str] | None = None) -> int:
                 analysis_name=args.name,
             )
         if args.pptx:
-            reports.write_pptx(res, str(results_dir / f"{args.name}_{coll.name}.pptx"))
+            reports.write_pptx(
+                res,
+                str(results_dir / f"{args.name}_{coll.name}.pptx"),
+                template=args.pptx_template,
+            )
         for cid, r in res.items():
             if r.ranges is not None:
                 reports.write_timeline_json(

@@ -217,9 +217,10 @@ def write_pptx(results: dict, path: str, template: str | None = None) -> str:
 
     Rendered with the built-in dependency-free PresentationML writer
     (sinks_pptx) — a real .pptx with real tables and the S8 timeline PNG
-    embedded per slide. ``template`` is accepted for API parity with the
-    reference's report_template.pptx but ignored (the built-in master/theme
-    is used)."""
+    embedded per slide. With ``template`` (the reference's
+    report_template.pptx role), the template's master/layout/theme parts
+    are cloned into the deck so user branding survives; otherwise the
+    built-in minimal master/theme is used."""
     from tsatool_app_spark.sinks_png import render_timeline_png
     from tsatool_app_spark.sinks_pptx import write_pptx_deck
 
@@ -259,7 +260,7 @@ def write_pptx(results: dict, path: str, template: str | None = None) -> str:
         if res.ranges is not None:
             png = render_timeline_png(timeline_rows(res))
         slides.append({"title": cid, "lines": lines, "table": table, "png": png})
-    return write_pptx_deck(path, slides)
+    return write_pptx_deck(path, slides, template_path=template)
 
 
 def write_error_json(analysis, path: str) -> str:
