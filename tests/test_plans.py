@@ -159,3 +159,32 @@ def test_corpus_ops_prune_scan_columns(spark, sf_dir):
     ):
         m = re.search(r"ReadSchema: (\S+)", executed_plan(df))
         assert m and m.group(1) == "struct<doc_id:bigint,text:string>"
+
+
+def test_ivf_probe_prunes_buckets(spark, sf_dir, tmp_path):
+    """The IVF probe must be an index lookup at the storage layer: with the
+    embedding table bucketed by cluster, an nprobe IN-filter plans a scan of
+    SelectedBucketsCount = nprobe out of n_clusters buckets (the claim in
+    functions/similarity.py, r2 VERDICT #7 asked it asserted), and the
+    result equals the unbucketed probe."""
+    from tsatool_app_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        write_ivf_index_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, centroids = build_ivf_index(emb, n_clusters=16)
+    write_ivf_index_bucketed(indexed, "ivf_idx", str(tmp_path / "ivf"), n_clusters=16)
+    try:
+        q = list(emb.orderBy("vec_id").first().embedding)
+        probe = ivf_ann_topk(spark.table("ivf_idx"), centroids, q, k=10, nprobe=4)
+        plan = executed_plan(probe)
+        assert re.search(r"SelectedBucketsCount: 4 out of 16", plan), plan[:2000]
+        # bucketed probe ≡ in-memory probe
+        unbucketed = ivf_ann_topk(indexed, centroids, q, k=10, nprobe=4)
+        assert [r.vec_id for r in probe.collect()] == [
+            r.vec_id for r in unbucketed.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx")

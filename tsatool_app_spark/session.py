@@ -52,6 +52,12 @@ def get_spark(
         # local[32] with zero effect on large-shuffle plans).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Every bucketed table here is bucketed DELIBERATELY (the
+        # observation store on (statid, seid), the IVF index on cluster);
+        # auto-bucketed-scan would silently fall back to a plain scan when
+        # no join/agg wants the distribution, losing bucket PRUNING on
+        # probe-shaped reads (nprobe IN-filters) — keep bucketed scans on.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: keep file-split sizing explicit so partition count
