@@ -701,17 +701,10 @@ def q_decontaminate(spark, sf_dir):
     return contamination_hits(docs, docs.where(F.col("doc_id") % 97 == 0), n=8)
 
 
-def q_sheet_workload(spark, sf_dir):
-    """The engine's headline workload: a 10-condition sheet (23 block
-    evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
-    runner — one-pass packing, level-wise multi-condition combine,
-    summaries. Oracle: _sheet_workload_sql() regenerates the whole sheet
-    (including the secondary chain) as portable SQL from the same sheet
-    definition."""
-    from datetime import datetime
-
-    from tsatool_app_spark.runner import CondCollection
-
+def sheet_workload_rows() -> list[tuple[str, str, str]]:
+    """The 10-condition driver sheet (23 block evals, AND/OR/NOT, one
+    secondary chain) — shared by q_sheet_workload, its SQL oracle
+    generator, and the streaming-parity test."""
     types = ["click", "view", "purchase", "error", "signup"]
     rows = []
     for i in range(9):
@@ -724,8 +717,22 @@ def q_sheet_workload(spark, sf_dir):
             )
         )
     rows.append(("site0", "S1", "C0 AND site1#C1"))  # secondary chain
+    return rows
+
+
+def q_sheet_workload(spark, sf_dir):
+    """The engine's headline workload: a 10-condition sheet (23 block
+    evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
+    runner — one-pass packing, level-wise multi-condition combine,
+    summaries. Oracle: _sheet_workload_sql() regenerates the whole sheet
+    (including the secondary chain) as portable SQL from the same sheet
+    definition."""
+    from datetime import datetime
+
+    from tsatool_app_spark.runner import CondCollection
+
     coll = CondCollection.from_rows(
-        "bench", datetime(2024, 1, 1), datetime(2024, 12, 31), rows
+        "bench", datetime(2024, 1, 1), datetime(2024, 12, 31), sheet_workload_rows()
     )
     res = coll.run(_obs(spark, sf_dir))
     return CondCollection.summaries_df(res)

@@ -48,11 +48,17 @@ _SENT_UNKNOWN = -1
 
 
 def stream_observations(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """File-source observation stream in the obs_main shape (swap for Kafka
-    in production — the downstream plan is identical)."""
-    reader = spark.readStream.schema(OBSERVATIONS_SCHEMA)
+    in production — the downstream plan is identical). ``schema`` defaults
+    to the reference store shape (int seid); pass the events-as-observations
+    schema (string seid) to stream the driver workload."""
+    reader = spark.readStream.schema(schema or OBSERVATIONS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
