@@ -242,3 +242,53 @@ def test_top_terms_partial_agg_before_exchange(spark):
     df = top_terms(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
+
+
+def test_pack_sequences_greedy(spark):
+    from tsatool_app_spark.functions.corpus import pack_sequences
+
+    # one shard (n_shards=1): docs of 100/100/100 tokens pack as
+    # [0,0] [1] with budget 200; a 300-token doc overflows alone
+    texts = [
+        (1, " ".join(["w"] * 100)),
+        (2, " ".join(["w"] * 100)),
+        (3, " ".join(["w"] * 100)),
+        (4, " ".join(["w"] * 300)),
+        (5, " ".join(["w"] * 10)),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in pack_sequences(df, budget=200, n_shards=1).collect()
+    }
+    assert out == {
+        1: (0, 100),
+        2: (0, 100),
+        3: (1, 100),   # 100+100+100 > 200 → new bin
+        4: (2, 300),   # over-budget doc gets its own bin
+        5: (3, 10),    # 300+10 > 200 → next bin
+    }
+
+
+def test_pack_sequences_sharded_no_text_shuffle(spark):
+    from tsatool_app_spark.functions.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, budget=10, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 40
+    # every doc's shard is id % 4 and bins never overflow except lone docs
+    assert all(r.shard == r.doc_id % 4 for r in rows)
+    # token counts are computed JVM-side BELOW the shard exchange, so the
+    # pandas scan's input schema (the FlatMapGroupsInPandas node) carries
+    # (doc_id, shard, n_tokens) ints only — never the text column
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    fmg = [l for l in plan.splitlines() if "FlatMapGroupsInPandas" in l]
+    assert fmg and all("text#" not in l for l in fmg)
+    assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1

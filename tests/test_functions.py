@@ -50,6 +50,33 @@ def test_minhash_finds_near_dups(spark):
     assert not any(4 in p for p in got)  # unrelated doc never pairs
 
 
+def test_minhash_oversize_bucket_audit(spark):
+    """The hot-bucket cap must not be a silent drop: when a near-identical
+    cluster exceeds ``max_bucket_size``, the candidate join skips its
+    O(d²) pairs AND ``minhash_oversize_buckets`` surfaces the dropped
+    (band, bucket, size) rows so the caller can route the cluster through
+    exact dedup instead."""
+    from tsatool_app_spark.functions.dedup import minhash_oversize_buckets
+
+    base = (
+        "identical mega cluster document repeated many times to overflow "
+        "a single locality sensitive hashing bucket in every band"
+    )
+    cluster = spark.createDataFrame(
+        [(i, base) for i in range(40)], "doc_id long, text string"
+    )
+    # Below the cap: no oversize rows, full O(d²) candidate set.
+    assert minhash_oversize_buckets(cluster, max_bucket_size=64).count() == 0
+    uncapped = minhash_near_dup_pairs(cluster, max_bucket_size=64)
+    assert uncapped.count() == 40 * 39 // 2
+    # Above the cap: every band's bucket is oversize (identical docs share
+    # all signatures), the audit reports each, and no pairs leak through.
+    audit = minhash_oversize_buckets(cluster, max_bucket_size=16).collect()
+    assert len(audit) == 8  # default bands=8, one hot bucket per band
+    assert all(r.size == 40 for r in audit)
+    assert minhash_near_dup_pairs(cluster, max_bucket_size=16).count() == 0
+
+
 def test_ngram_jaccard(spark):
     docs = docs_with_dups(spark)
     cands = spark.createDataFrame(
@@ -171,3 +198,32 @@ def test_ivf_ann_recall(spark, sf_dir):
     # full probe == brute force exactly
     full = [r.vec_id for r in ivf_ann_topk(indexed, centroids, q, k=10, nprobe=8).collect()]
     assert set(full) == exact
+
+
+def test_connected_components_cliques_and_chain(spark):
+    from tsatool_app_spark.functions.dedup import connected_components
+
+    # two cliques {1,2,3}, {10,11} and a 64-node path 100..163 — the path
+    # is the adversarial case pointer jumping exists for (O(log n) rounds)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11)] + [
+        (100 + i, 101 + i) for i in range(63)
+    ]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r.node: r.component for r in connected_components(e).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert all(cc[100 + i] == 100 for i in range(64))
+
+
+def test_near_dedup_survivors(spark):
+    from tsatool_app_spark.functions.dedup import near_dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    # cluster {1,2,3} via pairs (1,2),(2,3); cluster {5,6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(r.doc_id for r in near_dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 4, 5]

@@ -7,6 +7,7 @@ from tsatool_app_spark.functions.text import (
 from tsatool_app_spark.functions.dedup import (
     exact_dedup_groups,
     minhash_near_dup_pairs,
+    minhash_oversize_buckets,
     simhash_signatures,
     ngram_jaccard_pairs,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup_groups",
     "minhash_near_dup_pairs",
+    "minhash_oversize_buckets",
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "quantized_dot",

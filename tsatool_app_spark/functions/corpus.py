@@ -288,3 +288,55 @@ def top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "rk")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing for pretraining batch construction: assign
+    each document to a token-budget bin — ``(doc_id, shard, bin_id,
+    n_tokens)`` — closing the current bin whenever adding the next doc
+    would exceed ``budget`` whitespace tokens (an over-budget doc gets a
+    bin of its own).
+
+    Greedy first-fit-in-order packing is inherently sequential, so the
+    shard is the unit of parallelism: docs are hashed to ``id % n_shards``
+    shards, ordered by id within shard, and packed by a per-shard
+    ``applyInPandas`` scan. The scan's input is ``(id, shard, n_tokens)``
+    ONLY — token counts are computed JVM-side before the shuffle, so the
+    exchange moves three ints per document, never text. At 100 TB that is
+    the difference between shuffling the corpus and shuffling ~24 bytes/doc;
+    raise ``n_shards`` to the cluster's core count to bound per-group state.
+    """
+    import pandas as pd
+
+    counted = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            if not first and fill + tok > budget:
+                bin_id += 1
+                fill = tok
+            else:
+                fill += tok
+            first = False
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return counted.groupBy("shard").applyInPandas(
+        pack, schema=f"{id_col} long, shard long, n_tokens long, bin_id long"
+    )

@@ -94,6 +94,56 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*mins)
 
 
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int, id_col: str) -> DataFrame:
+    """(id, band, bucket) rows: each band of the signature hashed to one
+    bucket key — the relation both the candidate self-join and the
+    oversize-bucket audit are built on."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+
+
+def minhash_oversize_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Audit companion to :func:`minhash_near_dup_pairs`: the (band, bucket,
+    size) rows the cap REMOVES from the candidate join. No silent caps — a
+    pipeline that drops mega-buckets (near-identical clusters larger than
+    ``max_bucket_size``) should surface what it dropped so the operator can
+    route those clusters through exact dedup instead. Empty result ⇒ the
+    cap did not fire and the candidate set is complete."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    return (
+        _band_keys(sig, bands, rows_per_band, id_col)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -130,22 +180,7 @@ def minhash_near_dup_pairs(
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
-    band_keys = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bucket")
+    band_keys = _band_keys(sig, bands, rows_per_band, id_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         band_keys = (
@@ -354,3 +389,92 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → ``(node,
+    component)`` with component = the minimum node id reachable from
+    ``node``. The missing piece between PAIRWISE near-dup detection
+    (minhash/simhash/embedding pairs) and actual cluster-level dedup: a
+    duplicate CLUSTER of d docs surfaces as up to d(d-1)/2 pairs, and
+    "keep one per cluster" needs the transitive closure, not the pairs.
+
+    Algorithm: alternating min-neighbor propagation + pointer jumping
+    (label ← label-of-label), the hashing-to-min-labels scheme of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14) in its simplest convergent form. Pointer jumping halves
+    label-chain depth every round, so convergence is O(log n) rounds even
+    on path graphs — each round is two hash-joins on (node, label) int
+    pairs, no text, no driver-side graph. Labels are ``localCheckpoint``-ed
+    per round to truncate the iterative lineage (same reason as
+    runner.py's level combine).
+
+    Dedup-shaped inputs (near-identical clusters = small cliques) converge
+    in 1-2 rounds; ``max_iter`` is a backstop for adversarial chains.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # l(u) = min(u, min neighbor) — one shuffle on int keys
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min over neighbors' labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("l").alias("nl"))
+        )
+        stepped = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least("l", F.coalesce("nl", "l")).alias("l"))
+        )
+        # pointer jump: l(u) <- l(l(u))
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("u").alias("l"), F.col("l").alias("ll")
+                ).alias("b"),
+                "l",
+                "left",
+            )
+            .select("u", F.least("l", F.coalesce("ll", "l")).alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("l", "old"), "u")
+            .where(F.col("l") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    verified_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-level near-dedup: drop every doc whose component
+    representative (min id) is another doc. Input pairs should already be
+    verified (e.g. ``ngram_jaccard_pairs(...) >= t`` on LSH candidates).
+    The drop set is tiny relative to the corpus, so it broadcasts and the
+    corpus scan is filter-only — no corpus-side shuffle at 100 TB."""
+    cc = connected_components(verified_pairs)
+    drop = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

@@ -720,6 +720,21 @@ def sheet_workload_rows() -> list[tuple[str, str, str]]:
     return rows
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (pretraining batch construction): docs
+    hashed to shards, ordered by id within shard, greedily packed into
+    256-whitespace-token bins (close the bin when the next doc would
+    overflow; over-budget docs get their own bin). The Spark side
+    (`functions/corpus.py:pack_sequences`) computes token counts JVM-side
+    and shuffles ONLY (id, shard, n_tokens) int triples into the per-shard
+    ``applyInPandas`` scan — the sequential-greedy part — while the oracle
+    replays the same scan with a recursive CTE."""
+    from tsatool_app_spark.functions.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_shards=8).orderBy("doc_id")
+
+
 def q_sheet_workload(spark, sf_dir):
     """The engine's headline workload: a 10-condition sheet (23 block
     evals, AND/OR/NOT, one secondary chain) executed end-to-end through the
@@ -753,6 +768,40 @@ def q_minhash_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
     return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
+
+
+def q_dedup_components(spark, sf_dir):
+    """Cluster-level near-dedup: LSH candidates → exact-Jaccard verify →
+    connected components over the verified-pair graph → ``(doc_id,
+    component)`` with component = min doc id of the duplicate cluster.
+
+    The step every pairwise dedup needs before it can DROP anything: a
+    cluster of d near-identical docs surfaces as up to d(d−1)/2 pairs and
+    "keep one per cluster" is the transitive closure. Spark side is
+    pointer-jumping min-label propagation (O(log n) rounds of int-pair
+    hash joins — `functions/dedup.py:connected_components`); the oracle
+    computes the same closure with a recursive CTE over the exact
+    all-pairs edge set. Hash-equality holds for the same reason
+    minhash_pairs is oracle-checkable: at 64 hashes / 8 bands the corpus's
+    true near-dup pairs (J ≥ 0.97) are found with ~1−5·10⁻⁶ probability,
+    so the verified edge set equals the exact one."""
+    from tsatool_app_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    verified = (
+        ngram_jaccard_pairs(docs, cands)
+        .where(F.col("jaccard") >= 0.85)
+        .select("id_a", "id_b")
+    )
+    return (
+        connected_components(verified)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -1105,6 +1154,51 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""",
+    "dedup_components": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+),
+sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM reach GROUP BY node ORDER BY doc_id""",
+    "pack_sequences": """
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         n_tokens AS fill, CAST(0 AS BIGINT) AS bin_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+              ELSE p.fill + t.n_tokens END,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN p.bin_id + 1
+              ELSE p.bin_id END
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, bin_id
+FROM p ORDER BY doc_id""",
     "ann_topk_exact": """
 WITH q AS (
   SELECT embedding AS qe FROM embeddings
@@ -1366,6 +1460,10 @@ QUERIES: dict[str, DriverQuery] = {
     "decontaminate": DriverQuery(q_decontaminate, ORACLES["decontaminate"]),
     "sheet_workload": DriverQuery(q_sheet_workload, _sheet_workload_sql()),
     "minhash_pairs": DriverQuery(q_minhash_pairs, ORACLES["minhash_pairs"]),
+    "dedup_components": DriverQuery(
+        q_dedup_components, ORACLES["dedup_components"]
+    ),
+    "pack_sequences": DriverQuery(q_pack_sequences, ORACLES["pack_sequences"]),
     "embedding_near_dups": DriverQuery(
         q_embedding_near_dups, ORACLES["embedding_near_dups"]
     ),
