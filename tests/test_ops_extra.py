@@ -1,0 +1,157 @@
+"""Unit tests for the round-3 extension operators: semi-structured JSON
+extraction, line-level quality filtering, keyword/BM25 search, rolling
+window features, discrete percentiles, and ROLLUP subtotals.
+
+Each operator also has a driver-board entry (plans/driver_queries.py) whose
+DuckDB oracle is the cross-engine check; these tests pin the semantics on
+constructed micro-fixtures where the expected values are hand-computable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_extract_json_fields_typed(spark):
+    from tsatool_app_spark.functions.semistructured import (
+        extract_json_fields,
+        json_field,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'), (2, '{"k": -3}'), (3, "not json")],
+        "id long, props string",
+    )
+    out = extract_json_fields(df, "props", {"k": "long", "tag": "string"})
+    rows = {r.id: (r.k, r.tag) for r in out.collect()}
+    assert rows[1] == (7, "x")
+    assert rows[2] == (-3, None)
+    assert rows[3] == (None, None)  # unparseable -> typed NULLs, no error
+
+    one = df.select("id", json_field(F.col("props"), "k", "long").alias("k"))
+    assert {r.id: r.k for r in one.collect()} == {1: 7, 2: -3, 3: None}
+
+
+def test_line_quality_filter_rules(spark):
+    from tsatool_app_spark.functions.corpus import line_quality_filter
+
+    # 16 words -> two 8-word lines: first contains 'the' (kept), second has
+    # no stopword (dropped).
+    text = "the b c d e f g h " + "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "a b c")],  # 3: one 3-word line -> too short
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_quality_filter(docs).collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (2, 1)
+    assert out[1].kept_text == "the b c d e f g h"
+    assert (out[2].n_lines, out[2].n_kept, out[2].kept_text) == (1, 0, "")
+    assert (out[3].n_lines, out[3].n_kept) == (1, 0)
+
+
+def test_keyword_search_ranking(spark):
+    from tsatool_app_spark.functions.search import keyword_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark window"),  # score 3, 2 terms
+            (2, "spark hash window"),  # score 3, 3 terms
+            (3, "spark"),  # score 1
+            (4, "nothing relevant"),  # no hit -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = keyword_search(docs, ["spark", "window", "hash"], k=10).collect()
+    assert [r.doc_id for r in rows] == [2, 1, 3]  # n_terms breaks the tie
+    assert [r.score for r in rows] == [3, 3, 1]
+
+
+def test_bm25_matches_hand_computation(spark):
+    from tsatool_app_spark.functions.search import bm25_topk
+
+    corpus = [
+        (1, "spark spark spark filler filler"),
+        (2, "spark window filler filler filler"),
+        (3, "window window filler filler filler"),
+        (4, "filler filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["spark", "window"]).collect()}
+
+    # independent reference computation
+    k1, b = 1.2, 0.75
+    n_docs, avgdl = 4.0, 5.0
+    tfs = {1: {"spark": 3}, 2: {"spark": 1, "window": 1}, 3: {"window": 2}}
+    dfs = {"spark": 2, "window": 2}
+    for doc_id, terms in tfs.items():
+        dl = 5.0
+        want = sum(
+            math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * dl / avgdl))
+            for t, tf in terms.items()
+        )
+        assert math.isclose(got[doc_id], want, rel_tol=1e-12), doc_id
+    assert 4 not in got
+    # saturation: doc 2's two distinct tf=1 terms (2·f(1)) outrank doc 1's
+    # single tf=3 term (f(3) saturates at k1+1).
+    order = sorted(got, key=lambda d: -got[d])
+    assert order[0] == 2 and set(order) == {1, 2, 3}
+
+
+def test_rolling_features_frame(spark):
+    from tsatool_app_spark.operators.timeseries import rolling_features
+
+    rows = [(1, f"2024-01-01 00:0{i}:00", i, float(i)) for i in range(7)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.event_id: r
+        for r in rolling_features(
+            ev,
+            key_cols=("user_id",),
+            time_col="ts",
+            value_col="value",
+            order_tiebreak=("event_id",),
+            window_rows=3,
+        ).collect()
+    }
+    assert (out[0].roll_sum, out[0].roll_n, out[0].roll_max) == (0.0, 1, 0.0)
+    assert (out[2].roll_sum, out[2].roll_n, out[2].roll_max) == (3.0, 3, 2.0)
+    # frame slides: rows 4,5,6 -> sum 15, max 6
+    assert (out[6].roll_sum, out[6].roll_n, out[6].roll_max) == (15.0, 3, 6.0)
+
+
+def test_percentile_disc_selection(spark):
+    from tsatool_app_spark.operators.olap import percentile_disc_by_group
+
+    ev = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])],
+        "g string, event_id long, value double",
+    )
+    row = percentile_disc_by_group(
+        ev, "g", "value", [0.5, 0.9], tiebreak_cols=("event_id",)
+    ).collect()[0]
+    # n=10: p50 -> rank ceil(5)=5 -> 50; p90 -> rank 9 -> 90
+    assert (row.p50, row.p90) == (50.0, 90.0)
+
+
+def test_rollup_totals_subtotals(spark):
+    from tsatool_app_spark.operators.olap import ALL, rollup_totals
+
+    df = spark.createDataFrame(
+        [("r1", "s1", 1.0), ("r1", "s2", 2.0), ("r2", "s1", 4.0)],
+        "rf string, ls string, qty double",
+    )
+    out = {
+        (r.rf, r.ls): (r.n_rows, r.sum_qty)
+        for r in rollup_totals(df, ["rf", "ls"], {"qty": "qty"}).collect()
+    }
+    assert out[("r1", "s1")] == (1, 1.0)
+    assert out[("r1", ALL)] == (2, 3.0)
+    assert out[("r2", ALL)] == (1, 4.0)
+    assert out[(ALL, ALL)] == (3, 7.0)
+    assert len(out) == 6  # 3 leaves + 2 rf subtotals + grand total

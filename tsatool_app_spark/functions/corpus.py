@@ -290,6 +290,54 @@ def top_terms(
     )
 
 
+def line_quality_filter(
+    docs: DataFrame,
+    *,
+    min_words: int = 5,
+    stopwords: tuple[str, ...] = ("the", "a"),
+    line_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level quality filtering: segment each document into
+    lines, keep only lines that (a) have at least ``min_words`` words and
+    (b) contain at least one stopword (the classic natural-language signal
+    — C4 uses terminal punctuation; this corpus has none, so the stopword
+    rule plays that role), and re-join the survivors.
+
+    Documents without newlines are segmented into fixed ``line_tokens``-word
+    windows first — the deterministic stand-in for natural line breaks,
+    same planting philosophy as redact_pii's synthetic PII.
+
+    Output per document: (id, n_lines, n_kept, kept_text). All counts are
+    integers and the text reassembly is order-preserving concatenation, so
+    the operator is engine-exact.
+
+    Plan: pure per-row array expressions (split → transform/slice →
+    filter → array_join) — zero shuffle, whole-stage codegen, scan-speed at
+    any corpus size. The quality rules are Column predicates evaluated
+    inside the row; nothing explodes.
+    """
+    toks = _tokens(F.col(text_col))
+    lines = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_tokens)),
+        lambda i: F.slice(toks, i, line_tokens),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(l) >= min_words) & F.arrays_overlap(l, stop_arr),
+    )
+    return docs.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda l: F.array_join(l, " ")), "\n"
+        ).alias("kept_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -1,0 +1,95 @@
+"""OLAP aggregation operators beyond the reference's surface: grouping-set
+rollups and order statistics.
+
+The reference app has no grouping sets / cube / percentile queries
+(SURVEY.md §2.4: plain GROUP BY only); these extend the rebuild's analytics
+surface the way a warehouse user would expect, with the same cross-engine
+determinism rules as the rest of the registry:
+
+- monetary / measure sums go through DECIMAL (order-independent, exact),
+  final scalars cast to DOUBLE;
+- rollup'd key columns are COALESCEd to an explicit sentinel so the
+  subtotal rows compare hash-equal across engines (NULL-vs-NULL ordering
+  quirks never enter the picture);
+- percentiles are DISCRETE (a selection, not an interpolation): the value
+  at row ``ceil(p * n)`` in (value, tiebreak) order. No arithmetic is
+  performed on the selected value, so the result is bit-identical in any
+  engine — interpolated quantiles would differ in the last ulp.
+
+Scale notes: both operators are single-exchange hash aggregates. ROLLUP in
+Spark expands to a grouping-set aggregate with partial (map-side)
+aggregation per grouping set — the shuffle carries one row per (set, key)
+per partition. The percentile window partitions on the group key; state is
+one sorted run per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Sentinel for rolled-up (subtotal) key levels in rollup output.
+ALL = "<ALL>"
+
+
+def rollup_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP: one row per prefix of
+    ``group_cols`` (plus the grand total), with exact DECIMAL sums of each
+    measure column emitted as DOUBLE ``sum_<name>`` plus a row count.
+
+    ``measures`` maps output suffix -> source column. Rolled-up key levels
+    are rendered as the ``ALL`` sentinel (see module docstring).
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(F.col(src).cast("decimal(20,6)"))
+        .cast("double")
+        .alias(f"sum_{name}")
+        for name, src in measures.items()
+    ]
+    rolled = df.rollup(*group_cols).agg(*aggs)
+    return rolled.select(
+        *[F.coalesce(F.col(c), F.lit(ALL)).alias(c) for c in group_cols],
+        "n_rows",
+        *[f"sum_{name}" for name in measures],
+    )
+
+
+def percentile_disc_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: list[float],
+    *,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Discrete percentiles per group: for each p, the value at rank
+    ``ceil(p * n)`` in ascending (value, tiebreak) order — the SQL-standard
+    PERCENTILE_DISC, computed as a selection so it is engine-exact.
+
+    Plan: one window (rank + group size share the same sort), then a
+    conditional-aggregation pivot to one row per group. Single shuffle on
+    the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = df.select(
+        group_col,
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")).cast("long"),
+                F.col(value_col),
+            )
+        ).alias(f"p{int(round(p * 100)):02d}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(group_col).agg(*aggs)

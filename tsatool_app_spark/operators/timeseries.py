@@ -55,6 +55,51 @@ def time_bucket_rollup(
     )
 
 
+def rolling_features(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+    order_tiebreak: tuple[str, ...] = (),
+    window_rows: int = 5,
+) -> DataFrame:
+    """Trailing-window features per key: sum/count/max of ``value_col`` over
+    the last ``window_rows`` rows (current row inclusive), ordered by
+    (time, tiebreak) — the standard feature-engineering shape for both
+    sensor smoothing and per-user behavioural features.
+
+    Scale/determinism design:
+
+    - ONE shuffle (the window partition on ``key_cols``); the ROWS frame is
+      computed in a single sorted pass per key, state bounded by
+      ``window_rows``.
+    - The rolling sum casts to DECIMAL(20,6) BEFORE summing, so the result
+      is independent of intra-frame addition order (float summation order
+      differs between engines and even between AQE plans); the final value
+      is cast back to DOUBLE, which is exact for the decimal's range.
+    - ``order_tiebreak`` columns make frames deterministic under equal
+      timestamps (required for cross-engine hash equality).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(time_col), *[F.col(c) for c in order_tiebreak])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return events.select(
+        *key_cols,
+        time_col,
+        *order_tiebreak,
+        F.col(value_col),
+        F.sum(F.col(value_col).cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -889,6 +889,90 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(corpus, q, k=10).select("vec_id").orderBy("vec_id")
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction (functions/semistructured.py): parse the
+    events JSON properties bag once with an explicit schema (from_json fast
+    path), then aggregate the typed field — the jsonb-metadata capability
+    the reference reserves but never exercises (SURVEY §1.1)."""
+    from tsatool_app_spark.functions.semistructured import extract_json_fields
+
+    ev = extract_json_fields(
+        load_table(spark, sf_dir, "events"), "props", {"k": "long"}
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_line_filter(spark, sf_dir):
+    """C4-style line-level quality filtering (functions/corpus.py):
+    fixed-window line segmentation + min-words/stopword keep rules,
+    re-joined text. Zero-shuffle per-row array plan."""
+    from tsatool_app_spark.functions.corpus import line_quality_filter
+
+    return line_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_keyword_search(spark, sf_dir):
+    """Bag-of-terms retrieval (functions/search.py): integer tf ranking so
+    the top-k is engine-exact; the float BM25 twin is pytest-verified
+    (tests/test_ops_extra.py) per the ANN-variant evidence policy."""
+    from tsatool_app_spark.functions.search import keyword_search
+
+    return keyword_search(
+        load_table(spark, sf_dir, "documents"), ["spark", "window", "hash"], k=20
+    )
+
+
+def q_rolling_features(spark, sf_dir):
+    """Trailing-window features per user (operators/timeseries.py):
+    5-row rolling sum/count/max over the event stream; decimal-exact sum."""
+    from tsatool_app_spark.operators.timeseries import rolling_features
+
+    return rolling_features(
+        load_table(spark, sf_dir, "events"),
+        key_cols=("user_id",),
+        time_col="ts",
+        value_col="value",
+        order_tiebreak=("event_id",),
+        window_rows=5,
+    )
+
+
+def q_percentile_disc(spark, sf_dir):
+    """Discrete percentiles per event type (operators/olap.py): value at
+    rank ceil(p·n) — a selection, not an interpolation, hence hash-exact."""
+    from tsatool_app_spark.operators.olap import percentile_disc_by_group
+
+    return percentile_disc_by_group(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        [0.5, 0.9, 0.99],
+        tiebreak_cols=("event_id",),
+    ).orderBy("event_type")
+
+
+def q_sales_rollup(spark, sf_dir):
+    """Grouping-set subtotals (operators/olap.py): ROLLUP over
+    (returnflag, linestatus) with decimal-exact measure sums; rolled-up
+    levels rendered as the '<ALL>' sentinel on both engines."""
+    from tsatool_app_spark.operators.olap import rollup_totals
+
+    return rollup_totals(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty": "l_quantity", "price": "l_extendedprice"},
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1399,6 +1483,82 @@ topk AS (
   LIMIT 10
 )
 SELECT vec_id FROM topk ORDER BY vec_id""",
+    "json_props": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "line_filter": """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+seg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t), 1) + 1, 8),
+                        i -> list_slice(t, i, i + 7)) AS lines
+  FROM base
+),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+                     l -> len(l) >= 5 AND len(list_intersect(l, ['the', 'a'])) > 0)
+           AS keep
+  FROM seg
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(keep) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(list_transform(keep, l -> array_to_string(l, ' ')),
+                                chr(10)), '') AS kept_text
+FROM kept""",
+    "keyword_search": """
+WITH hits AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS score,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+  FROM hits WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id
+)
+SELECT doc_id, score, n_terms FROM scored
+ORDER BY score DESC, n_terms DESC, doc_id
+LIMIT 20""",
+    "rolling_features": """
+SELECT user_id, ts, event_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(20,6)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_max
+FROM events""",
+    "percentile_disc": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM r GROUP BY event_type ORDER BY event_type""",
+    "sales_rollup": """
+SELECT COALESCE(l_returnflag, '<ALL>') AS l_returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus""",
 }
 
 
@@ -1469,6 +1629,12 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "lsh_ann": DriverQuery(q_lsh_ann, ORACLES["lsh_ann"]),
     "ivf_ann": DriverQuery(q_ivf_ann, ORACLES["ivf_ann"]),
+    "json_props": DriverQuery(q_json_props, ORACLES["json_props"]),
+    "line_filter": DriverQuery(q_line_filter, ORACLES["line_filter"]),
+    "keyword_search": DriverQuery(q_keyword_search, ORACLES["keyword_search"]),
+    "rolling_features": DriverQuery(q_rolling_features, ORACLES["rolling_features"]),
+    "percentile_disc": DriverQuery(q_percentile_disc, ORACLES["percentile_disc"]),
+    "sales_rollup": DriverQuery(q_sales_rollup, ORACLES["sales_rollup"]),
 }
 
 
