@@ -56,9 +56,75 @@ def test_media_metadata_prunes_bytes(spark, media_df):
     assert rows[1].kind == "image" and rows[1].n_bytes == len(pack_fake_image(8, 4))
 
 
-def test_video_sampling_contract(spark, media_df):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media_df, 5)
+def test_video_sampling_real_fanout(spark):
+    """The 1→N frame fan-out runs for real on the TSTV container: every
+    ``every_nth`` frame comes back with exact pixel bytes."""
+    from tsatool_app_spark.functions.multimodal import pack_fake_video
+
+    buf = pack_fake_video(4, 3, 10)
+    df = spark.createDataFrame(
+        [(1, buf, ("video", "tstv", 4, 3, None))], MEDIA_SCHEMA
+    )
+    rows = sorted(
+        sample_video_frames(df, 3).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    for r in rows:
+        want = bytes(((x + y + r.frame_idx) % 251) for y in range(3) for x in range(4))
+        assert bytes(r.frame_bytes) == want
+
+
+def test_video_sampling_unknown_codec_raises(spark, media_df):
+    # media_df holds fake images (TSTM), not videos: the worker must refuse
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        sample_video_frames(media_df, 5).collect()
+
+
+def test_wav_roundtrip_and_audio_decode(spark):
+    """wav_codec round-trip plus the distributed audio kernel on real
+    PCM-16 WAV bytes produced by the repo's own encoder."""
+    import numpy as np
+
+    from tsatool_app_spark.functions.multimodal import decode_audio_batch
+    from tsatool_app_spark.wav_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-(2**15), 2**15, size=200, dtype=np.int16)
+    stereo = rng.integers(-(2**15), 2**15, size=(150, 2), dtype=np.int16)
+
+    rate, got = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(got[:, 0], mono)
+    rate, got = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and np.array_equal(got, stereo)
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_wav(mono, 16000), ("audio", "wav", None, None, None)),
+            (2, encode_wav(stereo, 44100), ("audio", "wav", None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in decode_audio_batch(df).collect()}
+    a = np.abs(mono.astype("int32"))
+    assert (out[1].sample_rate, out[1].channels, out[1].n_frames) == (16000, 1, 200)
+    assert out[1].peak_amp == int(a.max())
+    assert out[1].mean_abs == f"{float(a.mean()):.6f}"
+    assert (out[2].sample_rate, out[2].channels, out[2].n_frames) == (44100, 2, 150)
+
+
+def test_wav_rejects_non_pcm():
+    import numpy as np
+    import pytest as _pytest
+
+    from tsatool_app_spark.wav_codec import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    # corrupt the fmt tag to float (3): must refuse, not mis-decode
+    buf = bytearray(encode_wav(np.zeros(4, dtype=np.int16), 8000))
+    buf[20] = 3
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(buf))
 
 
 # ---------------------------------------------------------------------------

@@ -3,12 +3,13 @@
 Large-scale training pipelines carry media as opaque ``binary`` columns with
 typed metadata; the Spark-side concerns — schema, batch shape, partition
 sizing, Arrow transfer — are real and tested here. PNG decode/resize are
-REAL (sinks_png.decode_png/encode_png — pure zlib + numpy, no image
-libraries needed). Codecs that require native libraries absent from this
-container (JPEG, audio resample, video frame extraction) fall back to PIL
-when importable and otherwise raise NotImplementedError; a deterministic
-fake (``fake_decoder=True``, 16-byte test header) keeps the distributed
-plumbing testable independently of any codec.
+REAL (sinks_png.decode_png/encode_png — pure zlib + numpy) and so is PCM
+WAV audio decode (wav_codec — stdlib struct); video frame sampling runs
+its real 1→N fan-out on the TSTV test container. Codecs that require
+native libraries absent from this container (JPEG, mp3/flac, mp4/h264)
+fall back to PIL when importable and otherwise raise NotImplementedError;
+a deterministic fake (``fake_decoder=True``, 16-byte test header) keeps
+the distributed plumbing testable independently of any codec.
 
 Design rules for 100 TB of media:
 
@@ -249,18 +250,130 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio_batch(
+    media: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode audio bytes → (media_id, sample_rate, channels, n_frames,
+    peak_amp, mean_abs) — the audio twin of decode_image_batch.
+
+    PCM-16 WAV is decoded NATIVELY (wav_codec — stdlib struct, no audio
+    libraries), so this path is real, not import-gated; compressed formats
+    (mp3/flac/ogg) would need native codecs absent from this container and
+    raise NotImplementedError inside the worker. Same shuffle discipline:
+    bytes consumed in the worker, only typed features leave it.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("channels", IntegerType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("peak_amp", IntegerType(), True),
+            StructField("mean_abs", StringType(), True),  # str(float) — stable
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        from tsatool_app_spark.wav_codec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rate, samples = decode_wav(bytes(buf))
+                absd = _np.abs(samples.astype("int32"))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        samples.shape[1],
+                        samples.shape[0],
+                        int(absd.max(initial=0)),
+                        f"{float(absd.mean()) if absd.size else 0.0:.6f}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "peak_amp",
+                    "mean_abs",
+                ],
+            )
+
+    return media.select(id_col, content_col).mapInPandas(decode, out_schema)
+
+
+#: Fake video container for the frame-sampling contract: magic 'TSTV' +
+#: u32 width + u32 height + u32 n_frames, then n_frames grey frames of
+#: width*height bytes each.
+_FAKE_VIDEO_MAGIC = b"TSTV"
+
+
+def pack_fake_video(width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic fake video bytes: frame f's pixel (x, y) is
+    ``(x + y + f) % 251`` so samplers can assert exact frame content."""
+    import struct as _struct
+
+    frames = b"".join(
+        bytes(((x + y + f) % 251) for y in range(height) for x in range(width))
+        for f in range(n_frames)
+    )
+    return _struct.pack(">4sIII", _FAKE_VIDEO_MAGIC, width, height, n_frames) + frames
+
+
 def sample_video_frames(
     media: DataFrame,
     every_nth: int,
     *,
+    content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Frame-sampling STUB: real implementation needs ffmpeg/pyav (absent).
+    """Frame sampling: one input row per video → one output row per sampled
+    frame (media_id, frame_idx, frame_bytes) — the 1→N mapInPandas fan-out
+    every video pipeline needs.
 
-    The Spark contract is pinned anyway: input one row per video, output one
-    row per sampled frame (media_id, frame_idx, frame_bytes) via mapInPandas
-    fan-out — the 1→N row shape is what matters for planning."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg/pyav (absent in this container); "
-        "contract: mapInPandas fan-out to (media_id, frame_idx, frame_bytes)"
+    The fan-out, schema, and byte handling are REAL and run on the TSTV
+    fake container (pack_fake_video); real codecs (mp4/h264) need
+    ffmpeg/pyav, absent from this container, and raise NotImplementedError
+    inside the worker. Frame bytes stay within the worker's output batch —
+    downstream shuffles should drop them first (module design rules).
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("frame_idx", IntegerType(), True),
+            StructField("frame_bytes", BinaryType(), True),
+        ]
     )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(buf)
+                if buf[:4] != _FAKE_VIDEO_MAGIC:
+                    raise NotImplementedError(
+                        "real video codecs require ffmpeg/pyav (absent in "
+                        "this container); only the TSTV test container is "
+                        "decoded natively"
+                    )
+                _, w, h, n = _struct.unpack_from(">4sIII", buf, 0)
+                fsize = w * h
+                for f in range(0, n, every_nth):
+                    start = 16 + f * fsize
+                    rows.append((mid, f, buf[start : start + fsize]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "frame_bytes"]
+            )
+
+    return media.select(id_col, content_col).mapInPandas(sample, out_schema)
