@@ -116,6 +116,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle's naive timestamps; nanosAsLong is required to read events.ts
     # (Parquet TIMESTAMP(NANOS)) at all.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (events.ts, orders/
+    # lineitem dates) must arrive as TIMESTAMP_LTZ, not TIMESTAMP_NTZ: the
+    # range/interval operators do second-arithmetic via cast(long), which is
+    # undefined on NTZ. With the UTC session TZ this is value-identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -67,6 +67,13 @@ def get_spark(
         # Spark's reader rejects; read as long nanos and convert in the loader
         # (model.load_table) with exact integer division.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps are TIMESTAMP(MICROS, isAdjustedToUTC=
+        # false); Spark 4 would infer TIMESTAMP_NTZ, which cannot be cast to
+        # numeric (the ranges/combine operators do second-arithmetic via
+        # cast(long)). Read them as TIMESTAMP_LTZ instead — with the session
+        # TZ pinned to UTC above, the wall-clock values stay bit-identical to
+        # DuckDB's naive timestamps, so oracle hashes are unaffected.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
