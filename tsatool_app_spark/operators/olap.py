@@ -93,3 +93,76 @@ def percentile_disc_by_group(
         for p in percentiles
     ]
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def cube_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """All-subset subtotals via CUBE: one row per subset of ``group_cols``
+    (2^n grouping sets), same measure/sentinel rules as rollup_totals.
+
+    Spark expands CUBE into a single grouping-set hash aggregate with
+    map-side partials — one shuffle carrying one row per (set, key) per
+    input partition, NOT 2^n scans; the oracle spells the same thing as
+    GROUPING SETS.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
+        F.sum(F.col(src).cast("decimal(20,6)"))
+        .cast("double")
+        .alias(f"sum_{name}")
+        for name, src in measures.items()
+    ]
+    cubed = df.cube(*group_cols).agg(*aggs)
+    return cubed.select(
+        *[F.coalesce(F.col(c), F.lit(ALL)).alias(c) for c in group_cols],
+        "n_rows",
+        *[f"sum_{name}" for name in measures],
+    )
+
+
+def pivot_table(
+    df: DataFrame,
+    row_key: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    measure: str,
+) -> DataFrame:
+    """Wide pivot: one row per ``row_key``, one ``sum_<value>`` column per
+    (explicitly listed) pivot value, exact DECIMAL sums emitted as DOUBLE.
+
+    The pivot value list is explicit, so the plan is ONE hash aggregate
+    with conditional sums — no extra distinct-values pass, no second
+    shuffle (df.pivot without values would scan twice). The oracle writes
+    the same conditional aggregation with FILTER clauses.
+    """
+    aggs = [
+        F.sum(
+            F.when(F.col(pivot_col) == v, F.col(measure).cast("decimal(20,6)"))
+        )
+        .cast("double")
+        .alias(f"sum_{v}")
+        for v in pivot_values
+    ]
+    return df.groupBy(row_key).agg(*aggs)
+
+
+def ntile_buckets(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    *,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """NTILE(n) over a TOTAL order (callers must include a unique tiebreak
+    in ``order_cols`` — with one, bucket assignment is engine-exact).
+
+    The window is unpartitioned; NTILE needs only rank + total count, but
+    Spark evaluates it on a single partition — fine for the ranked-output
+    edge this serves (bounded result), wrong for full-table bucketing at
+    scale. For that, compute ceil(rank * n / cnt) from a rank window over a
+    partitioned pre-sort instead.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(bucket_name, F.ntile(n).over(w))

@@ -973,6 +973,181 @@ def q_sales_rollup(spark, sf_dir):
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+#: Pivot columns for q_pivot_event_values — explicit so the plan is a single
+#: conditional aggregate (no distinct-values pre-pass) on both engines.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _synthetic_changes(spark, sf_dir):
+    """Deterministic CDC change stream derived from orders: op/seq/new-image
+    columns for apply_changes; mirrored verbatim by the oracle's CTE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cust_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE / SCD1 apply-changes (operators/cdc.py): terminal change per
+    key wins, 'D' deletes, unmatched changes insert. seq = o_orderkey is
+    unique, so the terminal pick needs no tiebreak."""
+    from tsatool_app_spark.operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "customer")
+    return apply_changes(
+        base, _synthetic_changes(spark, sf_dir), "c_custkey", "seq"
+    ).orderBy("c_custkey")
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals (operators/cdc.py) from the purchase change
+    stream: valid_from/valid_to via lead over (user, ts, event_id)."""
+    from tsatool_app_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return scd2_history(ev, "user_id", "ts", ["event_id", "value"])
+
+
+def q_pivot_event_values(spark, sf_dir):
+    """Wide pivot (operators/olap.py): per-user sum(value) column per event
+    type, explicit value list, one conditional-sum aggregate."""
+    from tsatool_app_spark.operators.olap import pivot_table
+
+    return pivot_table(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        _EVENT_TYPES,
+        "value",
+    ).orderBy("user_id")
+
+
+def q_cube_sales(spark, sf_dir):
+    """CUBE subtotals (operators/olap.py): all subsets of
+    (o_orderpriority, year) in ONE grouping-set aggregate."""
+    from tsatool_app_spark.operators.olap import cube_totals
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("string")
+    )
+    return cube_totals(
+        o, ["o_orderpriority", "o_year"], {"price": "o_totalprice"}
+    ).orderBy("o_orderpriority", "o_year")
+
+
+def q_order_priority_check(spark, sf_dir):
+    """EXISTS-style left-semi join (TPC-H Q4 shape): orders with at least
+    one line shipped after the order date, counted by priority. The semi
+    join shuffles only (orderkey, dates) — never the wide lineitem row."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """Left-outer + double aggregate (TPC-H Q13 shape): distribution of
+    per-customer order counts including zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """Correlated-average join (TPC-H Q17 shape): revenue of Brand#1 lines
+    below 20% of their part's mean quantity. The per-part mean is an exact
+    decimal-sum/count (order-independent, hence engine-identical), and the
+    aggregated per-part side is tiny — AQE broadcasts it back onto the
+    lineitem scan, so the big table is never shuffled twice."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(per_part, l.l_partkey == per_part.a_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_table_profile(spark, sf_dir):
+    """Single-pass per-column profile (functions/profile.py) over orders."""
+    from tsatool_app_spark.functions.profile import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderpriority"],
+    ).orderBy("column")
+
+
+def q_histogram_prices(spark, sf_dir):
+    """Exact fixed-width histogram (functions/profile.py) of order totals."""
+    from tsatool_app_spark.functions.profile import fixed_width_histogram
+
+    return fixed_width_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 20
+    )
+
+
+def q_ntile_quality(spark, sf_dir):
+    """Curriculum-style decile bucketing (operators/olap.py): NTILE(10)
+    over the (already-oracle-green) quality score with doc_id tiebreak,
+    rolled up to per-bucket counts and score ranges."""
+    from tsatool_app_spark.functions.text import quality_score
+    from tsatool_app_spark.operators.olap import ntile_buckets
+
+    scored = quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return (
+        ntile_buckets(scored, ["quality", "doc_id"], 10)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_score"),
+            F.max("quality").alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1568,6 +1743,129 @@ class DriverQuery:
     oracle: str | None
 
 
+_CHANGES_CTE = """
+changes AS (
+  SELECT o_custkey AS c_custkey,
+         'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+         CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+         o_totalprice AS c_acctbal,
+         o_orderpriority AS c_mktsegment,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+)"""
+
+ORACLES["merge_upsert"] = f"""
+WITH {_CHANGES_CTE},
+latest AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1
+)
+SELECT COALESCE(l.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+       CASE WHEN l.c_custkey IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+WHERE NOT (l.c_custkey IS NOT NULL AND l.op = 'D')
+ORDER BY c_custkey"""
+
+ORACLES["scd2_history"] = """
+SELECT user_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       event_id, value
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+ORACLES["pivot_event_values"] = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (event_type = 'click') AS DOUBLE) AS sum_click,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (event_type = 'error') AS DOUBLE) AS sum_error,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS sum_purchase,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (event_type = 'signup') AS DOUBLE) AS sum_signup,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (event_type = 'view') AS DOUBLE) AS sum_view
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+ORACLES["cube_sales"] = """
+SELECT COALESCE(o_orderpriority, '<ALL>') AS o_orderpriority,
+       COALESCE(o_year, '<ALL>') AS o_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+             o_totalprice FROM orders)
+GROUP BY GROUPING SETS ((o_orderpriority, o_year), (o_orderpriority), (o_year), ())
+ORDER BY o_orderpriority, o_year"""
+
+ORACLES["order_priority_check"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+ORACLES["customer_distribution"] = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+ORACLES["small_qty_revenue"] = """
+WITH pp AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+JOIN pp ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty"""
+
+ORACLES["table_profile"] = """
+SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+       CAST(max(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY "column" """
+
+ORACLES["histogram_prices"] = """
+SELECT bucket,
+       CAST(0.0 + bucket * 25000.0 AS DOUBLE) AS lo_edge,
+       count(*) AS n
+FROM (
+  SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL
+) GROUP BY bucket ORDER BY bucket"""
+
+ORACLES["ntile_quality"] = f"""
+WITH qs AS ({ORACLES["quality_score"]})
+SELECT bucket, count(*) AS n_docs,
+       min(quality) AS min_score, max(quality) AS max_score
+FROM (
+  SELECT quality, ntile(10) OVER (ORDER BY quality, doc_id) AS bucket FROM qs
+) GROUP BY bucket ORDER BY bucket"""
+
+
 QUERIES: dict[str, DriverQuery] = {
     "pack_ranges": DriverQuery(q_pack_ranges, ORACLES["pack_ranges"]),
     "pack_ranges_in": DriverQuery(q_pack_ranges_in, ORACLES["pack_ranges_in"]),
@@ -1635,6 +1933,24 @@ QUERIES: dict[str, DriverQuery] = {
     "rolling_features": DriverQuery(q_rolling_features, ORACLES["rolling_features"]),
     "percentile_disc": DriverQuery(q_percentile_disc, ORACLES["percentile_disc"]),
     "sales_rollup": DriverQuery(q_sales_rollup, ORACLES["sales_rollup"]),
+    "merge_upsert": DriverQuery(q_merge_upsert, ORACLES["merge_upsert"]),
+    "scd2_history": DriverQuery(q_scd2_history, ORACLES["scd2_history"]),
+    "pivot_event_values": DriverQuery(
+        q_pivot_event_values, ORACLES["pivot_event_values"]
+    ),
+    "cube_sales": DriverQuery(q_cube_sales, ORACLES["cube_sales"]),
+    "order_priority_check": DriverQuery(
+        q_order_priority_check, ORACLES["order_priority_check"]
+    ),
+    "customer_distribution": DriverQuery(
+        q_customer_distribution, ORACLES["customer_distribution"]
+    ),
+    "small_qty_revenue": DriverQuery(
+        q_small_qty_revenue, ORACLES["small_qty_revenue"]
+    ),
+    "table_profile": DriverQuery(q_table_profile, ORACLES["table_profile"]),
+    "histogram_prices": DriverQuery(q_histogram_prices, ORACLES["histogram_prices"]),
+    "ntile_quality": DriverQuery(q_ntile_quality, ORACLES["ntile_quality"]),
 }
 
 
