@@ -160,3 +160,75 @@ def test_profile_single_pass_plan(spark):
     )
     plan = table_profile(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range") == 1  # the source is scanned exactly once
+
+
+def test_weighted_sample_rates(spark):
+    from tsatool_app_spark.functions.sampling import (
+        hash_bucket,
+        weighted_sample_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "id long, grp string",
+    )
+    out = weighted_sample_by_group(
+        df, "grp", {"a": 100, "b": 0}, "id", default_rate=0
+    )
+    got = {r.id for r in out.collect()}
+    assert got == {i for i in range(200) if i % 2 == 0}  # all of a, none of b
+
+    # default rate applies to unlisted groups and matches hash_bucket<rate
+    out2 = weighted_sample_by_group(df, "grp", {}, "id", default_rate=30)
+    expected = {
+        r.id
+        for r in df.select("id", hash_bucket(F.col("id")).alias("b")).collect()
+        if r.b < 30
+    }
+    assert {r.id for r in out2.collect()} == expected
+
+
+def test_rolling_time_window_peers(spark):
+    from tsatool_app_spark.operators.timeseries import rolling_time_window
+
+    rows = [
+        (1, 0, 1.0),
+        (1, 300, 2.0),
+        (1, 600, 4.0),     # window [0,600] includes all three
+        (1, 601, 8.0),     # [1,601] drops t=0
+        (1, 601, 16.0),    # equal-ts peer: both 601 rows see BOTH values
+        (2, 0, 100.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "statid long, t double, seval double"
+    ).select("statid", F.timestamp_seconds("t").alias("tfrom"), "seval")
+    out = rolling_time_window(df, 600, key_cols=("statid",))
+    got = {(r.statid, r.tfrom.timestamp(), r.seval): (r.win_sum, r.win_n)
+           for r in out.collect()}
+    assert got[(1, 0.0, 1.0)] == (1.0, 1)
+    assert got[(1, 600.0, 4.0)] == (7.0, 3)
+    assert got[(1, 601.0, 8.0)] == (30.0, 4)   # 2+4+8+16, peer included
+    assert got[(1, 601.0, 16.0)] == (30.0, 4)  # same frame for the peer
+    assert got[(2, 0.0, 100.0)] == (100.0, 1)
+
+
+def test_clean_corpus_composition(spark):
+    from tsatool_app_spark.functions.corpus import clean_corpus
+
+    good = ("the and for with that this from they have "
+            "word " * 9).strip()  # en markers, 50+ chars, sane ratios
+    docs = spark.createDataFrame(
+        [
+            (1, good + "."),          # survives
+            (2, good + "."),          # exact dup of 1 -> dropped
+            (3, "le la et les des en une il dans ce."),  # french -> dropped
+            (4, "x."),                # too short -> quality < 0.6
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(docs, lang="en", min_quality=0.6).collect()
+    assert [r.doc_id for r in out] == [1]
+    r = out[0]
+    assert r.lang_pred == "en" and r.quality >= 0.6
+    assert r.n_tokens_ws == good.count(" ") + 1
+    assert r.clean_text == good + "."  # nothing to redact

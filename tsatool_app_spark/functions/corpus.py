@@ -388,3 +388,44 @@ def pack_sequences(
     return counted.groupBy("shard").applyInPandas(
         pack, schema=f"{id_col} long, shard long, n_tokens long, bin_id long"
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.6,
+) -> DataFrame:
+    """The composed cleaning pass a training-data pipeline runs first:
+    language filter -> quality floor -> exact-dedup survivors -> PII
+    redaction -> token accounting. One function so the whole chain plans as
+    a single DAG (each stage is a Column expression or one aggregate; the
+    only shuffle is the dedup groupBy on the 16-byte md5).
+
+    Keeps a doc iff its predicted language is ``lang``, its quality score
+    is >= ``min_quality``, and it is the designated survivor (min doc_id)
+    of its exact-duplicate group. Returns (doc_id, lang_pred, quality,
+    n_tokens_ws, clean_text) with PII redacted from clean_text.
+    """
+    from tsatool_app_spark.functions.dedup import exact_dedup_groups
+    from tsatool_app_spark.functions.text import (
+        lang_id_heuristic,
+        quality_score,
+        text_stats,
+    )
+
+    survivors = exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    langs = lang_id_heuristic(docs)
+    quality = quality_score(docs)
+    stats = text_stats(docs)
+    redacted = redact_pii(docs)
+    return (
+        docs.select("doc_id")
+        .join(survivors, "doc_id", "left_semi")
+        .join(langs.where(F.col("lang_pred") == lang), "doc_id")
+        .join(quality.where(F.col("quality") >= min_quality), "doc_id")
+        .join(stats.select("doc_id", "n_tokens_ws"), "doc_id")
+        .join(redacted.select("doc_id", "clean_text"), "doc_id")
+    )

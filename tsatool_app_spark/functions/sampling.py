@@ -42,3 +42,30 @@ def train_holdout_split(
     membership survives reshuffles, re-ingests, and engine changes."""
     b = hash_bucket(F.col(key_col))
     return df.where(b >= holdout_pct), df.where(b < holdout_pct)
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, int],
+    key_col: str,
+    *,
+    default_rate: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-group deterministic sampling rates (corpus mixing: e.g. keep
+    100% of books, 30% of common-crawl): a row is kept iff
+    ``hash_bucket(key) < rates[group]`` (``default_rate`` for unlisted
+    groups). The CASE is a pure Column expression — a narrow filter at scan
+    speed, no shuffle, no RNG, stable across runs/engines/partitionings.
+
+    At training-mix scale this replaces the usual sample-then-union-N-sources
+    plan (N scans, N shuffles) with ONE scan of the unified corpus.
+    """
+    b = hash_bucket(F.col(key_col), buckets)
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        if not 0 <= r <= buckets:
+            raise ValueError(f"rate for {g!r} must be in [0, {buckets}]")
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    return df.where(b < rate)

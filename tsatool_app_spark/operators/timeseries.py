@@ -166,3 +166,43 @@ def asof_join(
             "asof_time",
         )
     return out
+
+
+def rolling_time_window(
+    events: DataFrame,
+    window_seconds: int,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+) -> DataFrame:
+    """Trailing TIME-interval features per key: sum/count over rows whose
+    timestamp falls in ``[t - window_seconds, t]`` — the RANGE-frame
+    counterpart of :func:`rolling_features` (ROWS frames count rows; real
+    sensor/behavioural features usually want wall-clock windows).
+
+    The frame is ordered by epoch seconds (a long), so the RANGE bound is
+    plain integer arithmetic in both engines and rows with EQUAL timestamps
+    are peers — included together regardless of tiebreak, which makes the
+    result deterministic without a unique ordering column (the aggregates
+    are frame-order-independent: decimal sum + count).
+
+    One shuffle (window partition on the key); per-key state is bounded by
+    the densest window_seconds span, independent of total history length.
+    """
+    epoch = F.col(time_col).cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return events.select(
+        *key_cols,
+        F.col(time_col),
+        F.col(value_col),
+        F.sum(F.col(value_col).cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("win_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    )

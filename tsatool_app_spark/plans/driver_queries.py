@@ -1148,6 +1148,42 @@ def q_ntile_quality(spark, sf_dir):
     )
 
 
+#: Per-source sampling rates for q_weighted_sample (corpus-mixing shape).
+_MIX_RATES = {"src0": 100, "src1": 50, "src2": 10}
+_MIX_DEFAULT = 20
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic per-source sampling rates (functions/sampling.py):
+    one scan, one CASE-over-md5 filter — the corpus-mixing primitive."""
+    from tsatool_app_spark.functions.sampling import weighted_sample_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_sample_by_group(
+        docs, "source", _MIX_RATES, "doc_id", default_rate=_MIX_DEFAULT
+    ).orderBy("doc_id")
+
+
+def q_rolling_time_window(spark, sf_dir):
+    """RANGE-frame trailing time window (operators/timeseries.py): 10-minute
+    wall-clock sum/count per station, epoch-ordered so equal-second rows are
+    peers (deterministic without a unique tiebreak)."""
+    from tsatool_app_spark.operators.timeseries import rolling_time_window
+
+    return rolling_time_window(_obs(spark, sf_dir), 600)
+
+
+def q_clean_corpus(spark, sf_dir):
+    """Composed cleaning pipeline (functions/corpus.py): lang filter +
+    quality floor + exact-dedup survivorship + redaction + token counts in
+    one DAG whose only shuffle is the dedup groupBy on md5."""
+    from tsatool_app_spark.functions.corpus import clean_corpus
+
+    return clean_corpus(
+        load_table(spark, sf_dir, "documents"), lang="en", min_quality=0.6
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1857,6 +1893,51 @@ FROM (
   FROM orders WHERE o_totalprice IS NOT NULL
 ) GROUP BY bucket ORDER BY bucket"""
 
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{g}' THEN {r}" for g, r in sorted(_MIX_RATES.items())
+) + f" ELSE {_MIX_DEFAULT} END"
+
+ORACLES["weighted_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+      < {_MIX_CASE}
+ORDER BY doc_id"""
+
+ORACLES["rolling_time_window"] = """
+SELECT user_id AS statid, ts AS tfrom, value AS seval,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS win_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)"""
+
+ORACLES["clean_corpus"] = rf"""
+WITH qs AS ({ORACLES["quality_score"]}),
+ls AS ({_lang_id_sql()}),
+surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+st AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens_ws
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                          '<EMAIL>', 'g'),
+           '\b[0-9]{{9,}}\b', '<NUM>', 'g') AS clean_text
+  FROM documents
+)
+SELECT d.doc_id, ls.lang_pred, qs.quality, st.n_tokens_ws, red.clean_text
+FROM documents d
+JOIN surv USING (doc_id)
+JOIN ls USING (doc_id)
+JOIN qs USING (doc_id)
+JOIN st USING (doc_id)
+JOIN red USING (doc_id)
+WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
+ORDER BY d.doc_id"""
+
 ORACLES["ntile_quality"] = f"""
 WITH qs AS ({ORACLES["quality_score"]})
 SELECT bucket, count(*) AS n_docs,
@@ -1951,6 +2032,11 @@ QUERIES: dict[str, DriverQuery] = {
     "table_profile": DriverQuery(q_table_profile, ORACLES["table_profile"]),
     "histogram_prices": DriverQuery(q_histogram_prices, ORACLES["histogram_prices"]),
     "ntile_quality": DriverQuery(q_ntile_quality, ORACLES["ntile_quality"]),
+    "weighted_sample": DriverQuery(q_weighted_sample, ORACLES["weighted_sample"]),
+    "rolling_time_window": DriverQuery(
+        q_rolling_time_window, ORACLES["rolling_time_window"]
+    ),
+    "clean_corpus": DriverQuery(q_clean_corpus, ORACLES["clean_corpus"]),
 }
 
 
