@@ -232,3 +232,61 @@ def test_clean_corpus_composition(spark):
     assert r.lang_pred == "en" and r.quality >= 0.6
     assert r.n_tokens_ws == good.count(" ") + 1
     assert r.clean_text == good + "."  # nothing to redact
+
+
+def test_incremental_merge_equals_full(spark):
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(20)] + [("b", 0.25), ("b", -3.5)],
+        "k string, v double",
+    )
+    # three arbitrary slices (uneven, interleaved) must fold to the full agg
+    s1 = partial_aggregate(df.where("v < 5"), ["k"], "v")
+    s2 = partial_aggregate(df.where("v >= 5 and v < 6"), ["k"], "v")
+    s3 = partial_aggregate(df.where("v >= 6"), ["k"], "v")
+    merged = finalize_aggregate(merge_partials(s1, s2, s3)).collect()
+    full = finalize_aggregate(partial_aggregate(df, ["k"], "v")).collect()
+    as_map = lambda rows: {r.k: (r.n, r.sum_val, r.min_val, r.max_val, r.avg_val)
+                           for r in rows}
+    assert as_map(merged) == as_map(full)
+    assert as_map(full)["b"] == (2, -3.25, -3.5, 0.25, -1.625)
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from tsatool_app_spark.operators.layout import zorder_key
+
+    def morton(x, y, bits=16):
+        cap = (1 << bits) - 1
+        x, y = min(max(x, 0), cap), min(max(y, 0), cap)
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (70000, -4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in out:
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_cluster_by_zorder_layout(spark):
+    from tsatool_app_spark.operators.layout import cluster_by_zorder
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("x"), (F.col("id") % 53).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    clustered = cluster_by_zorder(df, "x", "y", num_partitions=4)
+    # layout changes bytes, not rows
+    assert clustered.count() == 1000
+    assert "_z" not in clustered.columns
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()  # disjoint curve segments
+    assert "Sort" in plan                        # ordered within partitions

@@ -1184,6 +1184,44 @@ def q_clean_corpus(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance (operators/incremental.py): fold a
+    mid-month delta into a first-half snapshot and read the merged
+    aggregate — the oracle recomputes from scratch, proving the fold is
+    exact (decimal partials make it order-independent)."""
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_half = ev.where(F.dayofmonth("ts") < 15)
+    second_half = ev.where(F.dayofmonth("ts") >= 15)
+    snap = partial_aggregate(first_half, ["event_type"], "value")
+    delta = partial_aggregate(second_half, ["event_type"], "value")
+    return finalize_aggregate(merge_partials(snap, delta)).orderBy("event_type")
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order layout key (operators/layout.py): Morton interleave of
+    (user_id, floor(value)); the oracle's bit expression is generated from
+    the same Python loop. Top-100 edge keeps the result bounded."""
+    from tsatool_app_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            zorder_key(
+                F.col("user_id"), F.floor(F.col("value")).cast("long"), 10
+            ).alias("zkey"),
+        )
+        .orderBy(F.desc("zkey"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1938,6 +1976,28 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["incremental_rollup"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val,
+       min(value) AS min_val,
+       max(value) AS max_val,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_val
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def _zorder_oracle() -> str:
+    from tsatool_app_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("user_id", "CAST(floor(value) AS BIGINT)", 10)
+    return f"""
+SELECT event_id, {z} AS zkey
+FROM events
+ORDER BY zkey DESC, event_id DESC LIMIT 100"""
+
+
+ORACLES["zorder_key"] = _zorder_oracle()
+
 ORACLES["ntile_quality"] = f"""
 WITH qs AS ({ORACLES["quality_score"]})
 SELECT bucket, count(*) AS n_docs,
@@ -2037,6 +2097,10 @@ QUERIES: dict[str, DriverQuery] = {
         q_rolling_time_window, ORACLES["rolling_time_window"]
     ),
     "clean_corpus": DriverQuery(q_clean_corpus, ORACLES["clean_corpus"]),
+    "incremental_rollup": DriverQuery(
+        q_incremental_rollup, ORACLES["incremental_rollup"]
+    ),
+    "zorder_key": DriverQuery(q_zorder_key, ORACLES["zorder_key"]),
 }
 
 
