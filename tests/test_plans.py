@@ -188,3 +188,56 @@ def test_ivf_probe_prunes_buckets(spark, sf_dir, tmp_path):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx")
+
+
+def test_small_qty_revenue_broadcasts_dim(spark, sf_dir):
+    """Q17 shape: the filtered part dim AND the aggregated per-part means
+    must reach the lineitem scan as broadcasts (AQE turns the small agg
+    side into a broadcast at runtime) — the big table shuffles at most
+    once, for its own aggregation."""
+    from tsatool_app_spark.plans.driver_queries import q_small_qty_revenue
+
+    df = q_small_qty_revenue(spark, sf_dir)
+    df.collect()  # let AQE finalize the adaptive plan
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_priority_check_is_semi_join(spark, sf_dir):
+    """Q4 shape: EXISTS compiles to a LeftSemi join that never materializes
+    lineitem columns past the join."""
+    from tsatool_app_spark.plans.driver_queries import q_order_priority_check
+
+    plan = executed_plan(q_order_priority_check(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_reduce_then_join(spark, sf_dir):
+    """MERGE plan: one window reduce of the change stream + one equi-join
+    against the base — no nested loop, no repeated base scan."""
+    from tsatool_app_spark.plans.driver_queries import q_merge_upsert
+
+    plan = executed_plan(q_merge_upsert(spark, sf_dir))
+    assert plan.count("RunningWindowFunction") <= 1 or "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # base (customer) is scanned exactly once
+    assert plan.count("customer.parquet") <= 1
+
+
+def test_weighted_sample_filter_at_scan(spark, sf_dir):
+    """The corpus-mix filter is a narrow projection+filter: no exchange
+    anywhere in the plan."""
+    from tsatool_app_spark.plans.driver_queries import q_weighted_sample
+
+    from tsatool_app_spark.functions.sampling import weighted_sample_by_group
+    from tsatool_app_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    df = weighted_sample_by_group(docs, "source", {"src0": 100}, "doc_id", default_rate=20)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
