@@ -290,3 +290,47 @@ def test_cluster_by_zorder_layout(spark):
     plan = clustered._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()  # disjoint curve segments
     assert "Sort" in plan                        # ordered within partitions
+
+
+def test_funnel_strict_order(spark):
+    from tsatool_app_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1: a->b->c in order: reaches all 3
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # u2: b before a: reaches only step 1
+        (2, 10, "b"), (2, 20, "a"), (2, 30, "c"),  # c>a but b<a breaks chain
+        # u3: a only
+        (3, 10, "a"),
+        # u4: never did a: contributes nothing
+        (4, 10, "b"), (4, 20, "c"),
+        # u5: a then c (no b): steps 1 only
+        (5, 10, "a"), (5, 30, "c"),
+        # u6: simultaneous a and b (tie is NOT strictly later)
+        (6, 10, "a"), (6, 10, "b"), (6, 30, "c"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows], "user_id long, t double, event_type string"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    out = {r.step: r.n_entities for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out == {1: 5, 2: 1, 3: 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from tsatool_app_spark.operators.funnel import cohort_retention
+
+    day = 86400
+    rows = [
+        (1, 0), (1, day), (1, 2 * day),      # cohort day0, active d0,d1,d2
+        (2, 0), (2, 2 * day),                # cohort day0, active d0,d2
+        (3, day), (3, day + 100), (3, 2 * day),  # cohort day1 (dup same day), d1,d2
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t)) for u, t in rows], "user_id long, t double"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+    out = {(r.cohort_period, r.offset): r.n_active
+           for r in cohort_retention(df, day).collect()}
+    assert out == {
+        (0, 0): 2, (0, 1): 1, (0, 2): 2,
+        (day, 0): 1, (day, 1): 1,
+    }

@@ -1,0 +1,106 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The reference's domain is a timestamped event/observation stream per
+entity (station, sensor); the two questions every such stream eventually
+gets asked are "who progressed through these steps, in order?" (funnel)
+and "of the entities first seen in period X, how many were active in
+period X+k?" (retention). Both are single-aggregation plans:
+
+- :func:`funnel_counts`: one conditional-min aggregate per step over ONE
+  scan (no per-step self-joins — the textbook k-way join formulation is
+  O(k) scans and k shuffles; this is 1 and 1), then ordered-timestamp
+  comparisons. Per-entity state is k timestamps regardless of event
+  volume.
+- :func:`cohort_retention`: first-seen period per entity (one aggregate),
+  broadcast back onto the entity's active periods, grouped into the
+  (cohort, offset) matrix — two shuffles total, both on the entity key /
+  cohort key.
+
+Determinism: counts only — no float arithmetic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: for each prefix of ``steps``, the number of
+    entities whose FIRST occurrence of each step is strictly later than the
+    first occurrence of the previous step.
+
+    Returns (step, n_entities) with step index 1..len(steps), monotone
+    non-increasing counts.
+    """
+    firsts = events.where(F.col(type_col).isin(list(steps))).groupBy(entity_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(time_col))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached step i  <=>  t0 < t1 < ... < ti (all present, strictly ordered)
+    conds = []
+    prior = None
+    for i in range(len(steps)):
+        c = F.col(f"t{i}").isNotNull()
+        if prior is not None:
+            c = c & (F.col(f"t{i}") > F.col(f"t{i-1}")) & prior
+        conds.append(c)
+        prior = conds[-1]
+    counts = firsts.agg(
+        *[
+            F.count(F.when(conds[i], F.lit(1))).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("event_type"),
+                F.col(f"n{i}").cast("long").alias("n_entities"),
+            )
+            for i in range(len(steps))
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("s")).select("s.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_seconds: int,
+    *,
+    entity_col: str = "user_id",
+    time_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort × period-offset activity matrix in long form: entities are
+    cohorted by the period of their first event; for each later period
+    offset k, count how many of the cohort were active.
+
+    Returns (cohort_period, offset, n_active) where cohort_period is the
+    epoch-seconds start of the cohort's period.
+    """
+    period = (F.col(time_col).cast("long") / period_seconds).cast("long")
+    active = events.select(
+        F.col(entity_col).alias("e"), period.alias("p")
+    ).distinct()
+    first = active.groupBy("e").agg(F.min("p").alias("p0"))
+    joined = active.join(first, "e").select(
+        (F.col("p0") * period_seconds).alias("cohort_period"),
+        (F.col("p") - F.col("p0")).cast("long").alias("offset"),
+        "e",
+    )
+    if max_offset is not None:
+        joined = joined.where(F.col("offset") <= max_offset)
+    return joined.groupBy("cohort_period", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )

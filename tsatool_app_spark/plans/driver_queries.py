@@ -1222,6 +1222,28 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (operators/funnel.py): one conditional-min
+    aggregate per step over ONE scan — no k-way self-join."""
+    from tsatool_app_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"), _FUNNEL_STEPS
+    ).orderBy("step")
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort × offset activity matrix (operators/funnel.py)."""
+    from tsatool_app_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), 86400
+    ).orderBy("cohort_period", "offset")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1976,6 +1998,42 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["funnel"] = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+  GROUP BY user_id
+)
+SELECT 1 AS step, 'signup' AS event_type,
+       CAST(count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS BIGINT) AS n_entities
+FROM firsts
+UNION ALL
+SELECT 2, 'view',
+       CAST(count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  THEN 1 END) AS BIGINT)
+FROM firsts
+UNION ALL
+SELECT 3, 'purchase',
+       CAST(count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                       AND t2 IS NOT NULL AND t2 > t1 THEN 1 END) AS BIGINT)
+FROM firsts
+ORDER BY step"""
+
+ORACLES["cohort_retention"] = """
+WITH active AS (
+  SELECT DISTINCT user_id AS e, (epoch_us(ts) // 1000000) // 86400 AS p
+  FROM events
+),
+firsts AS (SELECT e, min(p) AS p0 FROM active GROUP BY e)
+SELECT CAST(p0 * 86400 AS BIGINT) AS cohort_period,
+       CAST(p - p0 AS BIGINT) AS "offset",
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active JOIN firsts USING (e)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
 ORACLES["incremental_rollup"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -2101,6 +2159,10 @@ QUERIES: dict[str, DriverQuery] = {
         q_incremental_rollup, ORACLES["incremental_rollup"]
     ),
     "zorder_key": DriverQuery(q_zorder_key, ORACLES["zorder_key"]),
+    "funnel": DriverQuery(q_funnel, ORACLES["funnel"]),
+    "cohort_retention": DriverQuery(
+        q_cohort_retention, ORACLES["cohort_retention"]
+    ),
 }
 
 
