@@ -365,3 +365,45 @@ def test_streaming_sheet_workload_parity(spark, tmp_path):
                 assert getattr(s_stream, f) == getattr(s_batch, f), (i, cid, f)
     # the secondary chain actually ran in every refresh
     assert "site0_s1" in seen or any("s1" in c for c in seen), list(seen)
+
+
+def test_streaming_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous-aggregate snapshot: folding micro-batches one at a time
+    must equal a batch recompute over all data, independent of how rows
+    were split across batches."""
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        partial_aggregate,
+    )
+    from tsatool_app_spark.streaming import streaming_incremental_rollup
+
+    src = str(tmp_path / "obs")
+    snap = str(tmp_path / "snapshot")
+
+    batches = [
+        [(0, 1, 1, 10), (1, 1, 1, 20), (2, 2, 1, 5)],
+        [(3, 1, 1, 40)],
+        [(4, 2, 1, -5), (5, 3, 1, 7)],
+    ]
+    for i, rows in enumerate(batches):
+        write_obs_batch(spark, src, rows, i)
+        stream = stream_observations(
+            spark, src, schema="tfrom timestamp, statid int, seid int, seval float"
+        )
+        q = streaming_incremental_rollup(
+            stream, snap, keys=["statid"], value_col="seval",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    folded = finalize_aggregate(spark.read.parquet(snap))
+    full = finalize_aggregate(
+        partial_aggregate(spark.read.parquet(src), ["statid"], "seval")
+    )
+    as_map = lambda df: {
+        r.statid: (r.n, r.sum_val, r.min_val, r.max_val, r.avg_val)
+        for r in df.collect()
+    }
+    got, want = as_map(folded), as_map(full)
+    assert got == want
+    assert got[1] == (3, 70.0, 10.0, 40.0, 70.0 / 3)

@@ -16,3 +16,10 @@ __all__ = [
 from tsatool_app_spark.streaming.condition_stream import streaming_condition_analysis
 
 __all__.append("streaming_condition_analysis")
+
+from tsatool_app_spark.streaming.incremental_stream import (
+    fold_batch_into_snapshot,
+    streaming_incremental_rollup,
+)
+
+__all__ += ["fold_batch_into_snapshot", "streaming_incremental_rollup"]

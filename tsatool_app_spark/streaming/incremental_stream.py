@@ -1,0 +1,78 @@
+"""Streaming continuous aggregates: fold micro-batches into a persistent
+partial-aggregate snapshot (the TimescaleDB continuous-aggregate shape,
+and the streaming face of operators/incremental.py).
+
+Each micro-batch is reduced to mergeable partials (count / DECIMAL sum /
+min / max per key) and folded into a parquet snapshot via
+``merge_partials``; readers call ``finalize_aggregate`` on the snapshot at
+any time for an exactly-consistent view of everything ingested so far.
+Because the partials form a commutative monoid, the result is independent
+of micro-batch boundaries and arrival order — asserted against a batch
+recompute in tests/test_streaming.py.
+
+Scale notes: per batch, the only wide stage is the partial aggregation of
+the BATCH (map-side combined); the snapshot merge then touches rows
+proportional to the KEY cardinality, never re-reading raw history. The
+snapshot is rewritten atomically (write-new-then-swap directories) so a
+concurrent reader sees either the old or the new fold, never a partial
+write. On a cluster the snapshot would live in a transactional table
+format; the swap keeps the same contract with plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from tsatool_app_spark.operators.incremental import merge_partials, partial_aggregate
+
+
+def fold_batch_into_snapshot(
+    batch_df: DataFrame,
+    snapshot_path: str,
+    keys: list[str],
+    value_col: str,
+) -> None:
+    """Reduce one batch to partials and fold it into the parquet snapshot
+    (creating it on first use). Driver-side file juggling only touches
+    snapshot METADATA (directory swap); data stays distributed."""
+    spark = batch_df.sparkSession
+    batch_partials = partial_aggregate(batch_df, keys, value_col)
+    if os.path.isdir(snapshot_path):
+        current = spark.read.parquet(snapshot_path)
+        merged = merge_partials(current, batch_partials)
+    else:
+        merged = merge_partials(batch_partials)
+    tmp = snapshot_path + "._new"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = snapshot_path + "._old"
+    if os.path.isdir(snapshot_path):
+        os.rename(snapshot_path, old)
+    os.rename(tmp, snapshot_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def streaming_incremental_rollup(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    *,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+):
+    """Start a foreachBatch query maintaining a continuous per-key
+    aggregate snapshot at ``snapshot_path``. Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_batch_into_snapshot(batch_df, snapshot_path, keys, value_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
