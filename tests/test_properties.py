@@ -197,3 +197,42 @@ def test_xlsx_roundtrip_property(tmp_path_factory, grid):
                 assert float(got) == val, (ri, ci, val, got)
             else:
                 assert got == val, (ri, ci, val, got)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-fold associativity: ANY slicing of a random dataset into
+# partial-aggregate snapshots folds to the full recompute, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+fold_datasets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # key
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, width=32),             # value
+        st.integers(min_value=0, max_value=3),            # slice assignment
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fold_datasets)
+def test_incremental_fold_equals_full_any_slicing(spark, rows):
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v), s) for k, v, s in rows], "k long, v double, s long"
+    )
+    slices = [df.where(df.s == i).drop("s") for i in range(4)]
+    parts = [partial_aggregate(sl, ["k"], "v") for sl in slices]
+    folded = finalize_aggregate(merge_partials(*parts))
+    full = finalize_aggregate(partial_aggregate(df.drop("s"), ["k"], "v"))
+    as_map = lambda d: {
+        r.k: (r.n, r.sum_val, r.min_val, r.max_val, r.avg_val) for r in d.collect()
+    }
+    assert as_map(folded) == as_map(full)
