@@ -334,3 +334,22 @@ def test_cohort_retention_matrix(spark):
         (0, 0): 2, (0, 1): 1, (0, 2): 2,
         (day, 0): 1, (day, 1): 1,
     }
+
+
+def test_salted_join_equals_plain_join(spark):
+    from tsatool_app_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")] * 5, "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (9, 90.0)], "k long, rv double"
+    )
+    plain = left.join(right, "k").groupBy("k").count().collect()
+    salted = salted_join(left, right, "k", salt_buckets=4).groupBy("k").count().collect()
+    assert {r.k: r["count"] for r in salted} == {r.k: r["count"] for r in plain}
+
+    # left join preserves unmatched skewed rows exactly once
+    plain_l = left.join(right, "k", "left").count()
+    salted_l = salted_join(left, right, "k", salt_buckets=4, how="left").count()
+    assert salted_l == plain_l

@@ -44,3 +44,42 @@ def salted_sum(
     return partial.groupBy(*key_cols).agg(
         F.sum("_s").cast("double").alias(f"sum_{value_col}")
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s key distribution is power-law and
+    ``other`` is too big to broadcast: salt the skewed side (random bucket
+    per row), REPLICATE the other side across all buckets, and join on
+    (key, salt) — a hot key's rows now land on ``salt_buckets`` reducers
+    instead of one.
+
+    Result is row-identical to the plain join (asserted by the driver
+    oracle): salting only re-partitions work; every skewed row still meets
+    every matching other row exactly once (in exactly one salt bucket).
+
+    Use when AQE cannot see or split the skew — streaming joins, skew in
+    the build of a shuffled hash join, or key distributions known ahead of
+    time. Cost: the other side shuffles ``salt_buckets``× its size; keep
+    it the SMALLER input (but bigger than a broadcast) and the bucket
+    count modest. ``how`` supports inner/left (left = skewed side
+    preserved: an unmatched skewed row appears once — its single salt
+    bucket finds no partner rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+    )
+    buckets = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+    )
+    replicated = other.withColumn("_salt", buckets)
+    out = salted.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")

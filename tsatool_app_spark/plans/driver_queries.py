@@ -1244,6 +1244,29 @@ def q_cohort_retention(spark, sf_dir):
     ).orderBy("cohort_period", "offset")
 
 
+def q_salted_join(spark, sf_dir):
+    """Salted big-big equi-join (operators/skew.py): hot keys spread over
+    salt buckets, other side replicated; result row-identical to the plain
+    join — the oracle IS the plain join."""
+    from tsatool_app_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_acctbal"
+    )
+    return (
+        salted_join(ev, cust, "k", salt_buckets=8)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_val"),
+        )
+        .orderBy("k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1998,6 +2021,12 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["salted_join"] = """
+SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY user_id ORDER BY k"""
+
 ORACLES["funnel"] = """
 WITH firsts AS (
   SELECT user_id,
@@ -2163,6 +2192,7 @@ QUERIES: dict[str, DriverQuery] = {
     "cohort_retention": DriverQuery(
         q_cohort_retention, ORACLES["cohort_retention"]
     ),
+    "salted_join": DriverQuery(q_salted_join, ORACLES["salted_join"]),
 }
 
 
