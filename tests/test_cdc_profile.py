@@ -353,3 +353,34 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, "k", "left").count()
     salted_l = salted_join(left, right, "k", salt_buckets=4, how="left").count()
     assert salted_l == plain_l
+
+
+def test_balanced_shards_roundtrip(spark, tmp_path):
+    from tsatool_app_spark.sources.shard_writer import (
+        shard_manifest,
+        write_balanced_shards,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 7).alias("payload"))
+    path = str(tmp_path / "shards")
+    write_balanced_shards(df, path, id_col="doc_id", n_shards=8)
+
+    man = shard_manifest(spark, path, id_col="doc_id").collect()
+    assert len(man) == 8
+    assert sum(r.n_rows for r in man) == 2000
+    # md5 hash-distribution is balanced: no shard more than 2x the mean
+    assert max(r.n_rows for r in man) < 2 * (2000 / 8)
+
+    # determinism: rewriting the same input yields identical manifests
+    path2 = str(tmp_path / "shards2")
+    write_balanced_shards(df, path2, id_col="doc_id", n_shards=8)
+    man2 = shard_manifest(spark, path2, id_col="doc_id").collect()
+    assert [(r.shard, r.n_rows, r.id_checksum) for r in man] == \
+           [(r.shard, r.n_rows, r.id_checksum) for r in man2]
+
+    # round-trip preserves content
+    back = spark.read.parquet(path).drop("shard")
+    assert back.count() == 2000
+    assert back.select(F.sum("payload")).first()[0] == \
+           df.select(F.sum("payload")).first()[0]
