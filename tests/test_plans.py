@@ -241,3 +241,13 @@ def test_weighted_sample_filter_at_scan(spark, sf_dir):
     df = weighted_sample_by_group(docs, "source", {"src0": 100}, "doc_id", default_rate=20)
     plan = executed_plan(df)
     assert "Exchange" not in plan
+
+
+def test_funnel_single_scan_no_self_join(spark, sf_dir):
+    """The k-step funnel is ONE conditional-min aggregate over one scan —
+    not the textbook k-way self-join."""
+    from tsatool_app_spark.plans.driver_queries import q_funnel
+
+    plan = executed_plan(q_funnel(spark, sf_dir))
+    assert "Join" not in plan  # no self-joins anywhere
+    assert plan.count("events.parquet") <= 1  # events scanned once
