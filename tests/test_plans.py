@@ -251,3 +251,18 @@ def test_funnel_single_scan_no_self_join(spark, sf_dir):
     plan = executed_plan(q_funnel(spark, sf_dir))
     assert "Join" not in plan  # no self-joins anywhere
     assert plan.count("events.parquet") <= 1  # events scanned once
+
+
+def test_forecast_revenue_predicates_pushed(spark, sf_dir):
+    """Q6 shape: all three predicates reach the parquet scan."""
+    from tsatool_app_spark.plans.driver_queries import q_forecast_revenue
+
+    plan = executed_plan(q_forecast_revenue(spark, sf_dir))
+    # the date bound reaches the scan (plan string truncates filter lists,
+    # so match the prefix) and the scan reads only the 4 needed columns
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipda", plan)
+    assert re.search(
+        r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        r"l_discount:double,l_shipdate:timestamp>",
+        plan,
+    )

@@ -1267,6 +1267,55 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """Range-filter aggregate (TPC-H Q6 shape): every predicate is
+    scan-pushable (date range, discount band, quantity cap), so the plan
+    is scan → one-row partial agg — the pushdown showcase. Exact decimal
+    product of (price × discount) before the sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,6)")
+                * F.col("l_discount").cast("decimal(20,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_promo_share(spark, sf_dir):
+    """Conditional-ratio aggregate over a broadcast dim join (TPC-H Q14
+    shape): share of revenue from PROMO parts in one month."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(20,6)") * (
+        F.lit(1).cast("decimal(20,6)") - F.col("l_discount").cast("decimal(20,6)")
+    )
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -2021,6 +2070,29 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["forecast_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+             * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+ORACLES["promo_share"] = """
+SELECT 100.0
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(20,6))
+                       * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))
+                  END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
+                  * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))) AS DOUBLE)
+       AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'"""
+
 ORACLES["salted_join"] = """
 SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_val
@@ -2193,6 +2265,10 @@ QUERIES: dict[str, DriverQuery] = {
         q_cohort_retention, ORACLES["cohort_retention"]
     ),
     "salted_join": DriverQuery(q_salted_join, ORACLES["salted_join"]),
+    "forecast_revenue": DriverQuery(
+        q_forecast_revenue, ORACLES["forecast_revenue"]
+    ),
+    "promo_share": DriverQuery(q_promo_share, ORACLES["promo_share"]),
 }
 
 
