@@ -384,3 +384,48 @@ def test_balanced_shards_roundtrip(spark, tmp_path):
     assert back.count() == 2000
     assert back.select(F.sum("payload")).first()[0] == \
            df.select(F.sum("payload")).first()[0]
+
+
+def test_quality_gate_quarantine(spark):
+    from tsatool_app_spark.functions.quality_gate import (
+        in_range,
+        matches,
+        not_null,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "ok"),        # clean
+            (2, None, "ok"),       # fails not_null only (range is NULL-tolerant)
+            (3, 99.0, "ok"),       # fails range
+            (4, 99.0, "BAD!"),     # fails range AND regex
+            (5, 5.0, None),        # clean: regex/range tolerate NULL, v not null
+        ],
+        "id long, v double, s string",
+    )
+    rules = [not_null("v"), in_range("v", 0, 10), matches("s", "^[a-z]+$")]
+    valid, bad = quarantine_split(df, rules)
+    assert {r.id for r in valid.collect()} == {1, 5}
+    got = {r.id: sorted(r.violations) for r in bad.collect()}
+    assert got == {
+        2: ["v_not_null"],
+        3: ["v_in_range"],
+        4: ["s_matches", "v_in_range"],
+    }
+    assert "violations" not in valid.columns
+
+
+def test_value_buckets_ties_share_bucket(spark):
+    from tsatool_app_spark.operators.olap import quantile_buckets_by_value
+
+    # 10 rows of value 1 and 10 rows of value 2 into 4 buckets:
+    # value 1 -> bucket (0*4) div 20 + 1 = 1; value 2 -> (10*4) div 20 + 1 = 3
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(10)] + [(i + 10, 2.0) for i in range(10)],
+        "id long, v double",
+    )
+    out = quantile_buckets_by_value(df, "v", 4)
+    got = {(r.v, r.bucket) for r in out.collect()}
+    assert got == {(1.0, 1), (2.0, 3)}  # every tie in ONE bucket
+    assert out.count() == 20

@@ -1316,6 +1316,50 @@ def q_promo_share(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """Declarative constraint gate (functions/quality_gate.py): per-rule
+    violation counts from the quarantine side — scan-speed rule compile,
+    one small aggregate."""
+    from tsatool_app_spark.functions.quality_gate import (
+        check_constraints,
+        in_range,
+        matches,
+        not_null,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        in_range("value", 0, 450),
+        matches("event_type", "^[a-z]{4,8}$"),
+        not_null("props"),
+    ]
+    return (
+        check_constraints(ev, rules)
+        .select(F.explode("violations").alias("violation"))
+        .groupBy("violation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("violation")
+    )
+
+
+def q_value_buckets(spark, sf_dir):
+    """Distributed quantile bucketing (operators/olap.py scale path): no
+    row-level total order; ties share buckets by construction."""
+    from tsatool_app_spark.operators.olap import quantile_buckets_by_value
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        quantile_buckets_by_value(docs, "n_chars", 10)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -2070,6 +2114,43 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["quality_gate"] = """
+WITH c AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT (value IS NULL OR value BETWEEN 0 AND 450)
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
+    CAST(SUM(CASE WHEN NOT (event_type IS NULL
+                            OR regexp_matches(event_type, '^[a-z]{4,8}$'))
+             THEN 1 ELSE 0 END) AS BIGINT) AS r_match,
+    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'value_in_range' AS violation, r_range AS n FROM c
+  UNION ALL SELECT 'event_type_matches', r_match FROM c
+  UNION ALL SELECT 'props_not_null', r_null FROM c
+) WHERE n > 0 ORDER BY violation"""
+
+ORACLES["value_buckets"] = """
+WITH counts AS (
+  SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY n_chars
+),
+bnd AS (
+  SELECT v,
+         COALESCE(SUM(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_,
+         SUM(c) OVER () AS total
+  FROM counts
+),
+assigned AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(least(10, (before_ * 10) // total + 1) AS BIGINT) AS bucket
+  FROM documents d JOIN bnd ON d.n_chars = bnd.v
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM assigned GROUP BY bucket ORDER BY bucket"""
+
 ORACLES["forecast_revenue"] = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
              * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
@@ -2269,6 +2350,8 @@ QUERIES: dict[str, DriverQuery] = {
         q_forecast_revenue, ORACLES["forecast_revenue"]
     ),
     "promo_share": DriverQuery(q_promo_share, ORACLES["promo_share"]),
+    "quality_gate": DriverQuery(q_quality_gate, ORACLES["quality_gate"]),
+    "value_buckets": DriverQuery(q_value_buckets, ORACLES["value_buckets"]),
 }
 
 
