@@ -79,3 +79,23 @@ def test_time_bucket_rollup(spark):
     assert (b0.n_obs, b0.min_val, b0.max_val) == (3, 0.0, 50.0)
     assert abs(b0.avg_val - 20.0) < 1e-12
     assert out[T0 + timedelta(hours=1)].n_obs == 1
+
+
+def test_gapfill_locf_dense_grid(spark):
+    from tsatool_app_spark.operators.timeseries import gapfill_locf
+    from pyspark.sql import functions as F
+
+    # key 1: obs at buckets 0 and 3600*3 (gap of two buckets); key 2: one obs
+    rows = [(1, 100.0, 1.5), (1, 120.0, 2.5), (1, 3 * 3600 + 5.0, 9.0),
+            (2, 7200.0, 4.0)]
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "statid long, t double, seval double"
+    ).select("statid", F.timestamp_seconds("t").alias("tfrom"), "seval")
+    out = {(r.statid, r.bucket): (r.value, r.is_gap)
+           for r in gapfill_locf(df, 3600).collect()}
+    assert out[(1, 0)] == (2.5, False)        # latest-in-bucket wins (t=120)
+    assert out[(1, 3600)] == (2.5, True)      # gap carried forward
+    assert out[(1, 7200)] == (2.5, True)
+    assert out[(1, 10800)] == (9.0, False)
+    assert out[(2, 7200)] == (4.0, False)     # single-obs key: 1-cell grid
+    assert len(out) == 5                      # dense grid, nothing beyond hi

@@ -206,3 +206,63 @@ def rolling_time_window(
         .alias("win_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
     )
+
+
+def gapfill_locf(
+    obs: DataFrame,
+    bucket_seconds: int,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill`` + ``locf``: resample each key
+    onto a dense fixed grid between its first and last observation,
+    carrying the last observed value forward across empty buckets.
+
+    (The reference's own gap policy is the opposite — pack_ranges
+    TRUNCATES at gaps, 01_init_db.sql:151 — but its TimescaleDB backend
+    ships gapfill for dashboards; a rebuild claiming the domain needs
+    both.)
+
+    Plan: (a) one aggregate picks each (key, bucket)'s latest observation
+    — deterministic via lexicographic (time, value) struct-max, no
+    row_number window; (b) per key, the bucket grid is generated with
+    ``sequence`` + explode from the key's own min/max (grid size is
+    span/bucket, independent of observation count); (c) a left join grid ←
+    buckets, then one carry-forward window per key. Two shuffles on the
+    key (aggregate + window; the grid join reuses the window partition).
+
+    Returns (keys..., bucket [epoch-seconds long], value [NULL until the
+    first observation], is_gap).
+    """
+    epoch = F.col(time_col).cast("long")
+    b = (epoch - F.pmod(epoch, bucket_seconds)).alias("bucket")
+    latest = (
+        obs.select(*key_cols, b, epoch.alias("_t"), F.col(value_col).alias("_v"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max(F.struct("_t", "_v")).alias("_m"))
+        .select(*key_cols, "bucket", F.col("_m._v").alias("_obs"))
+    )
+    grid = (
+        latest.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(bucket_seconds).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(latest, [*key_cols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        "bucket",
+        F.last("_obs", ignorenulls=True).over(w).alias("value"),
+        F.col("_obs").isNull().alias("is_gap"),
+    )

@@ -1360,6 +1360,15 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_gapfill(spark, sf_dir):
+    """Dense-grid resample with carry-forward (operators/timeseries.py):
+    hourly grid over the first three days, per station."""
+    from tsatool_app_spark.operators.timeseries import gapfill_locf
+
+    obs = _obs(spark, sf_dir).where(F.col("tfrom") < F.lit("2024-01-04"))
+    return gapfill_locf(obs, 3600)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect of ANSI SQL; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -2114,6 +2123,34 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["gapfill"] = """
+WITH src AS (
+  SELECT user_id AS statid, epoch_us(ts) // 1000000 AS t, value AS v
+  FROM events WHERE ts < TIMESTAMP '2024-01-04'
+),
+latest AS (
+  SELECT statid, t - (t % 3600) AS bucket, max({'t': t, 'v': v}) AS m
+  FROM src GROUP BY 1, 2
+),
+latest2 AS (
+  SELECT statid, bucket, m.v AS obs FROM latest
+),
+grid AS (
+  SELECT statid, unnest(generate_series(lo, hi, 3600)) AS bucket
+  FROM (SELECT statid, min(bucket) AS lo, max(bucket) AS hi
+        FROM latest2 GROUP BY statid)
+),
+joined AS (
+  SELECT g.statid, g.bucket, l.obs
+  FROM grid g LEFT JOIN latest2 l ON g.statid = l.statid AND g.bucket = l.bucket
+)
+SELECT statid, CAST(bucket AS BIGINT) AS bucket,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY statid ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       obs IS NULL AS is_gap
+FROM joined ORDER BY statid, bucket"""
+
 ORACLES["quality_gate"] = """
 WITH c AS (
   SELECT
@@ -2352,6 +2389,7 @@ QUERIES: dict[str, DriverQuery] = {
     "promo_share": DriverQuery(q_promo_share, ORACLES["promo_share"]),
     "quality_gate": DriverQuery(q_quality_gate, ORACLES["quality_gate"]),
     "value_buckets": DriverQuery(q_value_buckets, ORACLES["value_buckets"]),
+    "gapfill": DriverQuery(q_gapfill, ORACLES["gapfill"]),
 }
 
 
