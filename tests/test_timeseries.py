@@ -99,3 +99,20 @@ def test_gapfill_locf_dense_grid(spark):
     assert out[(1, 10800)] == (9.0, False)
     assert out[(2, 7200)] == (4.0, False)     # single-obs key: 1-cell grid
     assert len(out) == 5                      # dense grid, nothing beyond hi
+
+
+def test_counter_deltas_reset(spark):
+    from tsatool_app_spark.operators.timeseries import counter_deltas
+    from pyspark.sql import functions as F
+
+    rows = [(1, 0, 10.0), (1, 1, 15.0), (1, 2, 3.0), (1, 3, 4.0), (2, 0, 7.0)]
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "statid long, t double, seval double"
+    ).select("statid", F.timestamp_seconds("t").alias("tfrom"), "seval")
+    out = {(r.statid, r.tfrom.timestamp()): (r.delta, r.is_reset)
+           for r in counter_deltas(df).collect()}
+    assert out[(1, 0.0)] == (None, False)   # no baseline
+    assert out[(1, 1.0)] == (5.0, False)    # normal increment
+    assert out[(1, 2.0)] == (3.0, True)     # reset: raw value as delta
+    assert out[(1, 3.0)] == (1.0, False)
+    assert out[(2, 0.0)] == (None, False)

@@ -266,3 +266,37 @@ def gapfill_locf(
         F.last("_obs", ignorenulls=True).over(w).alias("value"),
         F.col("_obs").isNull().alias("is_gap"),
     )
+
+
+def counter_deltas(
+    obs: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+    order_tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Monotonic-counter increments with reset handling (the Prometheus
+    ``increase`` rule): per key in time order, delta = value - previous
+    value, except after a counter reset (value dropped) where the delta is
+    the raw value (the counter restarted from ~0). First sample per key
+    yields NULL (no baseline).
+
+    One lag window per key — single shuffle, O(1) state. Exact: the delta
+    is one double subtraction, identical in any engine.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col), *[F.col(c) for c in order_tiebreak]
+    )
+    prev = F.lag(value_col).over(w)
+    delta = F.when(prev.isNull(), F.lit(None).cast("double")).when(
+        F.col(value_col) >= prev, F.col(value_col) - prev
+    ).otherwise(F.col(value_col))
+    return obs.select(
+        *key_cols,
+        time_col,
+        *order_tiebreak,
+        F.col(value_col),
+        delta.alias("delta"),
+        (prev.isNotNull() & (F.col(value_col) < prev)).alias("is_reset"),
+    )

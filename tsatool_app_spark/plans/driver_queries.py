@@ -1360,6 +1360,20 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_counter_deltas(spark, sf_dir):
+    """Counter increments with reset handling (operators/timeseries.py):
+    one lag window per station over the event stream."""
+    from tsatool_app_spark.operators.timeseries import counter_deltas
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("statid"),
+        F.col("ts").alias("tfrom"),
+        "event_id",
+        F.col("value").alias("seval"),
+    )
+    return counter_deltas(ev, order_tiebreak=("event_id",))
+
+
 def q_gapfill(spark, sf_dir):
     """Dense-grid resample with carry-forward (operators/timeseries.py):
     hourly grid over the first three days, per station."""
@@ -2123,6 +2137,15 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["counter_deltas"] = """
+SELECT user_id AS statid, ts AS tfrom, event_id, value AS seval,
+       CASE WHEN lag(value) OVER w IS NULL THEN NULL
+            WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+            ELSE value END AS delta,
+       lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w AS is_reset
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
 ORACLES["gapfill"] = """
 WITH src AS (
   SELECT user_id AS statid, epoch_us(ts) // 1000000 AS t, value AS v
@@ -2390,6 +2413,7 @@ QUERIES: dict[str, DriverQuery] = {
     "quality_gate": DriverQuery(q_quality_gate, ORACLES["quality_gate"]),
     "value_buckets": DriverQuery(q_value_buckets, ORACLES["value_buckets"]),
     "gapfill": DriverQuery(q_gapfill, ORACLES["gapfill"]),
+    "counter_deltas": DriverQuery(q_counter_deltas, ORACLES["counter_deltas"]),
 }
 
 
