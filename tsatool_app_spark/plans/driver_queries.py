@@ -1281,9 +1281,13 @@ def q_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
+            # price/discount are exact 2-dp values: (12,2)x(3,2) -> (16,4)
+            # stays far under BOTH engines' decimal caps (a (20,6)x(20,6)
+            # product would exceed DuckDB's width-38 cap and silently
+            # demote to double, drifting in the last ulp)
             F.sum(
-                F.col("l_extendedprice").cast("decimal(20,6)")
-                * F.col("l_discount").cast("decimal(20,6)")
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
             )
             .cast("double")
             .alias("revenue"),
@@ -1297,8 +1301,8 @@ def q_promo_share(spark, sf_dir):
     shape): share of revenue from PROMO parts in one month."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast("decimal(20,6)") * (
-        F.lit(1).cast("decimal(20,6)") - F.col("l_discount").cast("decimal(20,6)")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
     return (
         l.where(
@@ -2212,8 +2216,8 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
 FROM assigned GROUP BY bucket ORDER BY bucket"""
 
 ORACLES["forecast_revenue"] = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
-             * CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2224,11 +2228,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 ORACLES["promo_share"] = """
 SELECT 100.0
        * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice AS DECIMAL(20,6))
-                       * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))
+                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
                   END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))
-                  * (CAST(1 AS DECIMAL(20,6)) - CAST(l_discount AS DECIMAL(20,6)))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
        AS promo_share_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
