@@ -116,3 +116,34 @@ def test_counter_deltas_reset(spark):
     assert out[(1, 2.0)] == (3.0, True)     # reset: raw value as delta
     assert out[(1, 3.0)] == (1.0, False)
     assert out[(2, 0.0)] == (None, False)
+
+
+def test_gapfill_interpolate_linear(spark):
+    from tsatool_app_spark.operators.timeseries import gapfill_interpolate
+    from pyspark.sql import functions as F
+
+    # obs at bucket 0 (v=10) and bucket 3 (v=40): gaps at 1,2 interpolate
+    rows = [(1, 10.0, 10.0), (1, 3 * 3600 + 2.0, 40.0)]
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "statid long, t double, seval double"
+    ).select("statid", F.timestamp_seconds("t").alias("tfrom"), "seval")
+    out = {r.bucket: (r.value, r.is_gap)
+           for r in gapfill_interpolate(df, 3600).collect()}
+    assert out[0] == (10.0, False)
+    assert out[3600] == (20.0, True)
+    assert out[7200] == (30.0, True)
+    assert out[10800] == (40.0, False)
+
+
+def test_time_weighted_avg_durations(spark):
+    from tsatool_app_spark.operators.timeseries import time_weighted_avg
+    from pyspark.sql import functions as F
+
+    # v=10 for 30s, v=20 for 10s, final obs unweighted
+    rows = [(1, 0.0, 10.0), (1, 30.0, 20.0), (1, 40.0, 99.0)]
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "statid long, t double, seval double"
+    ).select("statid", F.timestamp_seconds("t").alias("tfrom"), "seval")
+    r = time_weighted_avg(df).collect()[0]
+    assert r.total_seconds == 40
+    assert r.twa == (10.0 * 30 + 20.0 * 10) / 40  # 12.5

@@ -300,3 +300,114 @@ def counter_deltas(
         delta.alias("delta"),
         (prev.isNotNull() & (F.col(value_col) < prev)).alias("is_reset"),
     )
+
+
+def gapfill_interpolate(
+    obs: DataFrame,
+    bucket_seconds: int,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+) -> DataFrame:
+    """TimescaleDB ``interpolate``: like :func:`gapfill_locf` but empty
+    buckets get the LINEAR interpolation between the neighbouring observed
+    buckets instead of a carry-forward. The grid spans each key's first to
+    last observed bucket, so every gap has both neighbours by
+    construction.
+
+    Same plan as gapfill_locf plus one extra window direction (previous
+    observed value/bucket via a backward carry, next observed via a
+    forward carry) — still two key-shuffles; the interpolation itself is
+    arithmetic written identically in the oracle, so results are
+    bit-identical.
+    """
+    epoch = F.col(time_col).cast("long")
+    b = (epoch - F.pmod(epoch, bucket_seconds)).alias("bucket")
+    latest = (
+        obs.select(*key_cols, b, epoch.alias("_t"), F.col(value_col).alias("_v"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max(F.struct("_t", "_v")).alias("_m"))
+        .select(*key_cols, "bucket", F.col("_m._v").alias("_obs"))
+    )
+    grid = (
+        latest.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(bucket_seconds).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(latest, [*key_cols, "bucket"], "left")
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_obs").isNotNull(), F.col("bucket"))
+    annotated = joined.select(
+        *key_cols,
+        "bucket",
+        "_obs",
+        F.last("_obs", ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_bucket, ignorenulls=True).over(back).alias("_pb"),
+        F.first("_obs", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("_nb"),
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (F.col("bucket") - F.col("_pb")).cast("double")
+        / (F.col("_nb") - F.col("_pb")).cast("double")
+    )
+    return annotated.select(
+        *key_cols,
+        "bucket",
+        F.when(F.col("_obs").isNotNull(), F.col("_obs"))
+        .otherwise(interp)
+        .alias("value"),
+        F.col("_obs").isNull().alias("is_gap"),
+    )
+
+
+def time_weighted_avg(
+    obs: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("statid",),
+    time_col: str = "tfrom",
+    value_col: str = "seval",
+    order_tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF')``-style average per key: each
+    observation weighted by the seconds until the next one (the last
+    observation carries no weight — its duration is unknown).
+
+    Exactness: the value is quantized to DECIMAL(20,6) identically in both
+    engines; the (value × seconds) products use a (20,6)×(10,0) decimal —
+    inside both engines' width caps (wider casts would silently demote to
+    double, see driver_queries' Q14 note) — so the weighted sum is
+    order-independent and the single final division is the only float op.
+    One lag/lead window + one aggregate: two key-shuffles.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col), *[F.col(c) for c in order_tiebreak]
+    )
+    t = F.col(time_col).cast("long")
+    dt = (F.lead(F.col(time_col)).over(w).cast("long") - t).alias("_dt")
+    weighted = obs.select(
+        *key_cols,
+        F.col(value_col).cast("decimal(20,6)").alias("_v"),
+        dt,
+    ).where(F.col("_dt").isNotNull())
+    return weighted.groupBy(*key_cols).agg(
+        (
+            F.sum(F.col("_v") * F.col("_dt").cast("decimal(10,0)")).cast("double")
+            / F.sum("_dt").cast("double")
+        ).alias("twa"),
+        F.sum("_dt").cast("long").alias("total_seconds"),
+    )

@@ -1364,6 +1364,25 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation resample (operators/timeseries.py): same grid
+    as q_gapfill, gaps filled by interpolation instead of carry-forward."""
+    from tsatool_app_spark.operators.timeseries import gapfill_interpolate
+
+    obs = _obs(spark, sf_dir).where(F.col("tfrom") < F.lit("2024-01-04"))
+    return gapfill_interpolate(obs, 3600)
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Duration-weighted mean per station (operators/timeseries.py):
+    decimal-exact weighted sum, one final float division."""
+    from tsatool_app_spark.operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(
+        _obs(spark, sf_dir), order_tiebreak=("seid", "seval")
+    ).orderBy("statid")
+
+
 def q_counter_deltas(spark, sf_dir):
     """Counter increments with reset handling (operators/timeseries.py):
     one lag window per station over the event stream."""
@@ -2141,6 +2160,64 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["gapfill_interp"] = """
+WITH src AS (
+  SELECT user_id AS statid, epoch_us(ts) // 1000000 AS t, value AS v
+  FROM events WHERE ts < TIMESTAMP '2024-01-04'
+),
+latest AS (
+  SELECT statid, t - (t % 3600) AS bucket, max({'t': t, 'v': v}) AS m
+  FROM src GROUP BY 1, 2
+),
+latest2 AS (
+  SELECT statid, bucket, m.v AS obs FROM latest
+),
+grid AS (
+  SELECT statid, unnest(generate_series(lo, hi, 3600)) AS bucket
+  FROM (SELECT statid, min(bucket) AS lo, max(bucket) AS hi
+        FROM latest2 GROUP BY statid)
+),
+joined AS (
+  SELECT g.statid, g.bucket, l.obs
+  FROM grid g LEFT JOIN latest2 l ON g.statid = l.statid AND g.bucket = l.bucket
+),
+annotated AS (
+  SELECT statid, bucket, obs,
+         last_value(obs IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER back AS pb,
+         first_value(obs IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN obs IS NOT NULL THEN bucket END IGNORE NULLS)
+           OVER fwd AS nb
+  FROM joined
+  WINDOW back AS (PARTITION BY statid ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY statid ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT statid, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN obs IS NOT NULL THEN obs
+            ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE)) END AS value,
+       obs IS NULL AS is_gap
+FROM annotated ORDER BY statid, bucket"""
+
+ORACLES["time_weighted_avg"] = """
+WITH w AS (
+  SELECT user_id AS statid,
+         CAST(value AS DECIMAL(20,6)) AS v,
+         (epoch_us(lead(ts) OVER win) // 1000000)
+           - (epoch_us(ts) // 1000000) AS dt
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_type, value)
+)
+SELECT statid,
+       CAST(SUM(v * CAST(dt AS DECIMAL(10,0))) AS DOUBLE)
+         / CAST(SUM(dt) AS DOUBLE) AS twa,
+       CAST(SUM(dt) AS BIGINT) AS total_seconds
+FROM w WHERE dt IS NOT NULL
+GROUP BY statid ORDER BY statid"""
+
 ORACLES["counter_deltas"] = """
 SELECT user_id AS statid, ts AS tfrom, event_id, value AS seval,
        CASE WHEN lag(value) OVER w IS NULL THEN NULL
@@ -2418,6 +2495,10 @@ QUERIES: dict[str, DriverQuery] = {
     "value_buckets": DriverQuery(q_value_buckets, ORACLES["value_buckets"]),
     "gapfill": DriverQuery(q_gapfill, ORACLES["gapfill"]),
     "counter_deltas": DriverQuery(q_counter_deltas, ORACLES["counter_deltas"]),
+    "gapfill_interp": DriverQuery(q_gapfill_interp, ORACLES["gapfill_interp"]),
+    "time_weighted_avg": DriverQuery(
+        q_time_weighted_avg, ORACLES["time_weighted_avg"]
+    ),
 }
 
 
