@@ -429,3 +429,27 @@ def test_value_buckets_ties_share_bucket(spark):
     got = {(r.v, r.bucket) for r in out.collect()}
     assert got == {(1.0, 1), (2.0, 3)}  # every tie in ONE bucket
     assert out.count() == 20
+
+
+def test_iqr_outliers_fences(spark):
+    from tsatool_app_spark.functions.mlprep import iqr_outliers
+
+    # group a: values 1..8 plus an outlier 100 (n=9): q25=rank ceil(2.25)=3
+    # -> 3.0, q75=rank ceil(6.75)=7 -> 7.0, IQR=4, fences [-3, 13]
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 100])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r.is_outlier for r in
+           iqr_outliers(df, "g", "v", tiebreak_cols=("id",)).collect()}
+    assert out == {i: (i == 8) for i in range(9)}
+
+
+def test_zscore_by_group_exact(spark):
+    from tsatool_app_spark.functions.mlprep import zscore_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0), (4, "b", 5.0)],
+        "id long, g string, v double",
+    )
+    out = {r.id: r.z for r in zscore_by_group(df, "g", "v").collect()}
+    assert out[1] == -1.0 and out[2] == 1.0  # mean 2, sd 1
+    assert out[3] is None and out[4] is None  # zero-variance group -> NULL

@@ -1364,6 +1364,30 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier flags per event type (functions/mlprep.py):
+    discrete quartiles broadcast back onto the scan."""
+    from tsatool_app_spark.functions.mlprep import iqr_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return iqr_outliers(
+        ev, "event_type", "value", tiebreak_cols=("event_id",)
+    ).orderBy("event_id")
+
+
+def q_zscore(spark, sf_dir):
+    """Per-group z-score standardization (functions/mlprep.py):
+    decimal-exact moments, one broadcast join, two float divisions."""
+    from tsatool_app_spark.functions.mlprep import zscore_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_by_group(ev, "event_type", "value").orderBy("event_id")
+
+
 def q_gapfill_interp(spark, sf_dir):
     """Linear-interpolation resample (operators/timeseries.py): same grid
     as q_gapfill, gaps filled by interpolation instead of carry-forward."""
@@ -2160,6 +2184,51 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["iqr_outliers"] = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75
+  FROM r GROUP BY event_type
+)
+SELECT event_id, e.event_type, value, p25, p75,
+       value < p25 - 1.5 * (p75 - p25) OR value > p75 + 1.5 * (p75 - p25)
+         AS is_outlier
+FROM events e JOIN q ON e.event_type = q.event_type
+ORDER BY event_id"""
+
+ORACLES["zscore"] = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         SUM(cents) AS sm, SUM(cents * cents) AS ss
+  FROM c GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         CAST(sm AS DOUBLE) / n AS mean_,
+         CASE WHEN CAST(ss AS DOUBLE) / n
+                   - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n) > 0
+              THEN sqrt(CAST(ss AS DOUBLE) / n
+                        - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n))
+         END AS sd
+  FROM s
+)
+SELECT event_id, c.event_type, value,
+       (CAST(cents AS DOUBLE) - mean_) / sd AS z
+FROM c JOIN st ON c.event_type = st.event_type
+ORDER BY event_id"""
+
 ORACLES["gapfill_interp"] = """
 WITH src AS (
   SELECT user_id AS statid, epoch_us(ts) // 1000000 AS t, value AS v
@@ -2499,6 +2568,8 @@ QUERIES: dict[str, DriverQuery] = {
     "time_weighted_avg": DriverQuery(
         q_time_weighted_avg, ORACLES["time_weighted_avg"]
     ),
+    "iqr_outliers": DriverQuery(q_iqr_outliers, ORACLES["iqr_outliers"]),
+    "zscore": DriverQuery(q_zscore, ORACLES["zscore"]),
 }
 
 
