@@ -453,3 +453,34 @@ def test_zscore_by_group_exact(spark):
     out = {r.id: r.z for r in zscore_by_group(df, "g", "v").collect()}
     assert out[1] == -1.0 and out[2] == 1.0  # mean 2, sd 1
     assert out[3] is None and out[4] is None  # zero-variance group -> NULL
+
+
+def test_chi2_cells_hand_computed(spark):
+    from tsatool_app_spark.functions.stats import contingency_chi2_cells
+
+    # 2x2: rows a/b, cols x/y with counts [[10, 20], [30, 40]]
+    data = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 40)
+    df = spark.createDataFrame(data, "r string, c string")
+    out = {(r.r, r.c): (r.observed, r.expected, r.contrib)
+           for r in contingency_chi2_cells(df, "r", "c").collect()}
+    e_ax = 30 * 40 / 100  # row_a * col_x / n = 12
+    assert out[("a", "x")][0] == 10
+    assert out[("a", "x")][1] == e_ax
+    assert abs(out[("a", "x")][2] - (10 - e_ax) ** 2 / e_ax) < 1e-12
+    assert sum(v[0] for v in out.values()) == 100
+
+
+def test_two_proportion_ztest_formula(spark):
+    from tsatool_app_spark.functions.stats import two_proportion_ztest
+    from pyspark.sql import functions as F
+    import math
+
+    # cohort A: 100 rows, 30 successes; cohort B: 200 rows, 40 successes
+    data = ([("A", 1)] * 30 + [("A", 0)] * 70
+            + [("B", 1)] * 40 + [("B", 0)] * 160)
+    df = spark.createDataFrame(data, "g string, s int")
+    r = two_proportion_ztest(df, F.col("g") == "A", F.col("s") == 1).collect()[0]
+    assert (r.n1, r.x1, r.n2, r.x2) == (100, 30, 200, 40)
+    p, se = 70 / 300, math.sqrt((70 / 300) * (1 - 70 / 300) * (1 / 100 + 1 / 200))
+    assert abs(r.z - (0.3 - 0.2) / se) < 1e-12

@@ -1,0 +1,103 @@
+"""Statistical analysis operators: contingency tables with chi-square
+contributions and two-proportion z-tests.
+
+Dataset-diagnostics staples (is `lang` independent of `source`? did cohort
+A convert better than cohort B?) expressed as exact-integer aggregation
+followed by float expressions written identically in the oracle:
+
+- counts are integers (one hash aggregate), so every float input is
+  bit-identical across engines;
+- the float math is PER ROW (cell contributions, one z statistic) — there
+  is deliberately NO float SUM anywhere, because a parallel float sum is
+  association-order-dependent and breaks cross-engine equality. Callers
+  who want the total chi-square sum the (few) cells client-side or accept
+  a rounded comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contingency_chi2_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Contingency table with expected counts and per-cell chi-square
+    contributions: (row, col, observed, expected, contrib) where
+    ``expected = row_total · col_total / n`` and
+    ``contrib = (observed − expected)² / expected``.
+
+    Plan: one cell aggregate on the pair, then the marginals derive from
+    the CELLS (tiny relation — two more aggregates over cells, not over
+    the data) and broadcast-join back. The big table is read and shuffled
+    once.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = cells.groupBy("r").agg(F.sum("observed").alias("row_total"))
+    col_tot = cells.groupBy("c").agg(F.sum("observed").alias("col_total"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "r")
+        .join(F.broadcast(col_tot), "c")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (
+        (F.col("observed").cast("double") - expected)
+        * (F.col("observed").cast("double") - expected)
+        / expected
+    )
+    return joined.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        F.col("observed").cast("long").alias("observed"),
+        expected.alias("expected"),
+        contrib.alias("contrib"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    cohort_pred,
+    success_pred,
+) -> DataFrame:
+    """Two-proportion z-test from integer counts: one aggregate computes
+    (n1, x1, n2, x2) via conditional counts, then the z statistic
+
+        z = (p1 − p2) / sqrt(p̂(1−p̂)(1/n1 + 1/n2))
+
+    is a single float expression of exact integers — bit-identical in any
+    engine. Returns one row: counts, rates, and z.
+    """
+    counts = df.agg(
+        F.count(F.when(cohort_pred, F.lit(1))).alias("n1"),
+        F.count(F.when(cohort_pred & success_pred, F.lit(1))).alias("x1"),
+        F.count(F.when(~cohort_pred, F.lit(1))).alias("n2"),
+        F.count(F.when((~cohort_pred) & success_pred, F.lit(1))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return counts.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("x2").cast("long").alias("x2"),
+        p1.alias("rate1"),
+        p2.alias("rate2"),
+        ((p1 - p2) / se).alias("z"),
+    )

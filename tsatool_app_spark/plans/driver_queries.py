@@ -1364,6 +1364,30 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_chi2_cells(spark, sf_dir):
+    """lang × source contingency with chi-square contributions
+    (functions/stats.py): exact-integer counts, per-cell float identical
+    on both engines (no float SUM anywhere)."""
+    from tsatool_app_spark.functions.stats import contingency_chi2_cells
+
+    return contingency_chi2_cells(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    ).orderBy("lang", "source")
+
+
+def q_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test (functions/stats.py): odd vs even users,
+    success = any purchase event; one conditional-count aggregate."""
+    from tsatool_app_spark.functions.stats import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev,
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
+    )
+
+
 def q_iqr_outliers(spark, sf_dir):
     """Tukey-fence outlier flags per event type (functions/mlprep.py):
     discrete quartiles broadcast back onto the scan."""
@@ -2184,6 +2208,47 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["chi2_cells"] = """
+WITH cells AS (
+  SELECT lang AS r, source AS c, count(*) AS observed
+  FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT r, SUM(observed) AS row_total FROM cells GROUP BY r),
+ct AS (SELECT c, SUM(observed) AS col_total FROM cells GROUP BY c),
+tot AS (SELECT SUM(observed) AS n FROM cells)
+SELECT r AS lang, c AS source, CAST(observed AS BIGINT) AS observed,
+       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+         / CAST(n AS DOUBLE) AS expected,
+       (CAST(observed AS DOUBLE)
+          - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(n AS DOUBLE))
+       * (CAST(observed AS DOUBLE)
+          - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(n AS DOUBLE))
+       / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+          / CAST(n AS DOUBLE)) AS contrib
+FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+ORDER BY lang, source"""
+
+ORACLES["ab_ztest"] = """
+WITH counts AS (
+  SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n1,
+         CAST(count(CASE WHEN user_id % 2 = 0
+                          AND event_type = 'purchase' THEN 1 END) AS BIGINT) AS x1,
+         CAST(count(CASE WHEN NOT (user_id % 2 = 0) THEN 1 END) AS BIGINT) AS n2,
+         CAST(count(CASE WHEN NOT (user_id % 2 = 0)
+                          AND event_type = 'purchase' THEN 1 END) AS BIGINT) AS x2
+  FROM events
+)
+SELECT n1, x1, n2, x2,
+       CAST(x1 AS DOUBLE) / n1 AS rate1,
+       CAST(x2 AS DOUBLE) / n2 AS rate2,
+       (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1.0 / n1 + 1.0 / n2)) AS z
+FROM counts"""
+
 ORACLES["iqr_outliers"] = """
 WITH r AS (
   SELECT event_type, value,
@@ -2570,6 +2635,8 @@ QUERIES: dict[str, DriverQuery] = {
     ),
     "iqr_outliers": DriverQuery(q_iqr_outliers, ORACLES["iqr_outliers"]),
     "zscore": DriverQuery(q_zscore, ORACLES["zscore"]),
+    "chi2_cells": DriverQuery(q_chi2_cells, ORACLES["chi2_cells"]),
+    "ab_ztest": DriverQuery(q_ab_ztest, ORACLES["ab_ztest"]),
 }
 
 
