@@ -484,3 +484,33 @@ def test_two_proportion_ztest_formula(spark):
     assert (r.n1, r.x1, r.n2, r.x2) == (100, 30, 200, 40)
     p, se = 70 / 300, math.sqrt((70 / 300) * (1 - 70 / 300) * (1 / 100 + 1 / 200))
     assert abs(r.z - (0.3 - 0.2) / se) < 1e-12
+
+
+def test_transition_counts_chain(spark):
+    from tsatool_app_spark.operators.funnel import transition_counts
+
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "b"), (2, 0, "a"), (2, 1, "b")]
+    df = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, t double, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    out = {(r.from_type, r.to_type): r.n for r in transition_counts(df).collect()}
+    assert out == {("a", "b"): 2, ("b", "b"): 1}
+
+
+def test_first_touch_attribution_credit(spark):
+    from tsatool_app_spark.operators.funnel import first_touch_attribution
+
+    rows = [
+        (1, 0, "ad"), (1, 5, "buy"),      # converted, first touch ad
+        (2, 0, "email"), (2, 3, "buy"),   # converted, first touch email
+        (3, 0, "ad"),                     # never converted
+        (4, 0, "buy"),                    # converted instantly: credit 'buy'
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, t double, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    out = {r.first_touch_type: r.n_converted
+           for r in first_touch_attribution(df, "buy").collect()}
+    assert out == {"ad": 1, "email": 1, "buy": 1}

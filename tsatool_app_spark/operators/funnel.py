@@ -21,7 +21,7 @@ Determinism: counts only — no float arithmetic anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,4 +103,69 @@ def cohort_retention(
         joined = joined.where(F.col("offset") <= max_offset)
     return joined.groupBy("cohort_period", "offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    order_tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """First-order Markov transition counts: how often does event type A
+    immediately precede event type B within an entity's timeline?
+    (from_type, to_type, n) — the input for journey diagrams and
+    next-event models.
+
+    One lag window per entity + one pair aggregate: two shuffles, O(1)
+    window state. Include a unique tiebreak when timestamps can collide.
+    """
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(time_col), *[F.col(c) for c in order_tiebreak]
+    )
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    *,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    order_tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """First-touch attribution: for every entity that converted, which
+    event type was their FIRST interaction (any type, before or at the
+    conversion)? Returns (first_touch_type, n_converted) — the marketing
+    'which channel gets credit' rollup.
+
+    One aggregate computes each entity's first event and first conversion
+    time together (min over (time, tiebreak, type) structs — no window,
+    no second scan); converted = has any conversion.
+    """
+    tb = [F.col(c) for c in order_tiebreak]
+    first_any = F.min(F.struct(F.col(time_col), *tb, F.col(type_col)))
+    first_conv = F.min(
+        F.when(
+            F.col(type_col) == conversion_type,
+            F.struct(F.col(time_col), *tb),
+        )
+    )
+    per_entity = events.groupBy(entity_col).agg(
+        first_any.alias("_fa"), first_conv.alias("_fc")
+    )
+    return (
+        per_entity.where(F.col("_fc").isNotNull())
+        .select(F.col(f"_fa.{type_col}").alias("first_touch_type"))
+        .groupBy("first_touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
     )

@@ -1364,6 +1364,28 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_transitions(spark, sf_dir):
+    """Markov transition counts (operators/funnel.py): one lag window per
+    user + one pair aggregate."""
+    from tsatool_app_spark.operators.funnel import transition_counts
+
+    return transition_counts(
+        load_table(spark, sf_dir, "events"), order_tiebreak=("event_id",)
+    ).orderBy("from_type", "to_type")
+
+
+def q_first_touch(spark, sf_dir):
+    """First-touch attribution (operators/funnel.py): one struct-min
+    aggregate per user, no window."""
+    from tsatool_app_spark.operators.funnel import first_touch_attribution
+
+    return first_touch_attribution(
+        load_table(spark, sf_dir, "events"),
+        "purchase",
+        order_tiebreak=("event_id",),
+    ).orderBy("first_touch_type")
+
+
 def q_chi2_cells(spark, sf_dir):
     """lang × source contingency with chi-square contributions
     (functions/stats.py): exact-integer counts, per-cell float identical
@@ -2208,6 +2230,28 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["transitions"] = """
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+) WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type"""
+
+ORACLES["first_touch"] = """
+WITH per_entity AS (
+  SELECT user_id,
+         min({'t': ts, 'eid': event_id, 'ty': event_type}) AS fa,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN {'t': ts, 'eid': event_id} END) AS fc
+  FROM events GROUP BY user_id
+)
+SELECT fa.ty AS first_touch_type, CAST(count(*) AS BIGINT) AS n_converted
+FROM per_entity WHERE fc IS NOT NULL
+GROUP BY fa.ty ORDER BY first_touch_type"""
+
 ORACLES["chi2_cells"] = """
 WITH cells AS (
   SELECT lang AS r, source AS c, count(*) AS observed
@@ -2637,6 +2681,8 @@ QUERIES: dict[str, DriverQuery] = {
     "zscore": DriverQuery(q_zscore, ORACLES["zscore"]),
     "chi2_cells": DriverQuery(q_chi2_cells, ORACLES["chi2_cells"]),
     "ab_ztest": DriverQuery(q_ab_ztest, ORACLES["ab_ztest"]),
+    "transitions": DriverQuery(q_transitions, ORACLES["transitions"]),
+    "first_touch": DriverQuery(q_first_touch, ORACLES["first_touch"]),
 }
 
 
