@@ -514,3 +514,29 @@ def test_first_touch_attribution_credit(spark):
     out = {r.first_touch_type: r.n_converted
            for r in first_touch_attribution(df, "buy").collect()}
     assert out == {"ad": 1, "email": 1, "buy": 1}
+
+
+def test_point_in_time_join_no_leakage(spark):
+    from tsatool_app_spark.operators.cdc import point_in_time_join, scd2_history
+
+    # history: key 1 value changes at t=100 (v=1) and t=200 (v=2)
+    changes = spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0)],
+        "k long, t long, eid long, v double",
+    )
+    hist = scd2_history(changes, "k", "t", ["eid", "v"]).select(
+        "k", "valid_from", "v"
+    )
+    probes = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 100), (3, 1, 150), (4, 1, 200), (5, 1, 999),
+         (6, 2, 100)],
+        "pid long, k long, t long",
+    )
+    out = {r.pid: r.v for r in
+           point_in_time_join(probes, hist, "k", "t", ["v"]).collect()}
+    assert out[1] is None      # before any history: no leakage from future
+    assert out[2] == 1.0       # exactly at first valid_from
+    assert out[3] == 1.0
+    assert out[4] == 2.0       # boundary: new interval starts AT its ts
+    assert out[5] == 2.0       # current interval carries to +inf
+    assert out[6] is None      # unknown key

@@ -99,3 +99,37 @@ def scd2_history(
         F.lead(ts_col).over(w).isNull().alias("is_current"),
         *[F.col(a) for a in attr_cols],
     )
+
+
+def point_in_time_join(
+    probes: DataFrame,
+    history: DataFrame,
+    key: str,
+    probe_ts: str,
+    attr_cols: list[str],
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (feature-store) lookup against an SCD2 history: for
+    each probe (key, ts), the attribute values whose validity interval
+    contains ts — the primitive that keeps training features leak-free
+    (never read a value that only became true AFTER the example's time).
+
+    Built on the carry-forward as-of machinery (operators/timeseries.py):
+    ONE shuffle on the key, no inequality join, per-key state O(1). The
+    as-of pick (latest valid_from ≤ ts) IS the containing interval when
+    the history's intervals partition time (scd2_history guarantees
+    this); rows probing before the key's first interval get NULLs.
+    """
+    from tsatool_app_spark.operators.timeseries import asof_join
+
+    out = asof_join(
+        probes,
+        history.select(key, valid_from, *attr_cols),
+        on_keys=[key],
+        left_time=probe_ts,
+        right_time=valid_from,
+        value_cols=attr_cols,
+    )
+    return out.drop("asof_time")

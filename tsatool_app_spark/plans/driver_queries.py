@@ -1364,6 +1364,54 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_pit_lookup(spark, sf_dir):
+    """Point-in-time feature lookup (operators/cdc.py): for every click,
+    the purchase value in effect at that instant — the leak-free
+    feature-store join, via carry-forward as-of (one key shuffle)."""
+    from tsatool_app_spark.operators.cdc import point_in_time_join, scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    hist = scd2_history(
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        ["event_id", "value"],
+    ).select("user_id", "valid_from", "value")
+    return point_in_time_join(
+        probes, hist, "user_id", "ts", ["value"]
+    ).orderBy("event_id")
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram language-model counts (token-pair zip, no per-token window):
+    top pairs with conditional probability n(w1,w2)/n(w1·)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+    )
+    grams = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+    )
+    counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w1_tot = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    return (
+        counts.join(F.broadcast(w1_tot), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("n_w1")).alias("p_cond"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(50)
+    )
+
+
 def q_transitions(spark, sf_dir):
     """Markov transition counts (operators/funnel.py): one lag window per
     user + one pair aggregate."""
@@ -2230,6 +2278,36 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["pit_lookup"] = f"""
+WITH hist AS ({ORACLES["scd2_history"]}),
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, h.value
+FROM probes p LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR h.valid_to > p.ts)
+ORDER BY p.event_id"""
+
+ORACLES["bigram_lm"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p FROM toks
+),
+counts AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+  FROM grams GROUP BY 1, 2
+),
+tot AS (SELECT w1, SUM(n) AS n_w1 FROM counts GROUP BY w1)
+SELECT counts.w1, w2, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / n_w1 AS p_cond
+FROM counts JOIN tot ON counts.w1 = tot.w1
+ORDER BY n DESC, counts.w1, w2 LIMIT 50"""
+
 ORACLES["transitions"] = """
 SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
 FROM (
@@ -2683,6 +2761,8 @@ QUERIES: dict[str, DriverQuery] = {
     "ab_ztest": DriverQuery(q_ab_ztest, ORACLES["ab_ztest"]),
     "transitions": DriverQuery(q_transitions, ORACLES["transitions"]),
     "first_touch": DriverQuery(q_first_touch, ORACLES["first_touch"]),
+    "pit_lookup": DriverQuery(q_pit_lookup, ORACLES["pit_lookup"]),
+    "bigram_lm": DriverQuery(q_bigram_lm, ORACLES["bigram_lm"]),
 }
 
 
