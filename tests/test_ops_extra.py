@@ -155,3 +155,25 @@ def test_rollup_totals_subtotals(spark):
     assert out[("r2", ALL)] == (1, 4.0)
     assert out[(ALL, ALL)] == (3, 7.0)
     assert len(out) == 6  # 3 leaves + 2 rf subtotals + grand total
+
+
+def test_phrase_search_adjacency(spark):
+    from tsatool_app_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown"),          # terms present, wrong order
+            (3, "the brown quick fox"),      # adjacent pair elsewhere
+            (4, "x the quick y the quick"),  # multiple matches, still one row
+            (5, "thequick brown"),           # substring must NOT match
+        ],
+        "doc_id long, text string",
+    )
+    out = [r.doc_id for r in phrase_search(docs, ["the", "quick"]).collect()]
+    assert out == [1, 4]
+
+    # three-term chain
+    out3 = [r.doc_id for r in
+            phrase_search(docs, ["the", "quick", "brown"]).collect()]
+    assert out3 == [1]

@@ -121,3 +121,67 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    *,
+    terms: "list[str] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, positions[sorted]).
+
+    With ``terms``, the filter lands BEFORE the aggregate — building
+    postings for a query's two terms scans once and shuffles only the
+    matching (term, doc, pos) triples, not the whole corpus's token
+    stream. Positions are 0-based token offsets.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    if terms is not None:
+        exploded = exploded.where(F.col("term").isin(list(terms)))
+    return exploded.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: "list[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match via positional postings: documents containing
+    the tokens of ``phrase`` ADJACENT and in order.
+
+    Plan: one scan builds postings for just the phrase's terms; the terms
+    join pairwise on doc_id (tiny relations after the term filter) and
+    positions chain with ``array_intersect(prev+1, next)`` — a document
+    survives while the chained position set stays non-empty. Returns
+    distinct matching ids.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two terms")
+    postings = build_postings(
+        docs, terms=list(dict.fromkeys(phrase)), text_col=text_col, id_col=id_col
+    )
+    chain = None
+    for i, term in enumerate(phrase):
+        p = postings.where(F.col("term") == term).select(
+            F.col(id_col), F.col("positions").alias(f"_p{i}")
+        )
+        chain = p if chain is None else chain.join(p, id_col)
+        if i == 0:
+            chain = chain.withColumn("_chain", F.col("_p0"))
+        else:
+            chain = chain.withColumn(
+                "_chain",
+                F.array_intersect(
+                    F.transform("_chain", lambda x: x + 1), F.col(f"_p{i}")
+                ),
+            ).where(F.size("_chain") > 0)
+    return chain.select(id_col).orderBy(id_col)

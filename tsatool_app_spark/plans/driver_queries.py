@@ -1364,6 +1364,16 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional-postings phrase match (functions/search.py): docs where
+    'fast table' appear adjacent in order; term filter lands pre-shuffle."""
+    from tsatool_app_spark.functions.search import phrase_search
+
+    return phrase_search(
+        load_table(spark, sf_dir, "documents"), ["fast", "table"]
+    )
+
+
 def q_pit_lookup(spark, sf_dir):
     """Point-in-time feature lookup (operators/cdc.py): for every click,
     the purchase value in effect at that instant — the leak-free
@@ -2278,6 +2288,16 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE len([i FOR i IN range(1, len(t))
+           IF t[i] = 'fast' AND t[i + 1] = 'table']) > 0
+ORDER BY doc_id"""
+
 ORACLES["pit_lookup"] = f"""
 WITH hist AS ({ORACLES["scd2_history"]}),
 probes AS (
@@ -2763,6 +2783,7 @@ QUERIES: dict[str, DriverQuery] = {
     "first_touch": DriverQuery(q_first_touch, ORACLES["first_touch"]),
     "pit_lookup": DriverQuery(q_pit_lookup, ORACLES["pit_lookup"]),
     "bigram_lm": DriverQuery(q_bigram_lm, ORACLES["bigram_lm"]),
+    "phrase_search": DriverQuery(q_phrase_search, ORACLES["phrase_search"]),
 }
 
 
