@@ -540,3 +540,40 @@ def test_point_in_time_join_no_leakage(spark):
     assert out[4] == 2.0       # boundary: new interval starts AT its ts
     assert out[5] == 2.0       # current interval carries to +inf
     assert out[6] is None      # unknown key
+
+
+def test_funnel_windowed_gap(spark):
+    from tsatool_app_spark.operators.funnel import funnel_counts_windowed
+
+    rows = [
+        (1, 0, "a"), (1, 50, "b"),     # within 100s window
+        (2, 0, "a"), (2, 500, "b"),    # b too late
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), ty) for u, t, ty in rows],
+        "user_id long, t double, event_type string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type")
+    out = {r.step: r.n_entities
+           for r in funnel_counts_windowed(df, ["a", "b"], 100).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_active_counts_dau_wau(spark):
+    from tsatool_app_spark.operators.funnel import active_counts
+
+    day = 86400.0
+    rows = [
+        (1, 0.0), (1, 10.0),        # u1 day0 (dup collapses)
+        (2, 0.0),                   # u2 day0
+        (1, day),                   # u1 day1 (same ISO week as day0)
+        (3, 8 * day),               # u3 a week later
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t double").select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    out = {str(r.day): (r.dau, r.wau) for r in active_counts(df).collect()}
+    assert out["2024-01-01"][0] == 2 if "2024-01-01" in out else True
+    days = sorted(out)
+    assert out[days[0]] == (2, 2)   # day0: u1,u2; week: u1,u2
+    assert out[days[1]] == (1, 2)   # day1: u1; same week
+    assert out[days[2]] == (1, 1)   # day8: u3 alone in its week

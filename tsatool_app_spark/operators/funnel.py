@@ -169,3 +169,92 @@ def first_touch_attribution(
         .groupBy("first_touch_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
     )
+
+
+def funnel_counts_windowed(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_seconds: int,
+    *,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+) -> DataFrame:
+    """:func:`funnel_counts` with a completion window: each step's first
+    occurrence must follow the previous step's within ``max_gap_seconds``
+    (the product-metric form: 'signed up, then purchased within 7 days').
+    Same single-aggregate plan; only the step predicate changes.
+
+    Note the semantics inherit funnel_counts' FIRST-occurrence rule: a
+    later in-window occurrence of a step does not rescue an entity whose
+    first occurrence was out of window."""
+    firsts = events.where(F.col(type_col).isin(list(steps))).groupBy(entity_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(time_col))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    conds = []
+    prior = None
+    for i in range(len(steps)):
+        c = F.col(f"t{i}").isNotNull()
+        if prior is not None:
+            gap_ok = (
+                F.col(f"t{i}").cast("long") - F.col(f"t{i-1}").cast("long")
+            ) <= max_gap_seconds
+            c = c & (F.col(f"t{i}") > F.col(f"t{i-1}")) & gap_ok & prior
+        conds.append(c)
+        prior = conds[-1]
+    counts = firsts.agg(
+        *[
+            F.count(F.when(conds[i], F.lit(1))).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("event_type"),
+                F.col(f"n{i}").cast("long").alias("n_entities"),
+            )
+            for i in range(len(steps))
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("s")).select("s.*")
+
+
+def active_counts(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Engagement rollup: distinct active entities per calendar day (DAU)
+    and per ISO week (WAU, repeated on each of its days for joinability).
+
+    Two distinct-aggregates over the (entity, day) de-dup — the exact
+    shuffles are on (entity, day) pairs, bounded by activity, not events.
+    """
+    days = events.select(
+        F.col(entity_col).alias("e"),
+        F.to_date(time_col).alias("day"),
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    weeks = days.select(
+        "e", "day", F.weekofyear("day").alias("wk"), F.year("day").alias("yr")
+    )
+    wau = (
+        weeks.select("e", "wk", "yr")
+        .distinct()
+        .groupBy("wk", "yr")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(
+            weeks.select("day", "wk", "yr").distinct(), "day"
+        )
+        .join(wau, ["wk", "yr"])
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )

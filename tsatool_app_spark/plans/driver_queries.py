@@ -1364,6 +1364,24 @@ def q_value_buckets(spark, sf_dir):
     )
 
 
+def q_funnel_windowed(spark, sf_dir):
+    """Windowed funnel (operators/funnel.py): each step within 2 hours of
+    the previous — the product-metric funnel form."""
+    from tsatool_app_spark.operators.funnel import funnel_counts_windowed
+
+    return funnel_counts_windowed(
+        load_table(spark, sf_dir, "events"), _FUNNEL_STEPS, 7200
+    ).orderBy("step")
+
+
+def q_active_counts(spark, sf_dir):
+    """DAU/WAU engagement rollup (operators/funnel.py): distinct actives
+    per calendar day and ISO week."""
+    from tsatool_app_spark.operators.funnel import active_counts
+
+    return active_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_phrase_search(spark, sf_dir):
     """Positional-postings phrase match (functions/search.py): docs where
     'fast table' appear adjacent in order; term filter lands pre-shuffle."""
@@ -2288,6 +2306,47 @@ JOIN red USING (doc_id)
 WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
 ORDER BY d.doc_id"""
 
+ORACLES["funnel_windowed"] = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')
+  GROUP BY user_id
+),
+c AS (
+  SELECT t0 IS NOT NULL AS c0,
+         t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+           AND (epoch_us(t1) // 1000000) - (epoch_us(t0) // 1000000) <= 7200 AS c1_,
+         t2 IS NOT NULL AND t2 > t1
+           AND (epoch_us(t2) // 1000000) - (epoch_us(t1) // 1000000) <= 7200 AS c2_
+  FROM firsts
+)
+SELECT 1 AS step, 'signup' AS event_type,
+       CAST(count(CASE WHEN c0 THEN 1 END) AS BIGINT) AS n_entities FROM c
+UNION ALL
+SELECT 2, 'view', CAST(count(CASE WHEN c0 AND c1_ THEN 1 END) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'purchase',
+       CAST(count(CASE WHEN c0 AND c1_ AND c2_ THEN 1 END) AS BIGINT) FROM c
+ORDER BY step"""
+
+ORACLES["active_counts"] = """
+WITH days AS (
+  SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day),
+wk AS (SELECT e, day, weekofyear(day) AS wk, year(day) AS yr FROM days),
+wau AS (
+  SELECT wk, yr, CAST(count(*) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT e, wk, yr FROM wk) GROUP BY wk, yr
+)
+SELECT day, dau, wau
+FROM dau JOIN (SELECT DISTINCT day, wk, yr FROM wk) USING (day)
+JOIN wau USING (wk, yr)
+ORDER BY day"""
+
 ORACLES["phrase_search"] = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -2784,6 +2843,10 @@ QUERIES: dict[str, DriverQuery] = {
     "pit_lookup": DriverQuery(q_pit_lookup, ORACLES["pit_lookup"]),
     "bigram_lm": DriverQuery(q_bigram_lm, ORACLES["bigram_lm"]),
     "phrase_search": DriverQuery(q_phrase_search, ORACLES["phrase_search"]),
+    "funnel_windowed": DriverQuery(
+        q_funnel_windowed, ORACLES["funnel_windowed"]
+    ),
+    "active_counts": DriverQuery(q_active_counts, ORACLES["active_counts"]),
 }
 
 
