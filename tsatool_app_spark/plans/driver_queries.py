@@ -1376,10 +1376,15 @@ def q_funnel_windowed(spark, sf_dir):
 
 def q_active_counts(spark, sf_dir):
     """DAU/WAU engagement rollup (operators/funnel.py): distinct actives
-    per calendar day and ISO week."""
+    per calendar day and ISO week. The day renders as a STRING on both
+    sides — pandas widens DuckDB dates to midnight timestamps, which
+    string-level comparisons would flag as a spurious mismatch."""
     from tsatool_app_spark.operators.funnel import active_counts
 
-    return active_counts(load_table(spark, sf_dir, "events"))
+    out = active_counts(load_table(spark, sf_dir, "events"))
+    return out.select(
+        F.col("day").cast("string").alias("day"), "dau", "wau"
+    ).orderBy("day")
 
 
 def q_phrase_search(spark, sf_dir):
@@ -2342,7 +2347,7 @@ wau AS (
   SELECT wk, yr, CAST(count(*) AS BIGINT) AS wau
   FROM (SELECT DISTINCT e, wk, yr FROM wk) GROUP BY wk, yr
 )
-SELECT day, dau, wau
+SELECT CAST(day AS VARCHAR) AS day, dau, wau
 FROM dau JOIN (SELECT DISTINCT day, wk, yr FROM wk) USING (day)
 JOIN wau USING (wk, yr)
 ORDER BY day"""
