@@ -266,3 +266,60 @@ def test_forecast_revenue_predicates_pushed(spark, sf_dir):
         r"l_discount:double,l_shipdate:timestamp>",
         plan,
     )
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    """Q7 shape: the only shuffle join is lineitem⋈orders; supplier,
+    customer, and both nation aliases broadcast."""
+    from tsatool_app_spark.plans.driver_queries import q_volume_shipping
+
+    plan = executed_plan(q_volume_shipping(spark, sf_dir))
+    # all 4 dims broadcast; at tiny SF orders broadcasts too (5th)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_revenue_pushes_quantity_bound(spark, sf_dir):
+    """Q19 shape: the lineitem-only disjunct bound reaches the fact scan
+    and the part side is a broadcast join."""
+    from tsatool_app_spark.plans.driver_queries import q_disjunctive_revenue
+
+    plan = executed_plan(q_disjunctive_revenue(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,36", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_waiting_suppliers_semi_and_anti(spark, sf_dir):
+    """Q21 shape: EXISTS plans as a left-semi hash join and NOT EXISTS as a
+    left-anti hash join on orderkey — no nested loops despite the non-equi
+    suppkey condition riding along as a join filter."""
+    from tsatool_app_spark.plans.driver_queries import q_waiting_suppliers
+
+    plan = executed_plan(q_waiting_suppliers(spark, sf_dir))
+    assert re.search(r"Join LeftSemi|LeftSemi, ", plan)
+    assert re.search(r"Join LeftAnti|LeftAnti, ", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_customers_anti_join_filter_pushed(spark, sf_dir):
+    """Q22 shape: the recency filter reaches the orders scan that feeds the
+    anti join, so the build side shrinks before the join."""
+    from tsatool_app_spark.plans.driver_queries import q_idle_customers
+
+    plan = executed_plan(q_idle_customers(spark, sf_dir))
+    assert re.search(r"Join LeftAnti|LeftAnti, ", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_segment_set_ops_shuffle_ids_only(spark, sf_dir):
+    """INTERSECT/EXCEPT: every exchange partitions on user_id alone — the
+    event payload columns never shuffle."""
+    from tsatool_app_spark.plans.driver_queries import q_segment_set_ops
+
+    plan = executed_plan(q_segment_set_ops(spark, sf_dir))
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "user_id" in ex
+        assert "value" not in ex and "props" not in ex

@@ -2855,6 +2855,432 @@ QUERIES: dict[str, DriverQuery] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# r3 batch 4: classic warehouse join shapes (TPC-H Q7/Q8/Q12/Q19/Q21/Q22
+# analogues on the driver's TPC-H-ish tables) + set operators, interpolated
+# percentiles, and edit-distance fuzzy matching.  Each exercises a DISTINCT
+# physical plan shape: nation-pair flow join, share-of-market conditional
+# aggregate, CASE-count aggregate under a date-range scan, OR-of-ANDs
+# disjunctive pushdown, semi+anti self-join, anti-join + exact scalar
+# threshold, INTERSECT/EXCEPT, RANGE interpolation, broadcast fuzzy probe.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+def _revenue_col():
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year.  Plan: big fact joins (lineitem⋈orders on orderkey) shuffle once;
+    all four dimension sides (supplier, customer, nation×2) broadcast, and
+    the nation-pair filter prunes to 2/625 pairs before the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5 suppliers' share of PROMO-part revenue in
+    the ASIA customer market, per order year.  The share is a conditional
+    ratio over one aggregate (no self-join); numerator and denominator both
+    decimal-exact, one final float division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue_col()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p.where(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast(_DEC)))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+        .orderBy("o_year")
+    )
+
+
+def q_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: per line status, how many lines shipped in 1996
+    belong to critical-priority orders vs not — one CASE-count aggregate
+    over the orders⋈lineitem join, with the date range pushed to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides (brand×size×quantity bands).  The part side is broadcast;
+    the lineitem-only disjuncts' quantity bound (l_quantity <= 36, the max
+    over all bands) is pushed to the fact scan so the join probes fewer
+    rows than the raw table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 12)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 25)
+        & F.col("l_quantity").between(12, 24)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(24, 36)
+    )
+    return (
+        li.where(F.col("l_quantity") <= 36)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(band1 | band2 | band3)
+        .agg(
+            F.sum(_revenue_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted to the driver schema, which has no
+    commit/receipt dates): suppliers who are the SOLE returner in
+    multi-supplier finished orders.  EXISTS → left-semi hash join on
+    orderkey with a non-equi suppkey filter; NOT EXISTS → left-anti with
+    the same shape; both reuse one shuffle of lineitem by orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_returner = (
+        l1.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l1.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+            "leftanti",
+        )
+    )
+    return (
+        sole_returner.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no orders, grouped into
+    5 synthetic segments.  The positive-average threshold is applied by
+    decimal cross-multiplication (c_acctbal · n > Σ acctbal) so the
+    comparison is exact in both engines — no float average ordering hazard.
+    The idleness test (no order since 2000) is a left-anti join on custkey
+    with the date filter pushed below the join build side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(_DEC) * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cust_group")
+    )
+
+
+def q_segment_set_ops(spark, sf_dir):
+    """Set operators as first-class relational surface: users with a
+    big-ticket purchase AND a high-value click but no severe error —
+    INTERSECT then EXCEPT over distinct user sets.  Spark plans these as
+    aggregate + hash joins (semi/anti) on the already-distinct key sets,
+    shuffling ids only — never the event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(etype, min_value):
+        return ev.where(
+            (F.col("event_type") == etype) & (F.col("value") >= min_value)
+        ).select("user_id")
+
+    return (
+        users("purchase", 200.0)
+        .intersect(users("click", 150.0))
+        .subtract(users("error", 490.0))
+        .orderBy("user_id")
+    )
+
+
+def q_quantity_quartiles(spark, sf_dir):
+    """Interpolated quartiles (percentile_cont semantics) of l_quantity per
+    return flag.  Exact distributed percentile: Spark's percentile()
+    aggregates the full sorted distribution per group; values are
+    integer-valued doubles and quartile fractions are exact binary
+    rationals, so interpolation is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.getItem(0).alias("q25"),
+            pct.getItem(1).alias("q50"),
+            pct.getItem(2).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_fuzzy_nation_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (entity-resolution kernel): corrupted
+    nation-name probes (deterministic one-char deletion) matched to the
+    nation dimension by minimum Levenshtein distance.  The clean dimension
+    is broadcast; each probe scans it map-side — the standard shape for
+    normalizing messy categorical columns at scale (probe side arbitrarily
+    large, dimension side small)."""
+    n = load_table(spark, sf_dir, "nation")
+    probes = n.select(
+        F.concat(F.lit("NATON_"), F.col("n_nationkey").cast("string")).alias("probe")
+    )
+    cand = probes.join(
+        F.broadcast(n.select("n_name")),
+        F.levenshtein(F.col("probe"), F.col("n_name")) <= 2,
+    ).select("probe", "n_name", F.levenshtein("probe", "n_name").alias("dist"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe").orderBy("dist", "n_name")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("probe", F.col("n_name").alias("matched"), "dist")
+        .orderBy("probe")
+    )
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+ORACLES["volume_shipping"] = f"""
+WITH j AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {_REV_SQL} AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+)
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM j
+WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+ORACLES["market_share"] = f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {_REV_SQL} AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year ORDER BY o_year"""
+
+ORACLES["shipmode_priority"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+ORACLES["disjunctive_revenue"] = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 12)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 12 AND 24)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 24 AND 36)"""
+
+ORACLES["waiting_suppliers"] = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
+ORACLES["idle_customers"] = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey % 5 AS BIGINT) AS cust_group,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cust_group ORDER BY cust_group"""
+
+ORACLES["segment_set_ops"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 200.0
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click' AND value >= 150.0
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value >= 490.0
+ORDER BY user_id"""
+
+ORACLES["quantity_quartiles"] = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+ORACLES["fuzzy_nation_match"] = """
+WITH probes AS (
+  SELECT 'NATON_' || CAST(n_nationkey AS VARCHAR) AS probe FROM nation
+), cand AS (
+  SELECT probe, n_name, CAST(levenshtein(probe, n_name) AS INTEGER) AS dist
+  FROM probes, nation
+  WHERE levenshtein(probe, n_name) <= 2
+), ranked AS (
+  SELECT probe, n_name, dist,
+         row_number() OVER (PARTITION BY probe ORDER BY dist, n_name) AS rk
+  FROM cand
+)
+SELECT probe, n_name AS matched, dist FROM ranked WHERE rk = 1 ORDER BY probe"""
+
+QUERIES["volume_shipping"] = DriverQuery(q_volume_shipping, ORACLES["volume_shipping"])
+QUERIES["market_share"] = DriverQuery(q_market_share, ORACLES["market_share"])
+QUERIES["shipmode_priority"] = DriverQuery(
+    q_shipmode_priority, ORACLES["shipmode_priority"]
+)
+QUERIES["disjunctive_revenue"] = DriverQuery(
+    q_disjunctive_revenue, ORACLES["disjunctive_revenue"]
+)
+QUERIES["waiting_suppliers"] = DriverQuery(
+    q_waiting_suppliers, ORACLES["waiting_suppliers"]
+)
+QUERIES["idle_customers"] = DriverQuery(q_idle_customers, ORACLES["idle_customers"])
+QUERIES["segment_set_ops"] = DriverQuery(
+    q_segment_set_ops, ORACLES["segment_set_ops"]
+)
+QUERIES["quantity_quartiles"] = DriverQuery(
+    q_quantity_quartiles, ORACLES["quantity_quartiles"]
+)
+QUERIES["fuzzy_nation_match"] = DriverQuery(
+    q_fuzzy_nation_match, ORACLES["fuzzy_nation_match"]
+)
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in QUERIES.items()}
 
