@@ -177,3 +177,94 @@ def test_phrase_search_adjacency(spark):
     out3 = [r.doc_id for r in
             phrase_search(docs, ["the", "quick", "brown"]).collect()]
     assert out3 == [1]
+
+
+def test_hll_sketch_within_error_bound(spark, sf_dir):
+    """Approximate-operator evidence policy: the HLL estimate must sit
+    within the sketch's published error envelope of the exact twin
+    (lg_k=14 → rse ≈ 0.8%; assert 3σ ≈ 2.5%)."""
+    from tsatool_app_spark.functions.sketches import (
+        exact_distinct_by_group,
+        hll_distinct_by_group,
+    )
+    from tsatool_app_spark.model import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    )
+    exact = {
+        r.day: r.n_distinct
+        for r in exact_distinct_by_group(ev, ["day"], "user_id").collect()
+    }
+    est = {
+        r.day: r.n_distinct_est
+        for r in hll_distinct_by_group(ev, ["day"], "user_id").collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(1, 0.025 * n), (day, est[day], n)
+
+
+def test_hll_rollup_merges_fine_sketches(spark, sf_dir):
+    """Mergeability: per-day sketches unioned to weeks must estimate the
+    week's distinct count (not the sum of days) — the continuous-aggregate
+    distinct shape."""
+    from tsatool_app_spark.functions.sketches import hll_rollup
+    from tsatool_app_spark.model import load_table
+    import pyspark.sql.functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .withColumn("week", F.date_trunc("week", F.col("day")).cast("date").cast("string"))
+        .withColumn("day", F.col("day").cast("string"))
+    )
+    est = {
+        r.week: r.n_distinct_est
+        for r in hll_rollup(ev, ["week", "day"], ["week"], "user_id").collect()
+    }
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy("week")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for week, n in exact.items():
+        assert abs(est[week] - n) <= max(1, 0.025 * n)
+    # distinct-union, not additive: a full week's estimate must be far
+    # below the sum of its per-day exact counts (users repeat daily)
+    days = ev.groupBy("week", "day").agg(F.count_distinct("user_id").alias("n"))
+    sums = {r.week: r.s for r in days.groupBy("week").agg(F.sum("n").alias("s")).collect()}
+    full_weeks = [w for w in exact if sums[w] >= 5 * exact[w]]
+    assert full_weeks, "testdata should have at least one full week"
+    for w in full_weeks:
+        assert est[w] < 0.5 * sums[w]
+
+
+def test_ewma_slicing_invariant_and_exact(spark):
+    """The applyInPandas recurrence must equal a single-threaded reference
+    fold regardless of how Spark partitions the input."""
+    from tsatool_app_spark.operators.timeseries import ewma_by_key
+
+    rows = [
+        (k, i, float((i * 37 + k * 11) % 100) / 7.0)
+        for k in range(5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, value double"
+    ).repartition(13)
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma_by_key(
+            df, key_col="user_id", order_col="event_id", value_col="value"
+        ).collect()
+    }
+    for k in range(5):
+        series = [v for kk, _, v in rows if kk == k]
+        y = series[0]
+        assert got[(k, 0)] == y
+        for i, x in enumerate(series[1:], start=1):
+            y = 0.5 * x + 0.5 * y
+            assert got[(k, i)] == y  # bit-exact, not approx

@@ -411,3 +411,48 @@ def time_weighted_avg(
         ).alias("twa"),
         F.sum("_dt").cast("long").alias("total_seconds"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    *,
+    key_col: str = "statid",
+    order_col: str = "tfrom",
+    value_col: str = "seval",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the genuinely
+    SEQUENTIAL per-key recurrence (y_t = α·x_t + (1−α)·y_{t−1}) no
+    window-function composition can express, so this is the documented
+    applyInPandas case: Arrow ships each key's rows to one Python worker,
+    keys process in parallel, and nothing is sequential ACROSS keys —
+    exactly the shape that scales to 100 TB when the per-key series fits
+    in a worker (here: one station's history).
+
+    The recurrence is an explicit loop over the Arrow batch (a recurrence
+    cannot be vectorized without reassociating float ops).  With α an
+    exact binary rational (default 0.5) every step is two IEEE multiplies
+    and one add in a fixed order, so results are bit-identical to any
+    engine running the same recurrence — the DuckDB oracle uses a
+    recursive CTE (plans/driver_queries.py).
+    """
+    import pandas as pd
+
+    out_fields = df.select(key_col, order_col, value_col).schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", ewma double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = alpha * vals[i] + (1.0 - alpha) * out[i - 1]
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=schema)
+    )

@@ -3142,6 +3142,60 @@ def q_fuzzy_nation_match(spark, sf_dir):
     )
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """Per-key EWMA (operators/timeseries.ewma_by_key): the documented
+    applyInPandas case — a genuinely sequential per-key recurrence,
+    parallel across keys.  α=0.5 makes every step two IEEE multiplies and
+    one add in a fixed order, so the recursive-CTE oracle is bit-identical."""
+    from tsatool_app_spark.operators.timeseries import ewma_by_key
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+    )
+    return ewma_by_key(
+        ev, key_col="user_id", order_col="event_id", value_col="value"
+    ).orderBy("user_id", "event_id")
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """Exact per-day distinct users — the hash-checked twin of the HLL
+    sketch rollup (functions/sketches.py; sketch-vs-exact error bound is
+    pytest-verified per the approximate-operator evidence policy)."""
+    from tsatool_app_spark.functions.sketches import exact_distinct_by_group
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    )
+    return exact_distinct_by_group(ev, ["day"], "user_id")
+
+
+def q_nation_balance_share(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    global aggregate (HAVING against a scalar subquery).  The comparison
+    is decimal cross-multiplied (nation_sum · 22 > global_sum) so the
+    threshold is exact in both engines; the one-row global aggregate is
+    broadcast onto the per-nation aggregate."""
+    s = load_table(spark, sf_dir, "supplier")
+    per_nation = s.groupBy("s_nationkey").agg(
+        F.sum(F.col("s_acctbal").cast(_DEC)).alias("nation_bal")
+    )
+    total = s.agg(F.sum(F.col("s_acctbal").cast(_DEC)).alias("total_bal"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("nation_bal") * 22 > F.col("total_bal"))
+        .select(
+            "s_nationkey",
+            F.col("nation_bal").cast("double").alias("nation_bal"),
+            (F.col("nation_bal").cast("double") / F.col("total_bal").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES["volume_shipping"] = f"""
@@ -3258,6 +3312,45 @@ WITH probes AS (
 )
 SELECT probe, n_name AS matched, dist FROM ranked WHERE rk = 1 ORDER BY probe"""
 
+ORACLES["ewma_smooth"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, event_id, value, rn, value AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.value, b.rn, 0.5 * b.value + 0.5 * r.ewma
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, ewma FROM r ORDER BY user_id, event_id"""
+
+ORACLES["distinct_users_daily"] = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY day ORDER BY day"""
+
+ORACLES["nation_balance_share"] = """
+WITH per_nation AS (
+  SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS nation_bal
+  FROM supplier GROUP BY s_nationkey
+), total AS (
+  SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal FROM supplier
+)
+SELECT s_nationkey,
+       CAST(nation_bal AS DOUBLE) AS nation_bal,
+       CAST(nation_bal AS DOUBLE) / CAST(total_bal AS DOUBLE) AS share
+FROM per_nation, total
+WHERE nation_bal * 22 > total_bal
+ORDER BY s_nationkey"""
+
+QUERIES["ewma_smooth"] = DriverQuery(q_ewma_smooth, ORACLES["ewma_smooth"])
+QUERIES["distinct_users_daily"] = DriverQuery(
+    q_distinct_users_daily, ORACLES["distinct_users_daily"]
+)
+QUERIES["nation_balance_share"] = DriverQuery(
+    q_nation_balance_share, ORACLES["nation_balance_share"]
+)
 QUERIES["volume_shipping"] = DriverQuery(q_volume_shipping, ORACLES["volume_shipping"])
 QUERIES["market_share"] = DriverQuery(q_market_share, ORACLES["market_share"])
 QUERIES["shipmode_priority"] = DriverQuery(
