@@ -227,3 +227,30 @@ def test_near_dedup_survivors(spark):
     )
     kept = sorted(r.doc_id for r in near_dedup_survivors(docs, pairs).collect())
     assert kept == [1, 4, 5]
+
+
+def test_leakage_safe_split_cluster_invariant(spark):
+    """Every member of a near-dup cluster lands in the SAME split, and
+    singleton docs split by their own id."""
+    from tsatool_app_spark.functions.sampling import hash_bucket, leakage_safe_split
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} -> 1, {10,11} -> 10
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, component long"
+    )
+    out = {r.doc_id: (r.cluster, r.split)
+           for r in leakage_safe_split(docs, comps).collect()}
+    assert len(out) == 100
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert out[5][0] == 5  # singleton keys on own id
+    # split fractions: md5-bucket < 80 / < 90 / rest
+    b = {r.doc_id: r.b for r in docs.select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()}
+    for d in (4, 5, 6, 50):
+        want = "train" if b[d] < 80 else ("val" if b[d] < 90 else "test")
+        assert out[d][1] == want

@@ -407,3 +407,78 @@ def test_streaming_incremental_rollup_matches_batch(spark, tmp_path):
     got, want = as_map(folded), as_map(full)
     assert got == want
     assert got[1] == (3, 70.0, 10.0, 40.0, 70.0 / 3)
+
+
+def test_streaming_distinct_sketches_match_exact_and_are_redelivery_safe(
+    spark, tmp_path
+):
+    """HLL sketch fold: (a) estimates track the exact distinct count within
+    the lg_k=14 error bound after folding micro-batches; (b) re-folding an
+    already-seen batch (at-least-once re-delivery) does NOT inflate the
+    estimate — the property a count-based fold cannot have."""
+    from tsatool_app_spark.streaming.distinct_stream import (
+        fold_sketches_into_snapshot,
+        read_distinct_estimates,
+    )
+
+    snap = str(tmp_path / "sketches")
+    # 3 batches with overlapping ids per key: key 1 sees ids 0..59,
+    # key 2 sees even ids 0..98 (50 distinct)
+    batches = [
+        [(1, i) for i in range(0, 40)] + [(2, 2 * i) for i in range(0, 30)],
+        [(1, i) for i in range(20, 60)] + [(2, 2 * i) for i in range(10, 50)],
+        [(1, i) for i in range(0, 10)],
+    ]
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "statid int, obs_id long")
+        fold_sketches_into_snapshot(bdf, snap, ["statid"], "obs_id")
+
+    est = {
+        r.statid: r.n_distinct_est
+        for r in read_distinct_estimates(spark, snap, ["statid"]).collect()
+    }
+    assert abs(est[1] - 60) <= max(1, 0.025 * 60)
+    assert abs(est[2] - 50) <= max(1, 0.025 * 50)
+
+    # re-deliver batch 0 verbatim: estimates must be unchanged (idempotent)
+    bdf = spark.createDataFrame(batches[0], "statid int, obs_id long")
+    fold_sketches_into_snapshot(bdf, snap, ["statid"], "obs_id")
+    est2 = {
+        r.statid: r.n_distinct_est
+        for r in read_distinct_estimates(spark, snap, ["statid"]).collect()
+    }
+    assert est2 == est
+
+
+def test_streaming_distinct_counts_query(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch: the query folds files
+    into the sketch snapshot and estimates match the batch exact count."""
+    from tsatool_app_spark.streaming.distinct_stream import (
+        read_distinct_estimates,
+        streaming_distinct_counts,
+    )
+
+    src = str(tmp_path / "obs")
+    snap = str(tmp_path / "snapshot")
+    batches = [
+        [(0, 1, i, 1.0) for i in range(50)],
+        [(1, 1, i, 1.0) for i in range(25, 75)],
+        [(2, 2, i, 1.0) for i in range(10)],
+    ]
+    for i, rows in enumerate(batches):
+        write_obs_batch(spark, src, rows, i)
+        stream = stream_observations(
+            spark, src, schema="tfrom timestamp, statid int, seid int, seval float"
+        )
+        q = streaming_distinct_counts(
+            stream, snap, keys=["statid"], id_col="seid",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    est = {
+        r.statid: r.n_distinct_est
+        for r in read_distinct_estimates(spark, snap, ["statid"]).collect()
+    }
+    assert abs(est[1] - 75) <= max(1, 0.025 * 75)
+    assert abs(est[2] - 10) <= 1

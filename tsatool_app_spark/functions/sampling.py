@@ -69,3 +69,41 @@ def weighted_sample_by_group(
             raise ValueError(f"rate for {g!r} must be in [0, {buckets}]")
         rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
     return df.where(b < rate)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment keyed on the near-duplicate CLUSTER, not
+    the document: hashing doc ids would scatter near-identical documents
+    across splits and leak eval data into training — the failure mode
+    cluster-level dedup exists to prevent.  ``components`` is the
+    ``connected_components`` output over verified near-dup pairs
+    (functions/dedup.py); documents in no cluster are their own singleton
+    cluster (coalesce to own id), so the join is a LEFT join and the
+    split covers every document.
+
+    Scale shape: components is bounded by near-dup density (≪ corpus), so
+    the join broadcasts or shuffles ids only; the split itself is the same
+    zero-shuffle md5 bucket as every sampler here.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    b = hash_bucket(F.col("cluster"))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("cluster", F.coalesce("component", F.col(id_col)).cast("long"))
+        .select(id_col, "cluster", split.alias("split"))
+    )

@@ -3142,6 +3142,30 @@ def q_fuzzy_nation_match(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (functions/sampling.py): the split
+    key is the near-dup CLUSTER (connected components over verified LSH
+    pairs), so near-identical documents can never straddle splits.  The
+    full pipeline — MinHash LSH → exact-Jaccard verify → components →
+    cluster-keyed md5 split — in one DAG; oracle recomputes the closure
+    with a recursive CTE over the exact all-pairs edge set."""
+    from tsatool_app_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from tsatool_app_spark.functions.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    verified = (
+        ngram_jaccard_pairs(docs, cands)
+        .where(F.col("jaccard") >= 0.85)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(verified)
+    return leakage_safe_split(docs, comps).orderBy("doc_id")
+
+
 def q_ewma_smooth(spark, sf_dir):
     """Per-key EWMA (operators/timeseries.ewma_by_key): the documented
     applyInPandas case — a genuinely sequential per-key recurrence,
@@ -3344,6 +3368,46 @@ FROM per_nation, total
 WHERE nation_bal * 22 > total_bal
 ORDER BY s_nationkey"""
 
+ORACLES["leakage_safe_split"] = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+),
+sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+),
+clustered AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster,
+       CASE WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::INT % 100 < 80
+              THEN 'train'
+            WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::INT % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM clustered ORDER BY doc_id"""
+
+QUERIES["leakage_safe_split"] = DriverQuery(
+    q_leakage_safe_split, ORACLES["leakage_safe_split"]
+)
 QUERIES["ewma_smooth"] = DriverQuery(q_ewma_smooth, ORACLES["ewma_smooth"])
 QUERIES["distinct_users_daily"] = DriverQuery(
     q_distinct_users_daily, ORACLES["distinct_users_daily"]

@@ -23,3 +23,15 @@ from tsatool_app_spark.streaming.incremental_stream import (
 )
 
 __all__ += ["fold_batch_into_snapshot", "streaming_incremental_rollup"]
+
+from tsatool_app_spark.streaming.distinct_stream import (
+    fold_sketches_into_snapshot,
+    read_distinct_estimates,
+    streaming_distinct_counts,
+)
+
+__all__ += [
+    "fold_sketches_into_snapshot",
+    "read_distinct_estimates",
+    "streaming_distinct_counts",
+]
