@@ -268,3 +268,18 @@ def test_ewma_slicing_invariant_and_exact(spark):
         for i, x in enumerate(series[1:], start=1):
             y = 0.5 * x + 0.5 * y
             assert got[(k, i)] == y  # bit-exact, not approx
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """3-iteration fixed-point PageRank on an undirected star graph —
+    compared against the recurrence computed by hand (int64 micro-units,
+    so equality is exact)."""
+    from tsatool_app_spark.operators.graph import pagerank_fixed_point
+
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    ).repartition(7)
+    got = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=3).collect()}
+    # n=4, r0=250000, jump=37500; leaves symmetric
+    assert got == {1: 620812, 2: 126395, 3: 126395, 4: 126395}

@@ -3142,6 +3142,63 @@ def q_fuzzy_nation_match(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    supplier↔customer transaction graph, 3 iterations.  Int64 micro-unit
+    arithmetic makes every step order-independent, so the unrolled-CTE
+    DuckDB oracle is exactly equal — the iterative-algorithm class with a
+    real hash-check, not a rows-only pass."""
+    from tsatool_app_spark.operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=3).orderBy("node")
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Generated from the SAME recurrence constants as the Spark
+    implementation so the two cannot drift."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+consts AS (
+  SELECT CAST(1000000 // count(*) AS BIGINT) AS r0,
+         CAST((15 * (1000000 // count(*))) // 100 AS BIGINT) AS jump
+  FROM nodes
+),
+pr0 AS (SELECT node, r0 AS rank FROM nodes, consts)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f""",
+pr{k} AS (
+  SELECT nd.node,
+         (SELECT jump FROM consts) + (85 * COALESCE(s.contrib, 0)) // 100 AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank // d.deg) AS contrib
+    FROM e JOIN pr{k - 1} p ON e.src = p.node JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON nd.node = s.node
+)""")
+    return head + "".join(its) + f"""
+SELECT node, CAST(rank AS BIGINT) AS rank FROM pr{iters} ORDER BY node"""
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split (functions/sampling.py): the split
     key is the near-dup CLUSTER (connected components over verified LSH
@@ -3405,6 +3462,9 @@ SELECT doc_id, cluster,
             ELSE 'test' END AS split
 FROM clustered ORDER BY doc_id"""
 
+ORACLES["pagerank"] = _pagerank_oracle_sql(3)
+
+QUERIES["pagerank"] = DriverQuery(q_pagerank, ORACLES["pagerank"])
 QUERIES["leakage_safe_split"] = DriverQuery(
     q_leakage_safe_split, ORACLES["leakage_safe_split"]
 )
