@@ -3074,6 +3074,89 @@ def q_idle_customers(spark, sf_dir):
     )
 
 
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue ranking — customers by revenue of
+    returned items in one quarter, top 20.  Fact join shuffles once; the
+    customer/nation dims broadcast; deterministic tiebreak on custkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the MAXIMUM quarterly
+    revenue — group aggregate compared against its own scalar max.  The
+    comparison is on the DECIMAL total (exact), so ties and the winner
+    are engine-identical; the one-row max is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_col()).alias("total"))
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (IN-subquery over a grouped HAVING), re-joined to customers, top 100.
+    The HAVING side plans as a semi-join of orders against the aggregated
+    lineitem — the aggregate, not the raw fact, crosses the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey", "qty")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_segment_set_ops(spark, sf_dir):
     """Set operators as first-class relational surface: users with a
     big-ticket purchase AND a high-value click but no severe error —
@@ -3363,6 +3446,53 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY cust_group ORDER BY cust_group"""
+
+ORACLES["returned_item_revenue"] = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+ORACLES["top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total = (SELECT MAX(total) FROM revenue)
+ORDER BY s_suppkey"""
+
+ORACLES["large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+QUERIES["returned_item_revenue"] = DriverQuery(
+    q_returned_item_revenue, ORACLES["returned_item_revenue"]
+)
+QUERIES["top_supplier"] = DriverQuery(q_top_supplier, ORACLES["top_supplier"])
+QUERIES["large_volume_orders"] = DriverQuery(
+    q_large_volume_orders, ORACLES["large_volume_orders"]
+)
 
 ORACLES["segment_set_ops"] = """
 SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 200.0
