@@ -3199,6 +3199,71 @@ def q_quantity_quartiles(spark, sf_dir):
     )
 
 
+def q_window_rank_suite(spark, sf_dir):
+    """Ranking-window parity in one pass: rank, dense_rank, percent_rank,
+    cume_dist over the same (partition, order) spec — one shuffle, one
+    sort, all four functions share the window frame.  Floats in
+    percent_rank/cume_dist are exact (small-integer ratios)."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .where(F.col("rk") <= 5)
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+def q_calendar_rollup(spark, sf_dir):
+    """Calendar-semantics parity: revenue by (year, quarter, ISO day of
+    week).  Spark's dayofweek is 1=Sunday; the oracle maps DuckDB's
+    isodow onto the same numbering, pinning the cross-engine calendar
+    convention explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_year", "o_quarter", "o_dow")
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function parity on one projection: initcap, lpad,
+    translate, substring-split, reverse, and conditional classification —
+    all JVM-side Column expressions, no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.initcap(F.lower(F.col("c_name"))).alias("name_title"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+            F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_xlate"),
+            F.substring_index(F.col("c_name"), "#", -1).alias("name_suffix"),
+            F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+            F.when(F.length("c_name") % 2 == 0, "even").otherwise("odd").alias(
+                "name_parity"
+            ),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
 def q_fuzzy_nation_match(spark, sf_dir):
     """Edit-distance fuzzy matching (entity-resolution kernel): corrupted
     nation-name probes (deterministic one-char deletion) matched to the
@@ -3508,6 +3573,48 @@ SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS q50,
        quantile_cont(l_quantity, 0.75) AS q75
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+ORACLES["window_rank_suite"] = """
+WITH w AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(rank() OVER win AS BIGINT) AS rk,
+         CAST(dense_rank() OVER win AS BIGINT) AS drk,
+         percent_rank() OVER win AS prk,
+         cume_dist() OVER win AS cd
+  FROM supplier
+  WINDOW win AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+)
+SELECT * FROM w WHERE rk <= 5 ORDER BY s_nationkey, s_suppkey"""
+
+ORACLES["calendar_rollup"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(isodow(o_orderdate) % 7 + 1 AS BIGINT) AS o_dow,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_year, o_quarter, o_dow
+ORDER BY o_year, o_quarter, o_dow"""
+
+ORACLES["string_funcs"] = """
+SELECT c_custkey,
+       -- DuckDB lacks initcap; Customer#000000001 has a single word, so
+       -- title-casing == ucfirst(lower(name))
+       upper(substring(lower(c_name), 1, 1)) || substring(lower(c_name), 2)
+         AS name_title,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_xlate,
+       CASE WHEN position('#' IN c_name) = 0 THEN c_name
+            ELSE array_extract(string_split(c_name, '#'), -1) END AS name_suffix,
+       reverse(c_mktsegment) AS seg_rev,
+       CASE WHEN length(c_name) % 2 = 0 THEN 'even' ELSE 'odd' END AS name_parity
+FROM customer ORDER BY c_custkey LIMIT 500"""
+
+QUERIES["window_rank_suite"] = DriverQuery(
+    q_window_rank_suite, ORACLES["window_rank_suite"]
+)
+QUERIES["calendar_rollup"] = DriverQuery(q_calendar_rollup, ORACLES["calendar_rollup"])
+QUERIES["string_funcs"] = DriverQuery(q_string_funcs, ORACLES["string_funcs"])
 
 ORACLES["fuzzy_nation_match"] = """
 WITH probes AS (
