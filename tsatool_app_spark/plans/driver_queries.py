@@ -3264,6 +3264,71 @@ def q_string_funcs(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE, operators/olap.py):
+    two independent single-column groupings + grand total in ONE
+    aggregate pass, with per-column grouping() flags — the portable way
+    to label subtotal levels (bit order of grouping_id() differs across
+    engines; per-column flags do not)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(seg) AS BIGINT) AS g_seg,
+               coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(seg AS STRING), 'ALL') AS seg_label,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM (SELECT event_type, user_id % 10 AS seg, value FROM _gs_events)
+        GROUP BY GROUPING SETS ((event_type), (seg), ())
+        ORDER BY g_type, g_seg, etype, seg_label
+        """
+    )
+
+
+def q_null_semantics(spark, sf_dir):
+    """NULL-semantics parity pinned end to end: a derived nullable column,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), NULLIF, a COALESCE
+    chain, and — observable through the LIMIT — explicit NULLS LAST
+    ordering (Spark default is nulls-first ASC, DuckDB nulls-last: left
+    implicit, the same query silently selects different rows)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    nv = F.when(F.col("value") < 250.0, F.lit(None)).otherwise(F.col("value"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            nv.alias("nullable_val"),
+            nv.eqNullSafe(F.lit(None).cast("double")).alias("is_missing"),
+            F.nullif(F.col("user_id"), F.lit(7)).cast("long").alias("uid_nz"),
+            F.coalesce(nv, F.col("value") * -1).alias("filled"),
+        )
+        .orderBy(F.col("nullable_val").asc_nulls_last(), "event_id")
+        .limit(200)
+    )
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array/higher-order-function parity over the embedding column: size,
+    min/max, sorted prefix, lambda filter count.  float32 values widen to
+    identical float64 in both engines, so comparisons are exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.array_min("embedding").cast("double").alias("vmin"),
+            F.array_max("embedding").cast("double").alias("vmax"),
+            F.slice(F.array_sort("embedding"), 1, 3)
+            .cast("array<double>")
+            .alias("bottom3"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        )
+        .orderBy("vec_id")
+        .limit(500)
+    )
+
+
 def q_fuzzy_nation_match(spark, sf_dir):
     """Edit-distance fuzzy matching (entity-resolution kernel): corrupted
     nation-name probes (deterministic one-char deletion) matched to the
@@ -3615,6 +3680,41 @@ QUERIES["window_rank_suite"] = DriverQuery(
 )
 QUERIES["calendar_rollup"] = DriverQuery(q_calendar_rollup, ORACLES["calendar_rollup"])
 QUERIES["string_funcs"] = DriverQuery(q_string_funcs, ORACLES["string_funcs"])
+
+ORACLES["grouping_sets"] = """
+SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(seg) AS BIGINT) AS g_seg,
+       coalesce(event_type, 'ALL') AS etype,
+       coalesce(CAST(seg AS VARCHAR), 'ALL') AS seg_label,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, user_id % 10 AS seg, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (seg), ())
+ORDER BY g_type, g_seg, etype, seg_label"""
+
+ORACLES["null_semantics"] = """
+SELECT event_id, user_id,
+       CASE WHEN value < 250.0 THEN NULL ELSE value END AS nullable_val,
+       (CASE WHEN value < 250.0 THEN NULL ELSE value END)
+         IS NOT DISTINCT FROM NULL AS is_missing,
+       CAST(nullif(user_id, 7) AS BIGINT) AS uid_nz,
+       coalesce(CASE WHEN value < 250.0 THEN NULL ELSE value END, value * -1)
+         AS filled
+FROM events WHERE user_id < 20
+ORDER BY nullable_val ASC NULLS LAST, event_id LIMIT 200"""
+
+ORACLES["array_funcs"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+FROM embeddings ORDER BY vec_id LIMIT 500"""
+
+QUERIES["grouping_sets"] = DriverQuery(q_grouping_sets, ORACLES["grouping_sets"])
+QUERIES["null_semantics"] = DriverQuery(q_null_semantics, ORACLES["null_semantics"])
+QUERIES["array_funcs"] = DriverQuery(q_array_funcs, ORACLES["array_funcs"])
 
 ORACLES["fuzzy_nation_match"] = """
 WITH probes AS (
