@@ -482,3 +482,59 @@ def test_streaming_distinct_counts_query(spark, tmp_path):
     }
     assert abs(est[1] - 75) <= max(1, 0.025 * 75)
     assert abs(est[2] - 10) <= 1
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    pair set the same plan produces in batch mode, regardless of how rows
+    arrive across micro-batches."""
+    import datetime as dt
+
+    from tsatool_app_spark.streaming.join_stream import click_purchase_pairs
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    schema = "user_id int, event_id long, event_type string, ts timestamp, value double"
+    clicks = [
+        (1, 100, "click", sec(0), 0.0),
+        (1, 101, "click", sec(500), 0.0),
+        (1, 102, "click", sec(4000), 0.0),   # outside 1h window of p 200
+        (2, 110, "click", sec(100), 0.0),
+    ]
+    purchases = [
+        (1, 200, "purchase", sec(600), 9.0),   # matches clicks 100, 101
+        (1, 201, "purchase", sec(4100), 5.0),  # matches 101? no (>1h); 102 yes
+        (2, 210, "purchase", sec(90), 3.0),    # click 110 at 100 > 90: no match
+        (3, 220, "purchase", sec(50), 1.0),    # no clicks at all
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    # two arrival orders: all-at-once, and clicks split across batches
+    spark.createDataFrame(clicks[:2], schema).write.parquet(cdir + "/b0")
+    spark.createDataFrame(clicks[2:], schema).write.parquet(cdir + "/b1")
+    spark.createDataFrame(purchases, schema).write.parquet(pdir + "/b0")
+
+    cs = spark.readStream.schema(schema).parquet(cdir + "/*")
+    ps = spark.readStream.schema(schema).parquet(pdir + "/*")
+    out = str(tmp_path / "out")
+    q = (
+        click_purchase_pairs(cs, ps, window_seconds=3600)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = click_purchase_pairs(
+        spark.createDataFrame(clicks, schema),
+        spark.createDataFrame(purchases, schema),
+        window_seconds=3600,
+    )
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert want == {(200, 100), (200, 101), (201, 102)}
+    assert got == want

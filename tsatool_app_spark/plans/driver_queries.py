@@ -3264,6 +3264,25 @@ def q_string_funcs(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Last-click attribution (streaming/join_stream.py run in batch mode —
+    the SAME plan is the watermarked stream-stream interval join): each
+    purchase matched to the user's latest click in the prior 24 h, reduced
+    by one struct-max aggregate.  Oracle: interval self-join + ROW_NUMBER."""
+    from tsatool_app_spark.streaming.join_stream import (
+        attribute_purchases,
+        click_purchase_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = click_purchase_pairs(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_seconds=86400,
+    )
+    return attribute_purchases(pairs).orderBy("purchase_id")
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond ROLLUP/CUBE, operators/olap.py):
     two independent single-column groupings + grand total in ONE
@@ -3680,6 +3699,30 @@ QUERIES["window_rank_suite"] = DriverQuery(
 )
 QUERIES["calendar_rollup"] = DriverQuery(q_calendar_rollup, ORACLES["calendar_rollup"])
 QUERIES["string_funcs"] = DriverQuery(q_string_funcs, ORACLES["string_funcs"])
+
+ORACLES["attribution"] = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
+         c.click_id, c.click_ts
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts > p.purchase_ts - INTERVAL 86400 SECONDS
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY purchase_id ORDER BY click_ts DESC, click_id DESC) AS rn
+  FROM pairs
+)
+SELECT user_id, purchase_id, purchase_ts, amount,
+       click_id AS attributed_click_id, click_ts AS attributed_click_ts
+FROM ranked WHERE rn = 1 ORDER BY purchase_id"""
+
+QUERIES["attribution"] = DriverQuery(q_attribution, ORACLES["attribution"])
 
 ORACLES["grouping_sets"] = """
 SELECT CAST(grouping(event_type) AS BIGINT) AS g_type,

@@ -35,3 +35,10 @@ __all__ += [
     "read_distinct_estimates",
     "streaming_distinct_counts",
 ]
+
+from tsatool_app_spark.streaming.join_stream import (
+    attribute_purchases,
+    click_purchase_pairs,
+)
+
+__all__ += ["click_purchase_pairs", "attribute_purchases"]
