@@ -3283,6 +3283,30 @@ def q_attribution(spark, sf_dir):
     return attribute_purchases(pairs).orderBy("purchase_id")
 
 
+def q_inactive_days(spark, sf_dir):
+    """Calendar anti-join with a GENERATED dense grid: per user, the days
+    in the observation span with no activity.  sequence()+explode builds
+    the grid from the one-row global bounds (broadcast); the anti-join
+    runs against the distinct (user, day) activity set — shuffles bounded
+    by entities × days, never by raw event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    active = ev.distinct()
+    return (
+        users.crossJoin(F.broadcast(grid))
+        .join(active, ["user_id", "day"], "leftanti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_inactive_days"))
+        .orderBy("user_id")
+    )
+
+
 def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond ROLLUP/CUBE, operators/olap.py):
     two independent single-column groupings + grand total in ONE
@@ -3755,6 +3779,27 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM embeddings ORDER BY vec_id LIMIT 500"""
 
+ORACLES["inactive_days"] = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), bounds AS (
+  SELECT min(day) AS mn, max(day) AS mx FROM ev
+), grid AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), active AS (
+  SELECT DISTINCT user_id, day FROM ev
+), users AS (
+  SELECT DISTINCT user_id FROM ev
+)
+SELECT u.user_id, CAST(COUNT(*) AS BIGINT) AS n_inactive_days
+FROM users u CROSS JOIN grid g
+WHERE NOT EXISTS (
+  SELECT 1 FROM active a WHERE a.user_id = u.user_id AND a.day = g.day
+)
+GROUP BY u.user_id ORDER BY u.user_id"""
+
+QUERIES["inactive_days"] = DriverQuery(q_inactive_days, ORACLES["inactive_days"])
 QUERIES["grouping_sets"] = DriverQuery(q_grouping_sets, ORACLES["grouping_sets"])
 QUERIES["null_semantics"] = DriverQuery(q_null_semantics, ORACLES["null_semantics"])
 QUERIES["array_funcs"] = DriverQuery(q_array_funcs, ORACLES["array_funcs"])

@@ -1,0 +1,77 @@
+"""JSON-Lines source/sink — the interchange format LLM corpora actually
+ship in (one JSON document per line, gzip-sharded).
+
+Read path rules, all load-bearing at scale:
+
+- ALWAYS pass an explicit schema.  Schema inference reads the whole
+  input once before the real scan — a 2× pass at 100 TB — and silently
+  widens types from whatever the first files contain.
+- PERMISSIVE mode with a ``_corrupt_record`` column: web-scale JSONL has
+  malformed lines; failing the job on line 40 billion is not an option,
+  and silently dropping them (DROPMALFORMED) hides data loss.  The
+  malformed fraction is a first-class data-quality signal — route it to
+  the quarantine side the same way functions/quality_gate.py does.
+- Compressed shards (.gz) are NOT splittable: one gzip file = one task.
+  The writer therefore shards BEFORE compressing (repartition to a
+  target shard count) so parallelism is chosen at write time — the same
+  reasoning as sources/shard_writer.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Schema-first JSONL scan.  ``schema`` is the DDL of the GOOD fields;
+    a ``_corrupt_record`` string column is appended automatically.  With
+    ``keep_corrupt=False`` malformed lines are filtered out (after being
+    countable upstream); with ``True`` they are kept for quarantine."""
+    full = schema + f", {CORRUPT_COL} string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_records(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The quarantine side: raw text of every malformed line.
+
+    Spark caveat (documented in the JSON datasource): a plan whose scan
+    references ONLY ``_corrupt_record`` is disallowed — and column pruning
+    can reduce e.g. ``.count()`` on this frame to exactly that.  Consume
+    the quarantine with full rows (write it out, or select typed columns
+    alongside the raw line); that is also what a real pipeline does."""
+    return read_jsonl(spark, path, schema, keep_corrupt=True).where(
+        F.col(CORRUPT_COL).isNotNull()
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    shards: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Write JSONL, sharding before compression so downstream read
+    parallelism equals ``shards`` even though gzip is unsplittable."""
+    out = df.repartition(shards) if shards else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
