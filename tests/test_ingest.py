@@ -220,3 +220,27 @@ def test_jsonl_round_trip_and_corrupt_quarantine(spark, tmp_path):
     rows = quarantined.collect()
     assert len(rows) == 2
     assert any("not json at all" in r._corrupt_record for r in rows)
+
+
+def test_jsonl_good_path_prunable_and_parity(spark, tmp_path):
+    """The good-path frame must survive column-pruned plans (.count/.isEmpty)
+    — the corrupt-column-only restriction must not leak to callers — and
+    good + quarantined must partition the input exactly."""
+    import gzip
+    import os
+
+    from tsatool_app_spark.sources.jsonl import corrupt_records, read_jsonl
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    with gzip.open(os.path.join(d, "p.json.gz"), "wt") as f:
+        f.write('{"doc_id": 1, "text": "a"}\n')
+        f.write("garbage\n")
+        f.write('{"doc_id": 2, "text": "b"}\n')
+        f.write("{broken\n")
+    schema = "doc_id long, text string"
+    good = read_jsonl(spark, d, schema)
+    assert good.count() == 2           # would raise before the DROPMALFORMED fix
+    assert not good.isEmpty()
+    n_bad = len(corrupt_records(spark, d, schema).collect())
+    assert good.count() + n_bad == 4

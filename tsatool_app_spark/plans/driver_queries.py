@@ -3296,8 +3296,10 @@ def q_inactive_days(spark, sf_dir):
     grid = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    users = ev.select("user_id").distinct()
-    active = ev.distinct()
+    # ONE full-volume distinct; users derive from it (already tiny), so the
+    # raw table is scanned for bounds + activity only, never a third time
+    active = ev.distinct().localCheckpoint(eager=False)
+    users = active.select("user_id").distinct()
     return (
         users.crossJoin(F.broadcast(grid))
         .join(active, ["user_id", "day"], "leftanti")

@@ -32,20 +32,28 @@ def read_jsonl(
     *,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Schema-first JSONL scan.  ``schema`` is the DDL of the GOOD fields;
-    a ``_corrupt_record`` string column is appended automatically.  With
-    ``keep_corrupt=False`` malformed lines are filtered out (after being
-    countable upstream); with ``True`` they are kept for quarantine."""
-    full = schema + f", {CORRUPT_COL} string"
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
+    """Schema-first JSONL scan.  ``schema`` is the DDL of the GOOD fields.
+
+    ``keep_corrupt=True`` appends a ``_corrupt_record`` column (PERMISSIVE
+    read) for quarantine routing.  The good path reads with DROPMALFORMED
+    instead of filtering a PERMISSIVE scan: a filter on ``_corrupt_record``
+    makes any column-pruned plan over the good frame (``.count()``,
+    ``.isEmpty()``) reference ONLY the corrupt column, which Spark rejects
+    outright [QUERY_ONLY_CORRUPT_RECORD_COLUMN].  Dropping is not silent
+    data loss here because ``corrupt_records`` is the companion view of
+    exactly the dropped lines — route it to a sink next to every ingest
+    (tested count parity in tests/test_ingest.py)."""
     if keep_corrupt:
-        return df
-    return df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        full = schema + f", {CORRUPT_COL} string"
+        return (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+    )
 
 
 def corrupt_records(spark: SparkSession, path: str, schema: str) -> DataFrame:
