@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Scale rehearsal for the r3 warehouse join shapes + EWMA, one decade
-beyond the bench SF: replicate lineitem/orders ``--factor``× (unique keys
-per replica) and re-run the Q7 flow join, the Q21 semi+anti self-join,
-and per-key EWMA over factor× purchase events.
+"""Scale rehearsal for the r3 warehouse join shapes + EWMA + the
+attribution interval join + the HLL sketch rollup, one-two decades beyond
+the bench SF: replicate facts ``--factor``× (unique keys per replica) and
+re-run each operator.
 
 Expectations at factor F (the 100 TB lens):
 - Q7: one fact-fact shuffle join grows linearly; dims stay broadcast →
@@ -114,6 +114,43 @@ def run_ewma(spark, factor: int) -> float:
     return time.time() - t0, n_rows
 
 
+def run_attribution(spark, factor: int):
+    from tsatool_app_spark.streaming.join_stream import (
+        attribute_purchases,
+        click_purchase_pairs,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    big = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias("user_id"),
+        (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+        "event_type", "ts", "value",
+    )
+    t0 = time.time()
+    pairs = click_purchase_pairs(
+        big.where(F.col("event_type") == "click"),
+        big.where(F.col("event_type") == "purchase"),
+        window_seconds=86400,
+    )
+    n = attribute_purchases(pairs).count()
+    return time.time() - t0, n
+
+
+def run_hll(spark, factor: int):
+    from tsatool_app_spark.functions.sketches import hll_rollup
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    big = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("user_id") + F.col("rep") * F.lit(1_000_000)).alias("user_id"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).withColumn("week", F.date_trunc("week", F.col("day")).cast("date"))
+    t0 = time.time()
+    n = hll_rollup(big, ["week", "day"], ["week"], "user_id").count()
+    return time.time() - t0, n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -122,7 +159,8 @@ def main() -> None:
     from tsatool_app_spark.session import get_spark
 
     spark = get_spark("rehearsal-joins")
-    for name, fn in [("q7_flow", run_q7), ("q21_semi_anti", run_q21), ("ewma", run_ewma)]:
+    for name, fn in [("q7_flow", run_q7), ("q21_semi_anti", run_q21), ("ewma", run_ewma),
+                     ("attribution", run_attribution), ("hll_rollup", run_hll)]:
         base_t, base_n = fn(spark, 1)
         big_t, big_n = fn(spark, args.factor)
         print(
