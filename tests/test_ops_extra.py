@@ -283,3 +283,40 @@ def test_pagerank_fixed_point_hand_computed(spark):
     got = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=3).collect()}
     # n=4, r0=250000, jump=37500; leaves symmetric
     assert got == {1: 620812, 2: 126395, 3: 126395, 4: 126395}
+
+
+def test_ancestor_closure_and_subtree_rollup(spark):
+    """Pointer-doubling closure on a known 4-level tree, and the rollup
+    sums exactly the subtree values (decimal-exact)."""
+    from tsatool_app_spark.operators.graph import ancestor_closure, subtree_rollup
+
+    #        1
+    #      /   \
+    #     2     3
+    #    / \     \
+    #   4   5     6
+    #  /
+    # 8
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 1), (4, 2), (5, 2), (6, 3), (8, 4)],
+        "node int, parent int",
+    )
+    closure = {
+        (r.node, r.anc) for r in ancestor_closure(nodes, max_depth=8).collect()
+    }
+    assert closure == {
+        (2, 1), (3, 1), (4, 2), (4, 1), (5, 2), (5, 1),
+        (6, 3), (6, 1), (8, 4), (8, 2), (8, 1),
+    }
+    vals = spark.createDataFrame(
+        [(n, float(n)) for n in (1, 2, 3, 4, 5, 6, 8)], "node int, val double"
+    )
+    got = {
+        r.node: (r.subtree_total, r.subtree_n)
+        for r in subtree_rollup(nodes, vals).collect()
+    }
+    assert got[1] == (29.0, 7)   # whole tree
+    assert got[2] == (19.0, 4)   # 2+4+5+8
+    assert got[4] == (12.0, 2)   # 4+8
+    assert got[8] == (8.0, 1)
+    assert got[3] == (9.0, 2)    # 3+6

@@ -76,3 +76,82 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    *,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Transitive (node, ancestor) closure of a parent-pointer forest by
+    POINTER DOUBLING: round k joins the closure to itself, so reachable
+    depth doubles every round — ⌈log₂ depth⌉ self-joins instead of the
+    depth-many sequential joins a naive climb (or a recursive CTE) costs.
+    For a 64-deep hierarchy that is 6 shuffles, not 64.
+
+    Roots are rows whose parent is NULL or equals the node itself.
+    Output: one row per (node, ancestor) proper pair — the node itself is
+    NOT its own ancestor.  Closure size is nodes × avg-depth; for org/BOM
+    trees (depth ≤ 20) that is a small multiple of the input, and every
+    join is an int-pair hash join checkpointed per round
+    (connected_components rationale above).
+    """
+    base = (
+        nodes.select(
+            F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
+        )
+        .where(F.col("anc").isNotNull() & (F.col("anc") != F.col("node")))
+        .localCheckpoint(eager=False)
+    )
+    closure = base
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        # extend every known pair by every known ancestry of its endpoint
+        step = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                F.col("a.anc") == F.col("b.node"),
+            )
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        new_closure = closure.unionByName(step).distinct().localCheckpoint(
+            eager=False
+        )
+        closure = new_closure
+    return closure
+
+
+def subtree_rollup(
+    nodes: DataFrame,
+    values: DataFrame,
+    *,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    value_col: str = "val",
+) -> DataFrame:
+    """Hierarchy aggregate: for every node, the DECIMAL-exact sum and
+    count over its proper descendants' values plus its own — the org-chart
+    / bill-of-materials rollup.  One closure build + one join + one
+    aggregate; no per-level loop over the data."""
+    closure = ancestor_closure(nodes, id_col=id_col, parent_col=parent_col)
+    v = values.select(F.col(id_col).alias("node"), F.col(value_col).alias("_v"))
+    contributions = closure.select(
+        F.col("anc").alias("node"), F.col("node").alias("src")
+    ).unionByName(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("src"))
+    )
+    return (
+        contributions.join(v, contributions.src == v.node)
+        .select(contributions.node.alias("roll_node"), "_v")
+        .groupBy("roll_node")
+        .agg(
+            F.sum(F.col("_v").cast("decimal(18,2)")).cast("double").alias(
+                "subtree_total"
+            ),
+            F.count(F.lit(1)).alias("subtree_n"),
+        )
+        .select(F.col("roll_node").alias("node"), "subtree_total", "subtree_n")
+    )

@@ -3283,6 +3283,29 @@ def q_attribution(spark, sf_dir):
     return attribute_purchases(pairs).orderBy("purchase_id")
 
 
+def q_org_rollup(spark, sf_dir):
+    """Hierarchy subtree rollup (operators/graph.py): purchase totals over
+    each node's subtree in a synthetic org tree (parent = user div 2).
+    The closure is built by pointer DOUBLING — ⌈log₂ depth⌉ self-joins,
+    not depth-many sequential rounds; the oracle walks the same tree with
+    a recursive CTE.  Decimal-exact per-subtree sums."""
+    from tsatool_app_spark.operators.graph import subtree_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    nodes = (
+        ev.select(F.col("user_id").alias("node"))
+        .distinct()
+        .withColumn("parent", F.expr("node div 2"))
+    )
+    vals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("node"), F.col("value").alias("val")
+    )
+    return (
+        subtree_rollup(nodes, vals, id_col="node", parent_col="parent", value_col="val")
+        .orderBy("node")
+    )
+
+
 def q_inactive_days(spark, sf_dir):
     """Calendar anti-join with a GENERATED dense grid: per user, the days
     in the observation span with no activity.  sequence()+explode builds
@@ -3780,6 +3803,32 @@ SELECT vec_id,
        CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM embeddings ORDER BY vec_id LIMIT 500"""
+
+ORACLES["org_rollup"] = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT user_id AS node FROM events
+), par AS (
+  SELECT node, node // 2 AS parent FROM nodes
+), anc AS (
+  SELECT node, parent AS anc FROM par WHERE parent <> node
+  UNION
+  SELECT a.node, p.parent
+  FROM anc a JOIN par p ON a.anc = p.node
+  WHERE p.parent <> p.node
+), contrib AS (
+  SELECT anc AS node, node AS src FROM anc
+  UNION ALL
+  SELECT node, node AS src FROM nodes
+), vals AS (
+  SELECT user_id AS node, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.node,
+       CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS subtree_total,
+       CAST(COUNT(*) AS BIGINT) AS subtree_n
+FROM contrib c JOIN vals v ON c.src = v.node
+GROUP BY c.node ORDER BY c.node"""
+
+QUERIES["org_rollup"] = DriverQuery(q_org_rollup, ORACLES["org_rollup"])
 
 ORACLES["inactive_days"] = """
 WITH ev AS (
