@@ -244,3 +244,25 @@ def test_jsonl_good_path_prunable_and_parity(spark, tmp_path):
     assert not good.isEmpty()
     n_bad = len(corrupt_records(spark, d, schema).collect())
     assert good.count() + n_bad == 4
+
+
+def test_ingest_jsonl_one_pass_split(spark, tmp_path):
+    """Single-scan ingest: good rows and quarantine written together,
+    partition-separated, and both readable without restrictions."""
+    import gzip
+    import os
+
+    from tsatool_app_spark.sources.jsonl import ingest_jsonl
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    with gzip.open(os.path.join(d, "p.json.gz"), "wt") as f:
+        f.write('{"doc_id": 1, "text": "a"}\n')
+        f.write("garbage line\n")
+        f.write('{"doc_id": 2, "text": "b"}\n')
+    good, bad = ingest_jsonl(
+        spark, d, "doc_id long, text string", str(tmp_path / "out")
+    )
+    assert good.count() == 2 and not good.isEmpty()
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert [r.raw for r in bad.collect()] == ["garbage line"]

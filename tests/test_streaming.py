@@ -396,7 +396,9 @@ def test_streaming_incremental_rollup_matches_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    folded = finalize_aggregate(spark.read.parquet(snap))
+    from tsatool_app_spark.streaming.snapshot_store import read_snapshot
+
+    folded = finalize_aggregate(read_snapshot(spark, snap))
     full = finalize_aggregate(
         partial_aggregate(spark.read.parquet(src), ["statid"], "seval")
     )
@@ -538,3 +540,77 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert want == {(200, 100), (200, 101), (201, 102)}
     assert got == want
+
+
+def test_snapshot_store_crash_safety(spark, tmp_path):
+    """At every instant the pointer names a complete version: a fold that
+    dies mid-write (simulated by a leftover partial version directory and
+    a stale pointer temp file) leaves the previous committed state
+    readable and the next fold succeeds."""
+    import os
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    v1 = publish_snapshot(df1, root)
+    assert [r.v for r in read_snapshot(spark, root).collect()] == [10]
+
+    # simulate a crash mid-publish: partial version dir + stale tmp pointer
+    os.makedirs(os.path.join(root, "v-99"))
+    with open(os.path.join(root, "CURRENT.tmp"), "w") as f:
+        f.write("v-99")
+    # reader is unaffected — pointer still names the committed version
+    assert [r.v for r in read_snapshot(spark, root).collect()] == [10]
+
+    # next publish supersedes cleanly and prunes both old + crashed dirs
+    df2 = spark.createDataFrame([(1, 20)], "k int, v int")
+    v2 = publish_snapshot(df2, root)
+    assert v2 != v1
+    assert [r.v for r in read_snapshot(spark, root).collect()] == [20]
+    leftovers = [d for d in os.listdir(root) if d.startswith("v-") and d != v2]
+    assert leftovers == []
+
+
+def test_streaming_distinct_lg_k_mismatch_is_a_clear_error(spark, tmp_path):
+    import pytest as _pytest
+
+    from tsatool_app_spark.streaming.distinct_stream import (
+        fold_sketches_into_snapshot,
+    )
+
+    snap = str(tmp_path / "s")
+    bdf = spark.createDataFrame([(1, 1)], "statid int, obs_id long")
+    fold_sketches_into_snapshot(bdf, snap, ["statid"], "obs_id", lg_k=14)
+    with _pytest.raises(ValueError, match="lg_k"):
+        fold_sketches_into_snapshot(bdf, snap, ["statid"], "obs_id", lg_k=12)
+
+
+def test_attribution_keep_unmatched_batch(spark):
+    """keep_unmatched=True emits purchases with no qualifying click as
+    null-click rows, so attributed + unattributed == all purchases."""
+    import datetime as dt
+
+    from tsatool_app_spark.streaming.join_stream import (
+        attribute_purchases,
+        click_purchase_pairs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    schema = "user_id int, event_id long, event_type string, ts timestamp, value double"
+    clicks = spark.createDataFrame([(1, 100, "click", sec(0), 0.0)], schema)
+    purchases = spark.createDataFrame(
+        [(1, 200, "purchase", sec(600), 9.0),   # matched
+         (2, 210, "purchase", sec(90), 3.0)],   # no clicks at all
+        schema,
+    )
+    out = attribute_purchases(
+        click_purchase_pairs(clicks, purchases, window_seconds=3600,
+                             keep_unmatched=True)
+    )
+    got = {r.purchase_id: r.attributed_click_id for r in out.collect()}
+    assert got == {200: 100, 210: None}

@@ -37,7 +37,7 @@ def pagerank_fixed_point(
     edge list (pass both directions for an undirected graph).
 
     Exact recurrence (all ops int64, engine-portable):
-        r0       = SCALE div n
+        r0       = scale div n          (scale auto-widens, see below)
         jump     = (15 · r0) div 100
         contrib  = Σ_{u→v} (r_u div deg_u)
         r'_v     = jump + (85 · contrib) div 100
@@ -45,14 +45,39 @@ def pagerank_fixed_point(
     Nodes without in-edges keep jump as their whole rank (contrib = 0,
     via left join).  ``n`` is the distinct node count — a bounded scalar,
     the only driver-side value.
+
+    Fixed-point width: at SCALE=10⁶ a graph with more than 10⁶ nodes
+    would start at r0 = 0 and silently stay all-zero, so the unit scale
+    widens to keep r0 ≥ 10⁶ per node (total mass n·r0 ≤ ~n·2·10⁶ — far
+    inside int64 up to ~10¹² nodes).  Callers needing cross-engine
+    hash-equality must use the same scale on the oracle side; the driver
+    query pins n ≪ 10⁶ so the default SCALE is in force there.
+
+    The edge list, node set, and degree table are eagerly checkpointed
+    ONCE — each iteration re-reads them from block storage instead of
+    re-deriving the distinct/aggregate from the raw edges every round.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).unionByName(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if not iters or iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     n = nodes.count()
-    r0 = SCALE // n
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    # default SCALE until it would underflow (n > SCALE nodes), then widen
+    # so r0 = scale // n stays >= SCALE instead of collapsing to 0
+    scale = SCALE if n <= SCALE else n * SCALE
+    r0 = scale // n
     jump = (15 * r0) // 100
 
     ranks = nodes.withColumn("rank", F.lit(r0).cast("long"))
@@ -86,16 +111,22 @@ def ancestor_closure(
     max_depth: int = 64,
 ) -> DataFrame:
     """Transitive (node, ancestor) closure of a parent-pointer forest by
-    POINTER DOUBLING: round k joins the closure to itself, so reachable
-    depth doubles every round — ⌈log₂ depth⌉ self-joins instead of the
-    depth-many sequential joins a naive climb (or a recursive CTE) costs.
-    For a 64-deep hierarchy that is 6 shuffles, not 64.
+    POINTER DOUBLING with a jump table: round k holds ``far`` = the pairs
+    at distance exactly 2^k; the closure (distances 1..2^k) extends by
+    ``closure ⋈ far`` to reach 1..2^(k+1).  ⌈log₂ depth⌉ join rounds
+    instead of depth-many sequential joins — 6 shuffles for a 64-deep
+    tree — and, because each node has at most ONE ancestor at a given
+    distance in a forest, every new pair is generated exactly once: no
+    duplicate blowup and no distinct() needed (the closure⋈closure
+    variant regenerates each pair once per split point — O(depth²)
+    pre-distinct volume).  Rounds stop early once ``far`` empties (the
+    deepest chain is exhausted), so a shallow tree costs ⌈log₂ its own
+    depth⌉ rounds regardless of ``max_depth``.
 
     Roots are rows whose parent is NULL or equals the node itself.
     Output: one row per (node, ancestor) proper pair — the node itself is
-    NOT its own ancestor.  Closure size is nodes × avg-depth; for org/BOM
-    trees (depth ≤ 20) that is a small multiple of the input, and every
-    join is an int-pair hash join checkpointed per round
+    NOT its own ancestor.  Closure size is nodes × avg-depth; every join
+    is an int-pair hash join checkpointed per round
     (connected_components rationale above).
     """
     base = (
@@ -103,24 +134,32 @@ def ancestor_closure(
             F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
         )
         .where(F.col("anc").isNotNull() & (F.col("anc") != F.col("node")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    closure = base
+    closure = base  # distances 1..2^k
+    far = base      # distance exactly 2^k
     rounds = max(1, (max_depth - 1).bit_length())
+
+    def _renamed(df):
+        # fresh attribute ids for the build side of a self-join (alias-
+        # qualified self-joins on a checkpointed plan trip attribute
+        # resolution under AQE)
+        return df.select(F.col("node").alias("_bn"), F.col("anc").alias("_ba"))
+
     for _ in range(rounds):
-        # extend every known pair by every known ancestry of its endpoint
-        step = (
-            closure.alias("a")
-            .join(
-                closure.alias("b"),
-                F.col("a.anc") == F.col("b.node"),
-            )
-            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        ext = (
+            closure.join(_renamed(far), F.col("anc") == F.col("_bn"))
+            .select("node", F.col("_ba").alias("anc"))
+            .localCheckpoint(eager=True)
         )
-        new_closure = closure.unionByName(step).distinct().localCheckpoint(
-            eager=False
+        if ext.isEmpty():
+            break
+        closure = closure.unionByName(ext).localCheckpoint(eager=True)
+        far = (
+            far.join(_renamed(far), F.col("anc") == F.col("_bn"))
+            .select("node", F.col("_ba").alias("anc"))
+            .localCheckpoint(eager=True)
         )
-        closure = new_closure
     return closure
 
 
@@ -132,26 +171,30 @@ def subtree_rollup(
     parent_col: str = "parent",
     value_col: str = "val",
 ) -> DataFrame:
-    """Hierarchy aggregate: for every node, the DECIMAL-exact sum and
+    """Hierarchy aggregate: for EVERY node, the DECIMAL-exact sum and
     count over its proper descendants' values plus its own — the org-chart
     / bill-of-materials rollup.  One closure build + one join + one
-    aggregate; no per-level loop over the data."""
+    aggregate; no per-level loop over the data.
+
+    Nodes whose subtree holds no value rows still appear, with
+    subtree_total 0.0 / subtree_n 0 (left join + coalesce) — dropping
+    them would silently desync any caller re-joining on the node table."""
     closure = ancestor_closure(nodes, id_col=id_col, parent_col=parent_col)
-    v = values.select(F.col(id_col).alias("node"), F.col(value_col).alias("_v"))
+    v = values.select(F.col(id_col).alias("vnode"), F.col(value_col).alias("_v"))
     contributions = closure.select(
         F.col("anc").alias("node"), F.col("node").alias("src")
     ).unionByName(
         nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("src"))
     )
     return (
-        contributions.join(v, contributions.src == v.node)
+        contributions.join(v, contributions.src == v.vnode, "left")
         .select(contributions.node.alias("roll_node"), "_v")
         .groupBy("roll_node")
         .agg(
-            F.sum(F.col("_v").cast("decimal(18,2)")).cast("double").alias(
-                "subtree_total"
-            ),
-            F.count(F.lit(1)).alias("subtree_n"),
+            F.coalesce(
+                F.sum(F.col("_v").cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+            ).alias("subtree_total"),
+            F.count(F.col("_v")).alias("subtree_n"),
         )
         .select(F.col("roll_node").alias("node"), "subtree_total", "subtree_n")
     )

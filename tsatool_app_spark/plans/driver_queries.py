@@ -3279,6 +3279,7 @@ def q_attribution(spark, sf_dir):
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
         window_seconds=86400,
+        keep_unmatched=True,  # unattributed purchases appear with null click
     )
     return attribute_purchases(pairs).orderBy("purchase_id")
 
@@ -3759,7 +3760,7 @@ WITH c AS (
 ), pairs AS (
   SELECT p.user_id, p.purchase_id, p.purchase_ts, p.amount,
          c.click_id, c.click_ts
-  FROM p JOIN c ON c.user_id = p.user_id
+  FROM p LEFT JOIN c ON c.user_id = p.user_id
    AND c.click_ts <= p.purchase_ts
    AND c.click_ts > p.purchase_ts - INTERVAL 86400 SECONDS
 ), ranked AS (
@@ -3823,9 +3824,10 @@ WITH RECURSIVE nodes AS (
   SELECT user_id AS node, value FROM events WHERE event_type = 'purchase'
 )
 SELECT c.node,
-       CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS subtree_total,
-       CAST(COUNT(*) AS BIGINT) AS subtree_n
-FROM contrib c JOIN vals v ON c.src = v.node
+       COALESCE(CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+         AS subtree_total,
+       CAST(COUNT(v.value) AS BIGINT) AS subtree_n
+FROM contrib c LEFT JOIN vals v ON c.src = v.node
 GROUP BY c.node ORDER BY c.node"""
 
 QUERIES["org_rollup"] = DriverQuery(q_org_rollup, ORACLES["org_rollup"])

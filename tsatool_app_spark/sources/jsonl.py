@@ -83,3 +83,42 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    in_path: str,
+    schema: str,
+    out_path: str,
+    *,
+    quarantine_subdir: str = "_quarantine",
+) -> tuple[DataFrame, DataFrame]:
+    """ONE-pass ingest: a single PERMISSIVE scan writes good rows AND the
+    corrupt quarantine, partitioned on the corrupt flag — calling
+    ``read_jsonl`` + ``corrupt_records`` on the same path parses the
+    input twice, which is the 2× cost this module's own docstring warns
+    about.  Returns (good, quarantine) DataFrames re-read from the
+    written parquet (cheap, columnar, and no longer subject to the
+    corrupt-column pruning restriction).
+
+    Layout: ``out_path/_is_bad=false/`` holds typed good rows;
+    ``out_path/_is_bad=true/`` holds the raw malformed lines."""
+    full = schema + f", {CORRUPT_COL} string"
+    scan = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(in_path)
+    )
+    (
+        scan.withColumn("_is_bad", F.col(CORRUPT_COL).isNotNull())
+        .write.mode("overwrite")
+        .partitionBy("_is_bad")
+        .parquet(out_path)
+    )
+    stored = spark.read.parquet(out_path)
+    # partition values come back as strings (no boolean type inference)
+    is_bad = F.col("_is_bad").cast("string") == "true"
+    good = stored.where(~is_bad).drop("_is_bad", CORRUPT_COL)
+    bad = stored.where(is_bad).select(F.col(CORRUPT_COL).alias("raw"))
+    return good, bad

@@ -10,21 +10,34 @@ estimates are independent of micro-batch boundaries, arrival order, AND
 re-delivery (at-least-once safe — re-folding the same rows cannot inflate
 the estimate, unlike a count-based fold).
 
-Same atomic-swap snapshot contract as incremental_stream.py.
+Durability: snapshots publish through the versioned pointer-file store
+(streaming/snapshot_store.py) — crash-safe at every instant; see that
+module for the protocol and why a two-rename directory swap is not it.
+
+The sketch parameter ``lg_k`` is recorded IN the snapshot rows and
+validated on every fold: DataSketches refuses to union sketches of
+different lgConfigK, and without the explicit check a config change
+between runs would surface as an opaque mid-stream union error instead
+of a clear message.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tsatool_app_spark.streaming.snapshot_store import (
+    publish_snapshot,
+    read_snapshot,
+)
 
-def sketch_batch(batch_df: DataFrame, keys: list[str], id_col: str, lg_k: int = 14) -> DataFrame:
+
+def sketch_batch(
+    batch_df: DataFrame, keys: list[str], id_col: str, lg_k: int = 14
+) -> DataFrame:
     return batch_df.groupBy(*keys).agg(
-        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch")
+        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch"),
+        F.lit(lg_k).alias("lg_k"),
     )
 
 
@@ -38,34 +51,37 @@ def fold_sketches_into_snapshot(
     """Union this batch's per-key sketches into the snapshot."""
     spark = batch_df.sparkSession
     batch_sketches = sketch_batch(batch_df, keys, id_col, lg_k)
-    if os.path.isdir(snapshot_path):
-        current = spark.read.parquet(snapshot_path)
+    current = read_snapshot(spark, snapshot_path)
+    if current is not None:
+        stored = current.select(F.min("lg_k"), F.max("lg_k")).first()
+        if stored[0] is not None and not (stored[0] == stored[1] == lg_k):
+            raise ValueError(
+                f"snapshot at {snapshot_path} holds lg_k={stored[0]} sketches; "
+                f"refusing to fold lg_k={lg_k} (HLL unions require equal "
+                "lgConfigK — restart with the original lg_k or a fresh path)"
+            )
         merged = (
             current.unionByName(batch_sketches)
             .groupBy(*keys)
-            .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+            .agg(
+                F.hll_union_agg(F.col("sketch")).alias("sketch"),
+                F.min("lg_k").alias("lg_k"),
+            )
         )
     else:
         merged = batch_sketches
-    tmp = snapshot_path + "._new"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = snapshot_path + "._old"
-    if os.path.isdir(snapshot_path):
-        os.rename(snapshot_path, old)
-    os.rename(tmp, snapshot_path)
-    shutil.rmtree(old, ignore_errors=True)
+    publish_snapshot(merged, snapshot_path)
 
 
 def read_distinct_estimates(spark, snapshot_path: str, keys: list[str]) -> DataFrame:
     """Point-in-time view: estimate per key from the sketch snapshot."""
-    return (
-        spark.read.parquet(snapshot_path)
-        .select(
-            *keys,
-            F.hll_sketch_estimate(F.col("sketch")).alias("n_distinct_est"),
-        )
-        .orderBy(*keys)
-    )
+    snap = read_snapshot(spark, snapshot_path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot at {snapshot_path}")
+    return snap.select(
+        *keys,
+        F.hll_sketch_estimate(F.col("sketch")).alias("n_distinct_est"),
+    ).orderBy(*keys)
 
 
 def streaming_distinct_counts(

@@ -13,20 +13,23 @@ recompute in tests/test_streaming.py.
 Scale notes: per batch, the only wide stage is the partial aggregation of
 the BATCH (map-side combined); the snapshot merge then touches rows
 proportional to the KEY cardinality, never re-reading raw history. The
-snapshot is rewritten atomically (write-new-then-swap directories) so a
-concurrent reader sees either the old or the new fold, never a partial
-write. On a cluster the snapshot would live in a transactional table
-format; the swap keeps the same contract with plain parquet.
+snapshot publishes through the versioned pointer-file store
+(streaming/snapshot_store.py): a crash at any instant leaves the previous
+committed version intact and readable — the earlier two-rename directory
+swap had a window where a crash silently emptied the store. On a cluster
+the snapshot would live in a transactional table format; the store keeps
+the same contract with plain parquet.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 
 from tsatool_app_spark.operators.incremental import merge_partials, partial_aggregate
+from tsatool_app_spark.streaming.snapshot_store import (
+    publish_snapshot,
+    read_snapshot,
+)
 
 
 def fold_batch_into_snapshot(
@@ -35,23 +38,18 @@ def fold_batch_into_snapshot(
     keys: list[str],
     value_col: str,
 ) -> None:
-    """Reduce one batch to partials and fold it into the parquet snapshot
-    (creating it on first use). Driver-side file juggling only touches
-    snapshot METADATA (directory swap); data stays distributed."""
+    """Reduce one batch to partials and fold it into the versioned
+    snapshot (creating the store on first use). Driver-side file juggling
+    only touches snapshot METADATA (the pointer file); data stays
+    distributed."""
     spark = batch_df.sparkSession
     batch_partials = partial_aggregate(batch_df, keys, value_col)
-    if os.path.isdir(snapshot_path):
-        current = spark.read.parquet(snapshot_path)
+    current = read_snapshot(spark, snapshot_path)
+    if current is not None:
         merged = merge_partials(current, batch_partials)
     else:
         merged = merge_partials(batch_partials)
-    tmp = snapshot_path + "._new"
-    merged.write.mode("overwrite").parquet(tmp)
-    old = snapshot_path + "._old"
-    if os.path.isdir(snapshot_path):
-        os.rename(snapshot_path, old)
-    os.rename(tmp, snapshot_path)
-    shutil.rmtree(old, ignore_errors=True)
+    publish_snapshot(merged, snapshot_path)
 
 
 def streaming_incremental_rollup(

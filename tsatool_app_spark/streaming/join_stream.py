@@ -31,11 +31,20 @@ def click_purchase_pairs(
     *,
     window_seconds: int = 3600,
     watermark: str = "10 minutes",
+    keep_unmatched: bool = False,
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: purchase ⋈ click on user
-    within (purchase_ts − window, purchase_ts].  Works identically on
-    batch DataFrames (watermarks become no-ops), which is how the
-    batch-equivalence test pins the semantics."""
+    """Watermarked stream-stream join: purchase ⋈ click on user within
+    (purchase_ts − window, purchase_ts].  Works identically on batch
+    DataFrames (watermarks become no-ops), which is how the
+    batch-equivalence test pins the semantics.
+
+    ``keep_unmatched=True`` preserves purchases with NO qualifying click
+    (left-outer, null click columns) — without it the attribution report
+    silently under-counts revenue by exactly the unattributed purchases.
+    Streaming left-outer is supported by Spark for this exact shape
+    (watermarks both sides + event-time range in the condition): the null
+    row for an unmatched purchase is emitted once the watermark passes
+    the end of its match window."""
     c = (
         clicks.select(
             F.col("user_id").alias("c_user"),
@@ -63,7 +72,8 @@ def click_purchase_pairs(
             > F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")
         )
     )
-    return c.join(p, cond).select(
+    how = "leftOuter" if keep_unmatched else "inner"
+    return p.join(c, cond, how).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "purchase_ts",
