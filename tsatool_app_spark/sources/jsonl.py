@@ -90,8 +90,6 @@ def ingest_jsonl(
     in_path: str,
     schema: str,
     out_path: str,
-    *,
-    quarantine_subdir: str = "_quarantine",
 ) -> tuple[DataFrame, DataFrame]:
     """ONE-pass ingest: a single PERMISSIVE scan writes good rows AND the
     corrupt quarantine, partitioned on the corrupt flag — calling

@@ -42,3 +42,10 @@ from tsatool_app_spark.streaming.join_stream import (
 )
 
 __all__ += ["click_purchase_pairs", "attribute_purchases"]
+
+from tsatool_app_spark.streaming.snapshot_store import (
+    publish_snapshot,
+    read_snapshot,
+)
+
+__all__ += ["publish_snapshot", "read_snapshot"]
