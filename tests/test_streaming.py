@@ -614,3 +614,67 @@ def test_attribution_keep_unmatched_batch(spark):
     )
     got = {r.purchase_id: r.attributed_click_id for r in out.collect()}
     assert got == {200: 100, 210: None}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Streaming left-outer: a purchase with no qualifying click is emitted
+    with null click columns once the watermark passes its match window —
+    the capability click_purchase_pairs claims for keep_unmatched=True."""
+    import datetime as dt
+
+    from tsatool_app_spark.streaming.join_stream import click_purchase_pairs
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    schema = "user_id int, event_id long, event_type string, ts timestamp, value double"
+    clicks = [
+        (1, 100, "click", sec(0), 0.0),
+        # late sentinel far in the future: advances BOTH watermarks so the
+        # unmatched purchase's window is conclusively closed
+        (9, 199, "click", sec(100000), 0.0),
+    ]
+    purchases = [
+        (1, 200, "purchase", sec(30), 9.0),    # matched to click 100
+        (2, 210, "purchase", sec(60), 3.0),    # user 2 never clicks
+        (9, 299, "purchase", sec(100000), 1.0),
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir + "/b0")
+    spark.createDataFrame(purchases, schema).write.parquet(pdir + "/b0")
+    out = str(tmp_path / "out")
+    q = (
+        click_purchase_pairs(
+            spark.readStream.schema(schema).parquet(cdir + "/*"),
+            spark.readStream.schema(schema).parquet(pdir + "/*"),
+            window_seconds=300,
+            watermark="1 minute",
+            keep_unmatched=True,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # run a second empty-ish trigger to let the watermark finalize outer rows
+    q2 = (
+        click_purchase_pairs(
+            spark.readStream.schema(schema).parquet(cdir + "/*"),
+            spark.readStream.schema(schema).parquet(pdir + "/*"),
+            window_seconds=300,
+            watermark="1 minute",
+            keep_unmatched=True,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    rows = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
+    }
+    assert (200, 100) in rows
+    assert (210, None) in rows  # unmatched purchase surfaced with null click
