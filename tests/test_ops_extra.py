@@ -320,3 +320,22 @@ def test_ancestor_closure_and_subtree_rollup(spark):
     assert got[4] == (12.0, 2)   # 4+8
     assert got[8] == (8.0, 1)
     assert got[3] == (9.0, 2)    # 3+6
+
+
+def test_active_counts_iso_week_year_boundary(spark):
+    """2024-12-30 (ISO week 1 of 2025) must NOT merge with 2024-01 week 1."""
+    from tsatool_app_spark.operators.funnel import active_counts
+
+    rows = (
+        [(u, "2024-01-03") for u in range(3)]      # ISO wk 1 / 2024
+        + [(u, "2024-12-30") for u in (10, 11)]    # ISO wk 1 / 2025
+    )
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(d + "T12:00:00")) for u, d in rows],
+        "user_id int, ts timestamp",
+    )
+    out = {str(r.day): (r.dau, r.wau) for r in active_counts(ev).collect()}
+    assert out["2024-01-03"] == (3, 3)
+    assert out["2024-12-30"] == (2, 2)  # merged grouping would report 5

@@ -147,3 +147,40 @@ def test_time_weighted_avg_durations(spark):
     r = time_weighted_avg(df).collect()[0]
     assert r.total_seconds == 40
     assert r.twa == (10.0 * 30 + 20.0 * 10) / 40  # 12.5
+
+
+def test_asof_join_null_value_wins_race(spark):
+    """A right row whose value is NULL still wins the as-of race: the
+    output pairs its time with NULL, never a stale older value."""
+    import datetime as dt
+
+    from tsatool_app_spark.operators.timeseries import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, t(10), 5.0), (1, t(20), None)],
+        "statid int, rt timestamp, v double",
+    )
+    left = spark.createDataFrame([(1, t(25))], "statid int, lt timestamp")
+    out = asof_join(
+        left, right, on_keys=["statid"], left_time="lt", right_time="rt",
+        value_cols=["v"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_time == t(20)
+    assert out[0].v is None  # NOT the stale 5.0
+
+
+def test_asof_join_rejects_colliding_value_col(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tsatool_app_spark.operators.timeseries import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame([(1, t0, 1.0)], "statid int, rt timestamp, v double")
+    left = spark.createDataFrame([(1, t0, 9.0)], "statid int, lt timestamp, v double")
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, on_keys=["statid"], left_time="lt",
+                  right_time="rt", value_cols=["v"])

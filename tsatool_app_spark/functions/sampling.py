@@ -40,6 +40,8 @@ def train_holdout_split(
 ) -> tuple[DataFrame, DataFrame]:
     """Disjoint, deterministic (train, holdout) split keyed on key_col —
     membership survives reshuffles, re-ingests, and engine changes."""
+    if not 0 <= holdout_pct <= 100:
+        raise ValueError(f"holdout_pct must be in [0, 100], got {holdout_pct}")
     b = hash_bucket(F.col(key_col))
     return df.where(b >= holdout_pct), df.where(b < holdout_pct)
 
@@ -63,6 +65,8 @@ def weighted_sample_by_group(
     plan (N scans, N shuffles) with ONE scan of the unified corpus.
     """
     b = hash_bucket(F.col(key_col), buckets)
+    if not 0 <= default_rate <= buckets:
+        raise ValueError(f"default_rate must be in [0, {buckets}]")
     rate = F.lit(default_rate)
     for g, r in sorted(rates.items()):
         if not 0 <= r <= buckets:
@@ -90,7 +94,9 @@ def leakage_safe_split(
 
     Scale shape: components is bounded by near-dup density (≪ corpus), so
     the join broadcasts or shuffles ids only; the split itself is the same
-    zero-shuffle md5 bucket as every sampler here.
+    zero-shuffle md5 bucket as every sampler here.  The cluster keeps the
+    id column's own type (string ids hash fine; an unconditional long cast
+    would NULL them out and silently send every doc to 'test').
     """
     comp = components.select(
         F.col("node").alias(id_col), F.col("component")
@@ -104,6 +110,6 @@ def leakage_safe_split(
     return (
         docs.select(id_col)
         .join(comp, id_col, "left")
-        .withColumn("cluster", F.coalesce("component", F.col(id_col)).cast("long"))
+        .withColumn("cluster", F.coalesce("component", F.col(id_col)))
         .select(id_col, "cluster", split.alias("split"))
     )

@@ -233,6 +233,11 @@ def active_counts(
     """Engagement rollup: distinct active entities per calendar day (DAU)
     and per ISO week (WAU, repeated on each of its days for joinability).
 
+    The week key is (ISO week, ISO week-YEAR) — pairing weekofyear with
+    the CALENDAR year would merge late-December ISO-week-1 days (e.g.
+    2024-12-30, ISO week 1 of 2025) into the same group as that year's
+    January week 1, over-counting both WAUs.
+
     Two distinct-aggregates over the (entity, day) de-dup — the exact
     shuffles are on (entity, day) pairs, bounded by activity, not events.
     """
@@ -242,7 +247,10 @@ def active_counts(
     ).distinct()
     dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     weeks = days.select(
-        "e", "day", F.weekofyear("day").alias("wk"), F.year("day").alias("yr")
+        "e",
+        "day",
+        F.weekofyear("day").alias("wk"),
+        F.expr("extract(YEAROFWEEK FROM day)").cast("int").alias("yr"),
     )
     wau = (
         weeks.select("e", "wk", "yr")

@@ -115,26 +115,47 @@ def asof_join(
 
     Plan: tag and union both sides, sort per key by (time, side-priority:
     right rows first at equal timestamps so a same-instant right row is
-    visible), carry the last right values forward with
-    ``last(_, ignorenulls)``, then keep left rows. ONE shuffle (the window
-    partition), no inequality join. Returns all left columns + the right
-    ``value_cols`` (+ ``asof_time`` = matched right timestamp).
+    visible), carry the last right ROW forward as ONE struct with
+    ``last(_, ignorenulls)``, then keep left rows. Carrying the whole
+    struct (not per-column) keeps the match atomic: a right row whose
+    value is genuinely NULL still wins the as-of race and yields
+    (asof_time, NULL), instead of pairing that time with a STALE older
+    value — ``last(ignorenulls)`` per column would skip the NULL and
+    desync time from value. ONE shuffle (the window partition), no
+    inequality join. Returns all left columns + the right ``value_cols``
+    (+ ``asof_time`` = matched right timestamp).
     """
     lcols = left.columns
+    for c in value_cols:
+        if c in lcols:
+            raise ValueError(
+                f"value_col {c!r} collides with a left column; rename one "
+                "side before joining (output would hold two columns named "
+                f"{c!r})"
+            )
+    rstruct = F.struct(
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    null_rstruct = F.lit(None).cast(
+        "struct<_rt:timestamp,"
+        + ",".join(
+            f"_r_{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     l_tagged = left.select(
         *lcols,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_rt"),
+        null_rstruct.alias("_r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on_keys],
         *[F.col(k) for k in on_keys],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_time).cast("timestamp").alias("_rt"),
+        rstruct.alias("_r"),
     ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -144,26 +165,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        *[c for c in unioned.columns if not c.startswith("_r_") and c != "_rt"],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias("asof_time"),
+        *[c for c in unioned.columns if c != "_r"],
+        F.last("_r", ignorenulls=True).over(w).alias("_f"),
     )
     out = filled.where(F.col("_side") == 1)
+    asof_time = F.col("_f._rt")
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("asof_time").isNotNull()
-            & (F.col("_t").cast("long") - F.col("asof_time").cast("long") <= tolerance_seconds)
+        in_tol = asof_time.isNotNull() & (
+            F.col("_t").cast("long") - asof_time.cast("long") <= tolerance_seconds
         )
         out = out.select(
             *[c for c in lcols],
-            *[F.when(in_tol, F.col(f"_f_{c}")).alias(c) for c in value_cols],
-            F.when(in_tol, F.col("asof_time")).alias("asof_time"),
+            *[F.when(in_tol, F.col(f"_f._r_{c}")).alias(c) for c in value_cols],
+            F.when(in_tol, asof_time).alias("asof_time"),
         )
     else:
         out = out.select(
             *[c for c in lcols],
-            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
-            "asof_time",
+            *[F.col(f"_f._r_{c}").alias(c) for c in value_cols],
+            asof_time.alias("asof_time"),
         )
     return out
 
@@ -208,6 +228,39 @@ def rolling_time_window(
     )
 
 
+def _bucketed_grid(
+    obs: DataFrame,
+    bucket_seconds: int,
+    key_cols: tuple[str, ...],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared gapfill front half: per (key, bucket) latest observation
+    (deterministic struct-max, floor-mod bucketing — pmod matches the
+    oracles' ((e%b)+b)%b for pre-1970 epochs), left-joined onto the dense
+    ``sequence`` grid spanning each key's first..last bucket.  Returns
+    (keys..., bucket, _obs[null on gaps])."""
+    epoch = F.col(time_col).cast("long")
+    b = (epoch - F.pmod(epoch, bucket_seconds)).alias("bucket")
+    latest = (
+        obs.select(*key_cols, b, epoch.alias("_t"), F.col(value_col).alias("_v"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max(F.struct("_t", "_v")).alias("_m"))
+        .select(*key_cols, "bucket", F.col("_m._v").alias("_obs"))
+    )
+    grid = (
+        latest.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(bucket_seconds).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    return grid.join(latest, [*key_cols, "bucket"], "left")
+
+
 def gapfill_locf(
     obs: DataFrame,
     bucket_seconds: int,
@@ -236,25 +289,7 @@ def gapfill_locf(
     Returns (keys..., bucket [epoch-seconds long], value [NULL until the
     first observation], is_gap).
     """
-    epoch = F.col(time_col).cast("long")
-    b = (epoch - F.pmod(epoch, bucket_seconds)).alias("bucket")
-    latest = (
-        obs.select(*key_cols, b, epoch.alias("_t"), F.col(value_col).alias("_v"))
-        .groupBy(*key_cols, "bucket")
-        .agg(F.max(F.struct("_t", "_v")).alias("_m"))
-        .select(*key_cols, "bucket", F.col("_m._v").alias("_obs"))
-    )
-    grid = (
-        latest.groupBy(*key_cols)
-        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-        .select(
-            *key_cols,
-            F.explode(
-                F.sequence("_lo", "_hi", F.lit(bucket_seconds).cast("long"))
-            ).alias("bucket"),
-        )
-    )
-    joined = grid.join(latest, [*key_cols, "bucket"], "left")
+    joined = _bucketed_grid(obs, bucket_seconds, key_cols, time_col, value_col)
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("bucket")
@@ -322,25 +357,7 @@ def gapfill_interpolate(
     arithmetic written identically in the oracle, so results are
     bit-identical.
     """
-    epoch = F.col(time_col).cast("long")
-    b = (epoch - F.pmod(epoch, bucket_seconds)).alias("bucket")
-    latest = (
-        obs.select(*key_cols, b, epoch.alias("_t"), F.col(value_col).alias("_v"))
-        .groupBy(*key_cols, "bucket")
-        .agg(F.max(F.struct("_t", "_v")).alias("_m"))
-        .select(*key_cols, "bucket", F.col("_m._v").alias("_obs"))
-    )
-    grid = (
-        latest.groupBy(*key_cols)
-        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-        .select(
-            *key_cols,
-            F.explode(
-                F.sequence("_lo", "_hi", F.lit(bucket_seconds).cast("long"))
-            ).alias("bucket"),
-        )
-    )
-    joined = grid.join(latest, [*key_cols, "bucket"], "left")
+    joined = _bucketed_grid(obs, bucket_seconds, key_cols, time_col, value_col)
     back = (
         Window.partitionBy(*key_cols)
         .orderBy("bucket")
@@ -444,8 +461,6 @@ def ewma_by_key(
     recurrence — the DuckDB oracle uses a recursive CTE
     (plans/driver_queries.py).
     """
-    import pandas as pd
-
     out_fields = df.select(key_col, order_col, value_col).schema.fields
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema += ", ewma double"

@@ -126,15 +126,32 @@ aligned AS (
 SELECT aligned.*, ({master_expr}) AS master FROM aligned"""
 
 
+#: One structured source of truth for the 10-condition driver sheet —
+#: consumed by BOTH sheet_workload_rows (DSL strings for the engine) and
+#: _sheet_workload_sql (block tuples for the oracle), so a threshold edit
+#: cannot desynchronize the parity check.
+_SHEET_TYPES = ["click", "view", "purchase", "error", "signup"]
+_SHEET_MASTER = "b1 AND (b2 OR NOT b3)"
+
+
+def _sheet_blocks(i: int) -> dict[str, tuple[int, str, str, float]]:
+    t1, t2 = _SHEET_TYPES[i % 5], _SHEET_TYPES[(i + 2) % 5]
+    return {
+        "b1": (i, t1, ">=", 50.0),
+        "b2": ((i + 3) % 10, t2, "<", 200.0),
+        "b3": (i, t2, "<=", 10.0),
+    }
+
+
 def _sheet_workload_sql() -> str:
     """Oracle for the 10-condition sheet workload: per-condition validity
-    summaries, generated from the SAME sheet definition as q_sheet_workload.
+    summaries, generated from the SAME sheet definition (_sheet_blocks /
+    _SHEET_MASTER) as q_sheet_workload.
 
     Primary conditions are the _condition_sql pattern (pack → boundary union
     → containment join → Kleene master); the secondary chain re-applies the
     same combine with the referenced conditions' master ranges as blocks —
     exactly the engine's secondary semantics (runner.py:276-286)."""
-    types = ["click", "view", "purchase", "error", "signup"]
     time_pred = (
         " AND ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'"
         " AND TIMESTAMP '2024-12-31 23:59:59'"
@@ -171,18 +188,13 @@ def _sheet_workload_sql() -> str:
 
     summary_rels: list[tuple[str, str]] = []
     for i in range(9):
-        t1, t2 = types[i % 5], types[(i + 2) % 5]
-        blocks = {
-            "b1": (i, t1, ">=", 50.0),
-            "b2": ((i + 3) % 10, t2, "<", 200.0),
-            "b3": (i, t2, "<=", 10.0),
-        }
+        blocks = _sheet_blocks(i)
         for a, blk in blocks.items():
             ctes.append(_pack_sql_cte(f"c{i}{a}", blk, time_pred=time_pred))
         combine(
             f"c{i}",
             {a: (f"c{i}{a}", "istrue") for a in blocks},
-            "b1 AND (b2 OR NOT b3)",
+            _SHEET_MASTER,
         )
         summary_rels.append((f"site{i}_c{i}", f"c{i}_cond"))
     combine("s1", {"d1": ("c0_cond", "master"), "d2": ("c1_cond", "master")}, "d1 AND d2")
@@ -703,19 +715,23 @@ def q_decontaminate(spark, sf_dir):
 
 def sheet_workload_rows() -> list[tuple[str, str, str]]:
     """The 10-condition driver sheet (23 block evals, AND/OR/NOT, one
-    secondary chain) — shared by q_sheet_workload, its SQL oracle
-    generator, and the streaming-parity test."""
-    types = ["click", "view", "purchase", "error", "signup"]
+    secondary chain) — rendered from the same _sheet_blocks/_SHEET_MASTER
+    definition the SQL oracle consumes, so they cannot drift; shared by
+    q_sheet_workload, its oracle generator, and the streaming-parity
+    test."""
+
+    def term(blk):
+        statid, seid, op, val = blk
+        v = int(val) if float(val).is_integer() else val
+        return f"u{statid}#{seid} {op} {v}"
+
     rows = []
     for i in range(9):
-        t1, t2 = types[i % 5], types[(i + 2) % 5]
-        rows.append(
-            (
-                f"site{i}",
-                f"C{i}",
-                f"u{i}#{t1} >= 50 AND (u{(i + 3) % 10}#{t2} < 200 OR NOT u{i}#{t2} <= 10)",
-            )
-        )
+        b = {a: term(blk) for a, blk in _sheet_blocks(i).items()}
+        expr = _SHEET_MASTER
+        for a in sorted(b, reverse=True):  # b3 before b1: no prefix clobber
+            expr = expr.replace(a, b[a])
+        rows.append((f"site{i}", f"C{i}", expr))
     rows.append(("site0", "S1", "C0 AND site1#C1"))  # secondary chain
     return rows
 
@@ -1597,8 +1613,6 @@ SELECT doc_id,
 FROM ranked"""
 
 
-_IN_LIST = ", ".join(str(float(v)) for v in range(0, 500, 10))
-
 ORACLES: dict[str, str | None] = {
     "pack_ranges": f"""
 WITH {_pack_sql_cte('pr', _BLOCK_A)}
@@ -1787,7 +1801,7 @@ SELECT user_id AS statid, event_type AS seid, count(*) AS n, min(ts) AS first_ob
 FROM events WHERE value >= 100.0 GROUP BY 1, 2""",
     "time_bucket_rollup": """
 SELECT user_id AS statid, event_type AS seid,
-       make_timestamp(((epoch_ms(ts) // 1000) - (epoch_ms(ts) // 1000) % 3600) * 1000000) AS bucket,
+       make_timestamp(((epoch_ms(ts) // 1000) - (((epoch_ms(ts) // 1000) % 3600) + 3600) % 3600) * 1000000) AS bucket,
        count(*) AS n_obs,
        min(value) AS min_val,
        max(value) AS max_val,
@@ -2342,7 +2356,8 @@ WITH days AS (
   SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS day FROM events
 ),
 dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM days GROUP BY day),
-wk AS (SELECT e, day, weekofyear(day) AS wk, year(day) AS yr FROM days),
+wk AS (SELECT e, day, weekofyear(day) AS wk,
+              CAST(isoyear(day) AS INT) AS yr FROM days),
 wau AS (
   SELECT wk, yr, CAST(count(*) AS BIGINT) AS wau
   FROM (SELECT DISTINCT e, wk, yr FROM wk) GROUP BY wk, yr
@@ -2506,7 +2521,7 @@ WITH src AS (
   FROM events WHERE ts < TIMESTAMP '2024-01-04'
 ),
 latest AS (
-  SELECT statid, t - (t % 3600) AS bucket, max({'t': t, 'v': v}) AS m
+  SELECT statid, t - (((t % 3600) + 3600) % 3600) AS bucket, max({'t': t, 'v': v}) AS m
   FROM src GROUP BY 1, 2
 ),
 latest2 AS (
@@ -2573,7 +2588,7 @@ WITH src AS (
   FROM events WHERE ts < TIMESTAMP '2024-01-04'
 ),
 latest AS (
-  SELECT statid, t - (t % 3600) AS bucket, max({'t': t, 'v': v}) AS m
+  SELECT statid, t - (((t % 3600) + 3600) % 3600) AS bucket, max({'t': t, 'v': v}) AS m
   FROM src GROUP BY 1, 2
 ),
 latest2 AS (
