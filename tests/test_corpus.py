@@ -292,3 +292,27 @@ def test_pack_sequences_sharded_no_text_shuffle(spark):
     fmg = [l for l in plan.splitlines() if "FlatMapGroupsInPandas" in l]
     assert fmg and all("text#" not in l for l in fmg)
     assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1
+
+
+def test_drop_duplicate_chunks_removes_boilerplate(spark):
+    """A license block repeated across documents survives only in the
+    first document carrying it; unique content is untouched; a pure
+    duplicate document vanishes."""
+    from tsatool_app_spark.functions.corpus import drop_duplicate_chunks
+
+    legal = " ".join(f"legal{i}" for i in range(32))     # exactly one chunk
+    a = " ".join(f"alpha{i}" for i in range(32))
+    b = " ".join(f"beta{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, legal + " " + a),     # first carrier keeps the block
+            (2, legal + " " + b),     # later carrier loses it
+            (3, legal),               # pure duplicate → vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_tokens)
+           for r in drop_duplicate_chunks(docs, chunk_tokens=32).collect()}
+    assert out[1] == (legal + " " + a, 64)
+    assert out[2] == (b, 32)
+    assert 3 not in out

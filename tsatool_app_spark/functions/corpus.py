@@ -429,3 +429,51 @@ def clean_corpus(
         .join(stats.select("doc_id", "n_tokens_ws"), "doc_id")
         .join(redacted.select("doc_id", "clean_text"), "doc_id")
     )
+
+
+def drop_duplicate_chunks(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-passage removal (the C4 recipe, at chunk
+    granularity): split every document into NON-overlapping token
+    windows, keep each distinct chunk's FIRST occurrence corpus-wide
+    (ordered by doc id, then position), and reconstruct documents from
+    their surviving chunks.  Boilerplate repeated across thousands of
+    pages — headers, footers, license blocks — disappears from all but
+    the first document carrying it.
+
+    Scale shape: the only wide stage shuffles (md5(chunk), doc_id,
+    chunk_id) triples — 16-byte keys, never the chunk text (exact_dedup
+    rationale); reconstruction is one groupBy(doc) over the survivors
+    with an in-group array sort.  Documents whose every chunk was seen
+    earlier vanish entirely (they are pure duplicates).
+    """
+    chunks = chunk_documents(
+        docs,
+        chunk_tokens=chunk_tokens,
+        overlap_tokens=0,
+        text_col=text_col,
+        id_col=id_col,
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy("_h").orderBy(id_col, "chunk_id")
+    kept = (
+        chunks.withColumn("_h", F.md5("chunk_text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_id"), F.col("chunk_text")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s.chunk_text), " "
+            ).alias("text"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -3299,6 +3299,18 @@ def q_attribution(spark, sf_dir):
     return attribute_purchases(pairs).orderBy("purchase_id")
 
 
+def q_dedup_chunks(spark, sf_dir):
+    """Cross-document repeated-passage removal (functions/corpus.py
+    drop_duplicate_chunks): 32-token non-overlapping windows, first
+    corpus-wide occurrence wins, documents rebuilt from survivors.  The
+    wide stage shuffles md5 triples, never chunk text."""
+    from tsatool_app_spark.functions.corpus import drop_duplicate_chunks
+
+    return drop_duplicate_chunks(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_org_rollup(spark, sf_dir):
     """Hierarchy subtree rollup (operators/graph.py): purchase totals over
     each node's subtree in a synthetic org tree (parent = user div 2).
@@ -3819,6 +3831,30 @@ SELECT vec_id,
        CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM embeddings ORDER BY vec_id LIMIT 500"""
+
+ORACLES["dedup_chunks"] = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         CAST((g - 1) // 32 AS INTEGER) AS chunk_id,
+         array_to_string(list_slice(toks, g, least(g + 31, len(toks))), ' ') AS chunk_text,
+         CAST(greatest(least(g + 31, len(toks)) - g + 1, 0) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), 32)) AS g
+        FROM base)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks WHERE n_tokens > 0
+)
+SELECT doc_id,
+       string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""
+
+QUERIES["dedup_chunks"] = DriverQuery(q_dedup_chunks, ORACLES["dedup_chunks"])
 
 ORACLES["org_rollup"] = """
 WITH RECURSIVE nodes AS (
