@@ -211,15 +211,28 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 32,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash: per-bit majority vote over shingle hashes → one integer
     signature per document. Near-dups have small Hamming distance.
 
     Vote computation is ``bits`` conditional sums in ONE groupBy (map-side
-    partial agg) — no per-bit passes."""
-    exploded = df.select(
+    partial agg) — no per-bit passes.
+
+    ``portable=True`` swaps xxhash64 for an md5-derived 56-bit hash that
+    every engine computes identically (bits must be <= 56) — slower
+    (md5 + hex parse vs one xxhash64 intrinsic) but cross-engine
+    reproducible, which is what makes a driver-visible oracle possible."""
+    if portable and bits > 56:
+        raise ValueError("portable simhash supports at most 56 bits")
+    raw = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    )
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("sh")), 1, 14), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("sh")
+    exploded = raw.select(F.col(id_col), h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -92,3 +92,40 @@ def zscore_by_group(
         *df.columns,
         ((c.cast("double") - F.col("_mean")) / F.col("_sd")).alias(out_col),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al.): bag-of-words folded into a
+    fixed n_buckets-dim sparse vector per document, no vocabulary pass.
+    Emitted as exploded (id, bucket, weight) triples — the layout a 100 TB
+    featurizer wants anyway (dense vectors of hot buckets stay unmaterialized,
+    downstream aggregates/joins work per-triple).
+
+    bucket = md5(token) mod n_buckets; sign = ±1 from the next md5 bit so
+    collisions cancel in expectation (signed hashing).  md5 keeps the
+    mapping engine-portable (same trick as sketches.cms_build), hence
+    driver-hash-checkable.
+
+    One explode + one groupBy(id, bucket) with map-side combine; nothing
+    else shuffles."""
+    from tsatool_app_spark.functions.corpus import _tokens
+
+    h = F.md5(F.concat(F.lit("fh|"), F.col("term")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+        .orderBy(id_col, "bucket")
+    )

@@ -185,3 +185,46 @@ def phrase_search(
                 ),
             ).where(F.size("_chain") > 0)
     return chain.select(id_col).orderBy(id_col)
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k: int = 20,
+    idf_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under a RATIONAL tf-idf scorer:
+    score(D) = Σ_t tf(t, D) · floor(idf_scale · N / df(t)), all int64.
+
+    Same retrieval shape as bm25_topk, but the idf is integer arithmetic
+    (floor-division instead of a log), which makes the ranking — and the
+    scores themselves — bit-identical in any engine, so this variant is
+    driver-hash-checkable where BM25's float log-idf is not.  The log's
+    role (damping common terms) is kept by the N/df ratio; for ranked
+    retrieval only monotonicity in 1/df matters per term.
+
+    Scale: identical to keyword_search — only query-term matches leave the
+    scan; the df table is one row per query term (broadcast); one
+    groupBy(doc) + TakeOrdered top-k.
+    """
+    m = _matches(docs, terms, text_col, id_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    df_tbl = (
+        m.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.floor(F.lit(idf_scale) * F.col("n") / F.col("df")).alias("idf_q"),
+        )
+    )
+    tf = m.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).cast("long").alias("score_q"))
+    )
+    return scored.orderBy(F.desc("score_q"), F.asc(id_col)).limit(k)

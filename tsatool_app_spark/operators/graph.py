@@ -198,3 +198,74 @@ def subtree_rollup(
         )
         .select(F.col("roll_node").alias("node"), "subtree_total", "subtree_n")
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation.
+
+    ``edges`` is an undirected edge list (u, v), u != v, each edge listed
+    once in either direction.  The naive triangle join (edges³) explodes on
+    skew: a hub of degree d sits on O(d²) wedges.  The classic fix
+    (node-iterator++ / Schank-Wagner) orients every edge from the
+    lower-(degree, id) endpoint to the higher one — so every node's
+    OUT-degree is bounded by ~sqrt(2m) on any graph — then counts, for each
+    oriented wedge (u→v, u→w), whether the closing oriented edge (v→w)
+    exists.  Each triangle is counted exactly once.
+
+    Plan: two shuffles to attach degrees, one self-join of the oriented
+    edge list on its source (wedge generation — bounded by the oriented
+    out-degree, NOT the raw degree), one join against oriented edges to
+    close the wedge, then explode each found triangle to its three corners
+    for the per-node rollup.  All joins are equi-joins on node ids.
+
+    Returns (node, n_triangles) for nodes in >=1 triangle, ordered.
+    """
+    # Canonicalize: undirected edge set, dedup both directions.
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "n")
+
+    # Orient each edge toward the higher (degree, id) endpoint.
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("edge")
+        )
+        .select("edge.u", "edge.v")
+    )
+
+    # Wedges from each node's oriented out-neighborhood, one per unordered
+    # {x, y} via the id filter.  The closing oriented edge between x and y
+    # may point either way relative to id order, so canonicalize closing
+    # edges back to (min_id, max_id) before the equi-join.
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    triangles = wedges.join(closing, ["x", "y"])
+
+    corners = triangles.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )

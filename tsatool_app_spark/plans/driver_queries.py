@@ -4033,3 +4033,218 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sqls() -> dict[str, str]:
     return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+
+
+def q_setsim_pairs(spark, sf_dir):
+    """Exact near-dup pairs via prefix-filtered set-similarity join
+    (functions/setsim.py) — the deterministic twin of minhash_pairs: same
+    question ("which documents are near-duplicates?"), exact answer, still
+    sub-quadratic. Jaccard >= 3/5 on word 5-gram sets; integer
+    intersection/union sizes so the hash comparison is engine-exact."""
+    from tsatool_app_spark.functions.setsim import setsim_join
+
+    return setsim_join(
+        load_table(spark, sf_dir, "documents"), threshold_num=3, threshold_den=5
+    )
+
+
+ORACLES["setsim_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sets AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+         i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+         AS union_size
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 5
+        >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+ORDER BY doc_a, doc_b"""
+
+QUERIES["setsim_pairs"] = DriverQuery(q_setsim_pairs, ORACLES["setsim_pairs"])
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts) on the
+    co-supplier graph: suppliers are adjacent iff they supply a common
+    part. Degree-ordered orientation bounds the wedge join on skewed
+    graphs; the DuckDB oracle is the naive id-ordered triple join (fine at
+    sf0.01, the thing the oriented plan exists to avoid at scale)."""
+    from tsatool_app_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
+    a, b = ps.alias("pa"), ps.alias("pb")
+    edges = (
+        a.join(b, (F.col("pa.pk") == F.col("pb.pk")) & (F.col("pa.sk") < F.col("pb.sk")))
+        .select(F.col("pa.sk").alias("src"), F.col("pb.sk").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+ORACLES["triangle_counts"] = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.sk AS a, b.sk AS b
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node"""
+
+QUERIES["triangle_counts"] = DriverQuery(q_triangle_counts, ORACLES["triangle_counts"])
+
+
+def q_tfidf_search(spark, sf_dir):
+    """Rational-idf tf-idf retrieval (functions/search.tfidf_topk): integer
+    quantized idf = floor(1e6·N/df) makes scores engine-exact, giving the
+    tf-idf ranking family a hash-checked board entry next to the integer
+    keyword ranker; float BM25 stays pytest-verified per the evidence
+    policy."""
+    from tsatool_app_spark.functions.search import tfidf_topk
+
+    return tfidf_topk(
+        load_table(spark, sf_dir, "documents"), ["spark", "window", "hash"], k=20
+    )
+
+
+ORACLES["tfidf_search"] = """
+WITH hits AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+m AS (SELECT doc_id, term FROM hits WHERE term IN ('spark', 'window', 'hash')),
+n AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term),
+idf AS (
+  SELECT term, CAST(floor(1000000 * (SELECT n FROM n) / df) AS BIGINT) AS idf_q
+  FROM dfs
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM m GROUP BY doc_id, term)
+SELECT doc_id, CAST(sum(tf.tf * idf.idf_q) AS BIGINT) AS score_q
+FROM tf JOIN idf USING (term)
+GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT 20"""
+
+QUERIES["tfidf_search"] = DriverQuery(q_tfidf_search, ORACLES["tfidf_search"])
+
+
+def q_cms_probe(spark, sf_dir):
+    """Count-min sketch (functions/sketches.cms_build/cms_estimate) over
+    lineitem.l_suppkey, probed for every supplier key.  md5 bucket hashing
+    is engine-portable, so the DuckDB oracle rebuilds the identical sketch
+    cell-for-cell — the approximate-sketch class with a real hash-check."""
+    from tsatool_app_spark.functions.sketches import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = cms_build(li, "l_suppkey", width=256, depth=4)
+    probes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k")
+    ).distinct()
+    return cms_estimate(sk, probes, "k", width=256, depth=4)
+
+
+ORACLES["cms_probe"] = """
+WITH rows_ AS (SELECT unnest(range(0, 4)) AS row),
+cells AS (
+  SELECT r.row AS row,
+         ('0x' || substring(md5('cms' || r.row || '|' || CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM lineitem, rows_ r
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT s_suppkey AS key FROM supplier),
+probe_cells AS (
+  SELECT p.key, r.row,
+         ('0x' || substring(md5('cms' || r.row || '|' || CAST(p.key AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket
+  FROM probes p, rows_ r
+)
+SELECT pc.key, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM probe_cells pc LEFT JOIN cells c ON pc.row = c.row AND pc.bucket = c.bucket
+GROUP BY pc.key ORDER BY pc.key"""
+
+QUERIES["cms_probe"] = DriverQuery(q_cms_probe, ORACLES["cms_probe"])
+
+
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurization (functions/mlprep.hashed_features):
+    signed 64-bucket bag-of-words triples, md5-mapped so the oracle folds
+    the identical vector."""
+    from tsatool_app_spark.functions.mlprep import hashed_features
+
+    return hashed_features(load_table(spark, sf_dir, "documents"), n_buckets=64)
+
+
+ORACLES["hashed_features"] = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+h AS (SELECT doc_id, md5('fh|' || term) AS hh FROM terms),
+tr AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(hh, 1, 8))::BIGINT % 64 AS INT) AS bucket,
+         CASE WHEN ('0x' || substring(hh, 9, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM h
+)
+SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+FROM tr GROUP BY doc_id, bucket
+HAVING sum(sign) <> 0
+ORDER BY doc_id, bucket"""
+
+QUERIES["hashed_features"] = DriverQuery(q_hashed_features, ORACLES["hashed_features"])
+
+
+def q_simhash_md5(spark, sf_dir):
+    """Portable SimHash (functions/dedup.simhash_signatures(portable=True)):
+    32-bit signatures from md5-derived shingle hashes, per-bit majority in
+    one groupBy.  The engine-native xxhash64 variant stays pytest-only;
+    this twin gives the SimHash family a driver-visible hash-check."""
+    from tsatool_app_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(
+        load_table(spark, sf_dir, "documents"), bits=32, shingle_k=3, portable=True
+    ).orderBy("doc_id")
+
+
+def _simhash_md5_oracle_sql(bits: int = 32, k: int = 3) -> str:
+    """Generated from the SAME bit recurrence as the Spark implementation
+    (per-bit conditional sums over md5-derived 56-bit shingle hashes)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),
+                               i -> text[i:i+{k - 1}])) AS s
+  FROM documents
+),
+hs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 14))::BIGINT AS h FROM sh),
+v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
+
+
+ORACLES["simhash_md5"] = _simhash_md5_oracle_sql(32, 3)
+
+QUERIES["simhash_md5"] = DriverQuery(q_simhash_md5, ORACLES["simhash_md5"])
