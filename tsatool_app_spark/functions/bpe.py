@@ -1,0 +1,160 @@
+"""Distributed BPE merge training (and encoding) on the vocabulary table.
+
+The canonical LLM-tokenizer trainer (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly merge the most frequent adjacent symbol pair.  The 100 TB
+shape is the classic two-level reduction:
+
+1. ONE pass over the corpus builds the (word, freq) vocabulary — after
+   that the corpus is never touched again.  A 100 TB corpus has a vocab
+   of maybe 10⁷ distinct words; every BPE iteration runs on that table.
+2. Each iteration: explode adjacent symbol pairs weighted by word freq,
+   ONE groupBy(pair) with map-side combine, take the global argmax
+   (TakeOrdered of 1 — no full sort), apply the merge as a literal
+   string replace on the vocab column (JVM-side, no UDF), repeat.
+   The vocab DataFrame is localCheckpoint-ed per iteration to truncate
+   the iterative lineage (same pattern as operators/graph.pagerank).
+
+Merging is made EXACTLY expressible as literal string replace — in any
+engine — by the separator encoding::
+
+    word "abc"  →  ␟a␟␟b␟␟c␟     (␟ = U+001F unit separator)
+
+i.e. every symbol wrapped in single separators, so adjacent symbols meet
+at a DOUBLE separator.  Merging pair (a, b) is then
+``replace(rep, "␟a␟␟b␟", "␟ab␟")``: the pattern's outer separators
+consume one separator from each ``␟␟`` joint, restoring the invariant,
+and because ``replace`` scans left-to-right without overlap this
+reproduces BPE's greedy non-overlapping merge order exactly — including
+runs: ``a a a`` merges to ``(aa) a``, never ``a (aa)``.
+
+Ties on pair count break by (left, right) lexicographic order, so the
+whole training run is deterministic and the DuckDB oracle (an unrolled
+CTE chain generated from the same constants) matches hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def _encode_word(word: Column) -> Column:
+    """word → ␟c1␟␟c2␟…␟cn␟ (single separators around every char)."""
+    return F.concat(
+        F.lit(SEP), F.array_join(F.split(word, ""), SEP + SEP), F.lit(SEP)
+    )
+
+
+def build_vocab(
+    docs: DataFrame, *, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(word, freq) vocabulary — the one corpus pass. Words containing the
+    separator control char are dropped (they would corrupt the encoding)."""
+    from tsatool_app_spark.functions.corpus import _tokens
+
+    return (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .where(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+
+
+def _pair_counts(vocab_rep: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency: explode
+    (sym[i], sym[i+1]) per word, one groupBy with map-side combine."""
+    syms = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), SEP + SEP)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("left"),
+            F.element_at(syms, i + 1).alias("right"),
+        ),
+    )
+    return (
+        vocab_rep.where(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Learn the top ``n_merges`` BPE merges.  Returns one row per merge:
+    (rank, left, right, pair_count), rank 1 = first merge learned."""
+    spark = docs.sparkSession
+    vocab = build_vocab(docs, text_col=text_col, min_freq=min_freq).select(
+        _encode_word(F.col("word")).alias("rep"), "freq"
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].left, top[0].right, top[0].pair_count
+        merges.append((rank, left, right, cnt))
+        pat = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
+        rep = f"{SEP}{left}{right}{SEP}"
+        vocab = vocab.select(
+            F.replace(F.col("rep"), F.lit(pat), F.lit(rep)).alias("rep"), "freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to every document: per word, the same
+    separator-encoded replace chain, in rank order — a pure Column
+    expression pipeline (no UDF), so encoding runs at scan speed.
+
+    Returns (id, bpe_tokens array<string>, n_bpe_tokens)."""
+    from tsatool_app_spark.functions.corpus import _tokens
+
+    def encode_one(word: Column) -> Column:
+        rep = _encode_word(word)
+        for left, right in merges:
+            rep = F.replace(
+                rep,
+                F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+                F.lit(f"{SEP}{left}{right}{SEP}"),
+            )
+        return F.split(rep.substr(F.lit(2), F.length(rep) - 2), SEP + SEP)
+
+    toks = F.filter(
+        F.transform(
+            _tokens(F.col(text_col)),
+            lambda w: F.when(w.contains(SEP), F.array(w)).otherwise(encode_one(w)),
+        ),
+        lambda a: F.size(a) > 0,
+    )
+    flat = F.flatten(toks)
+    return docs.select(
+        F.col(id_col),
+        flat.alias("bpe_tokens"),
+        F.size(flat).cast("long").alias("n_bpe_tokens"),
+    )

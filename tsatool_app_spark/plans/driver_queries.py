@@ -4248,3 +4248,64 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v ORDER BY doc_id"""
 ORACLES["simhash_md5"] = _simhash_md5_oracle_sql(32, 3)
 
 QUERIES["simhash_md5"] = DriverQuery(q_simhash_md5, ORACLES["simhash_md5"])
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (functions/bpe.py): 6 merge rounds on the
+    documents vocabulary. The separator-encoded literal-replace merge makes
+    the whole iterative run engine-exact, so the oracle — an unrolled CTE
+    chain re-deriving every argmax — matches hash-for-hash (same pattern
+    as pagerank's fixed-point oracle)."""
+    from tsatool_app_spark.functions.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """Generated from the SAME recurrence as functions/bpe.bpe_train: pair
+    counts weighted by word freq, argmax with (count desc, left, right)
+    tie-break, separator-encoded replace."""
+    s1 = "chr(31)"
+    s2 = "chr(31) || chr(31)"
+    head = f"""
+WITH vocab AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) WHERE NOT contains(word, chr(31))
+  GROUP BY word
+),
+v0 AS (
+  SELECT {s1} || array_to_string(string_split(word, ''), {s2}) || {s1} AS rep,
+         freq
+  FROM vocab
+)"""
+    its = []
+    for k in range(1, n_merges + 1):
+        its.append(f""",
+pc{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM (
+    SELECT string_split(substring(rep, 2, length(rep) - 2), {s2}) AS s, freq
+    FROM v{k - 1}
+  ), unnest(range(1, len(s))) AS u(i)
+  GROUP BY 1, 2
+),
+best{k} AS (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT replace(rep, {s1} || l || {s2} || r || {s1},
+                      {s1} || l || r || {s1}) AS rep, freq
+  FROM v{k - 1}, best{k}
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {k} AS rank, l AS \"left\", r AS \"right\", c AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return head + "".join(its) + f"""
+{sel}
+ORDER BY rank"""
+
+
+ORACLES["bpe_merges"] = _bpe_oracle_sql(6)
+
+QUERIES["bpe_merges"] = DriverQuery(q_bpe_merges, ORACLES["bpe_merges"])
