@@ -100,6 +100,10 @@ def setsim_join(
             F.col("ordered.g").alias("grams"),
             F.size("ordered").alias("s"),
         )
+        # Referenced three times below (prefix explode + both verify sides);
+        # persist so the tokenize→df-join→collect subtree runs once, spilling
+        # to disk if the gram lists outgrow executor memory.
+        .persist()
     )
 
     # Explode prefix grams only; self-join on the gram with id ordering and

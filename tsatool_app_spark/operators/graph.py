@@ -220,13 +220,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, n_triangles) for nodes in >=1 triangle, ordered.
     """
-    # Canonicalize: undirected edge set, dedup both directions.
+    # Canonicalize: undirected edge set, dedup both directions.  Materialize
+    # it once — the plan below references it five times (degree count,
+    # orientation, both wedge sides, closing edges), and without the
+    # checkpoint each reference would re-execute the caller's whole
+    # edge-derivation subtree (same fix as connected_components).
     e = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "n")

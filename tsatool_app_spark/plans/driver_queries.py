@@ -4072,28 +4072,37 @@ QUERIES["setsim_pairs"] = DriverQuery(q_setsim_pairs, ORACLES["setsim_pairs"])
 
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts (operators/graph.triangle_counts) on the
-    co-supplier graph: suppliers are adjacent iff they supply a common
-    part. Degree-ordered orientation bounds the wedge join on skewed
-    graphs; the DuckDB oracle is the naive id-ordered triple join (fine at
-    sf0.01, the thing the oriented plan exists to avoid at scale)."""
+    temporal order-proximity graph: two orders are adjacent iff they come
+    from the same customer within 30 days — node count and edge count both
+    scale linearly with the data while expected degree stays constant
+    (unlike co-occurrence graphs over a small dimension universe, which go
+    complete as sf grows). Degree-ordered orientation bounds the wedge
+    join on skewed neighborhoods; the DuckDB oracle is the naive
+    id-ordered triple join."""
     from tsatool_app_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
-    a, b = ps.alias("pa"), ps.alias("pb")
-    edges = (
-        a.join(b, (F.col("pa.pk") == F.col("pb.pk")) & (F.col("pa.sk") < F.col("pb.sk")))
-        .select(F.col("pa.sk").alias("src"), F.col("pb.sk").alias("dst"))
-        .distinct()
+    o = load_table(spark, sf_dir, "orders")
+    a, b = o.alias("oa"), o.alias("ob")
+    edges = a.join(
+        b,
+        (F.col("oa.o_custkey") == F.col("ob.o_custkey"))
+        & (F.col("oa.o_orderkey") < F.col("ob.o_orderkey"))
+        & (
+            F.abs(F.datediff(F.col("oa.o_orderdate"), F.col("ob.o_orderdate")))
+            <= 30
+        ),
+    ).select(
+        F.col("oa.o_orderkey").alias("src"), F.col("ob.o_orderkey").alias("dst")
     )
     return triangle_counts(edges)
 
 
 ORACLES["triangle_counts"] = """
-WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-e AS (
-  SELECT DISTINCT a.sk AS a, b.sk AS b
-  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+WITH e AS (
+  SELECT a.o_orderkey AS a, b.o_orderkey AS b
+  FROM orders a JOIN orders b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+   AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
 ),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
