@@ -80,3 +80,39 @@ def test_tfidf_prefers_rare_terms(spark):
     assert out[0].score_q == 5_000_000
     assert out[1].doc_id == 1
     assert out[1].score_q == 3 * 1_666_666
+
+
+def test_pearson_r_matches_numpy(spark):
+    import numpy as np
+
+    from tsatool_app_spark.functions.stats import corr_components, pearson_r
+
+    rows = [(float(i), float(i * 2 + (i % 3)), float(10 - i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    comps = corr_components(df, ["a", "b", "c"], precision="decimal(18,6)")
+    got = {(r.x_col, r.y_col): r.r for r in pearson_r(comps).collect()}
+    data = np.array(rows)
+    cols = {"a": 0, "b": 1, "c": 2}
+    for (x, y), r in got.items():
+        expect = np.corrcoef(data[:, cols[x]], data[:, cols[y]])[0, 1]
+        assert abs(r - expect) < 1e-9, (x, y, r, expect)
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from tsatool_app_spark.functions.similarity import label_centroids
+
+    rows = [
+        (1, [0.5, -0.25], 0),
+        (2, [1.5, 0.75], 0),
+        (3, [-1.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label, r.dim): (r.sum_q, r.n) for r in label_centroids(df).collect()}
+    assert got == {
+        (0, 0): (2_000_000, 2),   # floor(.5e6)+floor(1.5e6)
+        (0, 1): (500_000, 2),     # floor(-250000)+floor(750000)
+        (1, 0): (-1_000_000, 1),
+        (1, 1): (2_000_000, 1),
+    }

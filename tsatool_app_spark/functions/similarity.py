@@ -299,3 +299,32 @@ def lsh_ann_topk(
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    *,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid components of a vector column, in exact integer
+    arithmetic: (label, dim, sum_q, n) with sum_q = Σ floor(x·scale).
+
+    The embedding analytics rollup shape: posexplode fans each vector into
+    (label, dim, component) rows at scan speed; ONE groupBy(label, dim)
+    with map-side partial sums — at 100 TB the shuffle carries
+    |labels|·|dims| partial rows per partition, never the vectors.
+    Callers derive the float centroid as sum_q / scale / n at the edge."""
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale)).cast("long").alias("sum_q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("label", "dim")
+    )

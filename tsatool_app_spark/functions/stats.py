@@ -16,6 +16,8 @@ followed by float expressions written identically in the oracle:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,4 +102,56 @@ def two_proportion_ztest(
         p1.alias("rate1"),
         p2.alias("rate2"),
         ((p1 - p2) / se).alias("z"),
+    )
+
+
+def corr_components(
+    df: DataFrame, cols: Sequence[str], *, precision: str = "decimal(18,2)"
+) -> DataFrame:
+    """Exact single-pass correlation/covariance building blocks for every
+    column pair: (x_col, y_col, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy).
+
+    Sums are DECIMAL (order-independent, engine-exact) — the float-free
+    part of Pearson's r; callers derive r = (n·Σxy − Σx·Σy) /
+    sqrt(n·Σxx − Σx²) / sqrt(n·Σyy − Σy²) driver-side or in a final
+    select. The scan is ONE pass producing all pairs' moments at once
+    (one partial-aggregate, no shuffle beyond the single-row merge), which
+    is how a correlation matrix over 100 TB must run — never one job per
+    pair."""
+    d = {c: F.col(c).cast(precision) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i:]]
+    for x, y in pairs:
+        aggs.append(F.sum(d[x] * d[y]).alias(f"p_{x}_{y}"))
+    wide = df.agg(*aggs)
+    out_rows = F.array(*[
+        F.struct(
+            F.lit(x).alias("x_col"),
+            F.lit(y).alias("y_col"),
+            F.col("n").cast("long").alias("n"),
+            F.col(f"s_{x}").cast("double").alias("sum_x"),
+            F.col(f"s_{y}").cast("double").alias("sum_y"),
+            F.col(f"p_{x}_{x}").cast("double").alias("sum_xx"),
+            F.col(f"p_{y}_{y}").cast("double").alias("sum_yy"),
+            F.col(f"p_{x}_{y}").cast("double").alias("sum_xy"),
+        )
+        for x, y in pairs
+    ])
+    return (
+        wide.select(F.explode(out_rows).alias("r"))
+        .select("r.*")
+        .orderBy("x_col", "y_col")
+    )
+
+
+def pearson_r(components: DataFrame) -> DataFrame:
+    """Derive Pearson's r from corr_components output (float at the very
+    edge only)."""
+    num = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    dx = F.sqrt(F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
+    dy = F.sqrt(F.col("n") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y"))
+    return components.select(
+        "x_col", "y_col", (num / (dx * dy)).alias("r")
     )

@@ -4318,3 +4318,69 @@ ORDER BY rank"""
 ORACLES["bpe_merges"] = _bpe_oracle_sql(6)
 
 QUERIES["bpe_merges"] = DriverQuery(q_bpe_merges, ORACLES["bpe_merges"])
+
+
+def q_corr_components(spark, sf_dir):
+    """Single-pass exact correlation moments for every pair of lineitem
+    measures (functions/stats.corr_components): decimal sums, one scan,
+    all pairs at once. Pearson's r derives from these at the edge
+    (functions/stats.pearson_r, pytest-verified against numpy)."""
+    from tsatool_app_spark.functions.stats import corr_components
+
+    return corr_components(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_discount", "l_extendedprice", "l_quantity"],
+    )
+
+
+def _corr_components_sql(cols: list[str]) -> str:
+    """Generated from the same pair list as the Spark implementation."""
+    d = {c: f"CAST({c} AS DECIMAL(18,2))" for c in cols}
+    sums = ", ".join(
+        [f"count(*) AS n"]
+        + [f"CAST(SUM({d[c]}) AS DOUBLE) AS s_{c}" for c in cols]
+        + [
+            f"CAST(SUM({d[x]} * {d[y]}) AS DOUBLE) AS p_{x}_{y}"
+            for i, x in enumerate(cols)
+            for y in cols[i:]
+        ]
+    )
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i:]]
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{x}' AS x_col, '{y}' AS y_col, CAST(n AS BIGINT) AS n, "
+        f"s_{x} AS sum_x, s_{y} AS sum_y, p_{x}_{x} AS sum_xx, "
+        f"p_{y}_{y} AS sum_yy, p_{x}_{y} AS sum_xy FROM w"
+        for x, y in pairs
+    )
+    return f"WITH w AS (\n  SELECT {sums}\n  FROM lineitem\n)\n{sel}\nORDER BY x_col, y_col"
+
+
+ORACLES["corr_components"] = _corr_components_sql(
+    ["l_discount", "l_extendedprice", "l_quantity"]
+)
+
+QUERIES["corr_components"] = DriverQuery(
+    q_corr_components, ORACLES["corr_components"]
+)
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in exact integer arithmetic
+    (functions/similarity.label_centroids): the vector-rollup shape —
+    posexplode + one groupBy(label, dim) with map-side partial sums."""
+    from tsatool_app_spark.functions.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLES["label_centroids"] = """
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, dim
+ORDER BY label, dim"""
+
+QUERIES["label_centroids"] = DriverQuery(
+    q_label_centroids, ORACLES["label_centroids"]
+)
