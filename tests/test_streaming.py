@@ -678,3 +678,88 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     }
     assert (200, 100) in rows
     assert (210, None) in rows  # unmatched purchase surfaced with null click
+
+
+def test_streaming_cms_fold_counts_and_redelivery_guard(spark, tmp_path):
+    """CMS fold: (a) estimates >= exact counts and exact when the sketch is
+    sparse; (b) re-folding the same batch_id is refused (the SUM fold's
+    re-delivery guard); (c) geometry mismatch is rejected loudly."""
+    import pytest
+
+    from tsatool_app_spark.streaming.cms_stream import (
+        fold_cms_into_snapshot,
+        read_cms_counts,
+    )
+
+    snap = str(tmp_path / "cms")
+    batches = [
+        [(1,)] * 30 + [(2,)] * 5,
+        [(1,)] * 20 + [(3,)] * 7,
+    ]
+    for i, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "user_id long")
+        assert fold_cms_into_snapshot(bdf, snap, "user_id", batch_id=i)
+
+    probes = spark.createDataFrame([(1,), (2,), (3,), (99,)], "user_id long")
+    est = {
+        r.key: r.est
+        for r in read_cms_counts(spark, snap, probes, "user_id").collect()
+    }
+    assert est == {1: 50, 2: 5, 3: 7, 99: 0}  # 3 keys in 256 buckets: exact
+
+    # re-delivery of batch 1 must be a no-op refusal
+    bdf = spark.createDataFrame(batches[1], "user_id long")
+    assert not fold_cms_into_snapshot(bdf, snap, "user_id", batch_id=1)
+    est2 = {
+        r.key: r.est
+        for r in read_cms_counts(spark, snap, probes, "user_id").collect()
+    }
+    assert est2 == est
+
+    # geometry change is an explicit error, not silent corruption
+    with pytest.raises(ValueError, match="geometry"):
+        fold_cms_into_snapshot(bdf, snap, "user_id", width=64, batch_id=5)
+
+
+def test_streaming_cms_counts_query_matches_batch(spark, tmp_path):
+    """End-to-end readStream/foreachBatch: snapshot estimates equal the
+    batch ground truth for every probed user (sparse sketch => exact)."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.streaming.cms_stream import (
+        read_cms_counts,
+        streaming_cms_counts,
+    )
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(i, 100 + (i % 4)) for i in range(40)],
+        [(i, 100 + (i % 8)) for i in range(40, 90)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "event_id long, user_id long").write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        src + "/*"
+    )
+    q = streaming_cms_counts(
+        stream,
+        str(tmp_path / "snap"),
+        col="user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    allrows = [r for b in batches for r in b]
+    exact = {}
+    for _, u in allrows:
+        exact[u] = exact.get(u, 0) + 1
+    probes = spark.createDataFrame([(u,) for u in sorted(exact)], "user_id long")
+    est = {
+        r.key: r.est
+        for r in read_cms_counts(
+            spark, str(tmp_path / "snap"), probes, "user_id"
+        ).collect()
+    }
+    assert est == exact

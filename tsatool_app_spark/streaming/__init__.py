@@ -49,3 +49,11 @@ from tsatool_app_spark.streaming.snapshot_store import (
 )
 
 __all__ += ["publish_snapshot", "read_snapshot"]
+
+from tsatool_app_spark.streaming.cms_stream import (
+    fold_cms_into_snapshot,
+    read_cms_counts,
+    streaming_cms_counts,
+)
+
+__all__ += ["fold_cms_into_snapshot", "read_cms_counts", "streaming_cms_counts"]
