@@ -13,6 +13,8 @@ see plans/driver_queries.py for the paired SQL.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,3 +175,26 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(normalized).alias("fingerprint"),
         F.md5(normalized).alias("fingerprint_md5"),
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode canonicalization for corpus cleaning: collapse whitespace
+    runs JVM-side, then NFC-compose via a vectorized pandas UDF
+    (``Series.str.normalize`` — Python's unicodedata is the reference NFC
+    implementation; Spark has no JVM builtin for it).
+
+    The whitespace pass stays in whole-stage codegen; only the (rare in
+    ASCII-heavy corpora, but correctness-critical) NFC pass crosses to
+    Arrow. At 100 TB this is a narrow per-row map — no shuffle, scan
+    speed, and the UDF batch size is Arrow-default (10k rows) which is
+    right for short text columns.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    ws_collapsed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.withColumn(text_col, _nfc(ws_collapsed))

@@ -4384,3 +4384,272 @@ ORDER BY label, dim"""
 QUERIES["label_centroids"] = DriverQuery(
     q_label_centroids, ORACLES["label_centroids"]
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H parity completion: the four classic shapes still missing from the
+# warehouse suite — Q2 (correlated min over a dim lattice), Q9 (profit
+# decomposition by nation/year), Q16 (distinct-count with NOT-IN exclusion),
+# Q20 (nested HAVING semi-join).  Adapted to the driver schema (no partsupp
+# table: per-(part,supplier) cost derives from lineitem).
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each STANDARD part in a size band, the EUROPE
+    supplier offering the minimum cost (min l_extendedprice observed for
+    that part/supplier pair — exact decimal, so the min is portable).
+
+    The correlated scalar subquery becomes ONE window rank over the
+    per-part cost list — no re-scan per part; dims (part, supplier,
+    nation, region) all broadcast; the single shuffle is the groupBy on
+    (l_partkey, l_suppkey)."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    )
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("cost", "s_suppkey")
+    return (
+        cost.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLES["min_cost_supplier"] = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT p.p_partkey, eu.s_name, eu.n_name, c.cost,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY c.cost, c.l_suppkey) AS rk
+  FROM cost c
+  JOIN part p ON c.l_partkey = p.p_partkey
+  JOIN eu ON c.l_suppkey = eu.s_suppkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+)
+SELECT p_partkey, s_name, n_name, CAST(cost AS DOUBLE) AS min_cost
+FROM ranked WHERE rk = 1 ORDER BY p_partkey"""
+
+QUERIES["min_cost_supplier"] = DriverQuery(
+    q_min_cost_supplier, ORACLES["min_cost_supplier"]
+)
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (nation, year) over a part-name family —
+    revenue minus a derived unit cost (half retail price; the schema has
+    no partsupp.ps_supplycost).  All money stays decimal until the final
+    scalar; dims broadcast; one shuffle on the (nation, year) groupBy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLES["product_profit"] = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                - CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(l_shipdate)
+ORDER BY nation, o_year DESC"""
+
+QUERIES["product_profit"] = DriverQuery(q_product_profit, ORACLES["product_profit"])
+
+
+def q_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, size) for non-PROMO
+    parts, EXCLUDING flagged suppliers (negative account balance stands in
+    for the reference's complaints filter).  The NOT-IN subquery is a
+    broadcast left-anti join on the supplier dim (100 rows — never a
+    shuffle); the distinct-count shuffles (brand, size, suppkey) partials
+    only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(flagged), l.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+ORACLES["supplier_count_by_part"] = """
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+QUERIES["supplier_count_by_part"] = DriverQuery(
+    q_supplier_count_by_part, ORACLES["supplier_count_by_part"]
+)
+
+
+def q_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped an outsized quantity of
+    'small …' parts in 1996 — more than 1.5x the all-supplier mean, the
+    relative-threshold flavor of Q20's "half the stock" rule, made
+    scale-invariant so the filter is selective at every SF.  The
+    comparison is cross-multiplied (qty·2·n > total·3) so it stays in
+    exact decimal/integer arithmetic on both engines; the qualifying
+    list joins broadcast (bounded by |supplier|)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_supp = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    totals = per_supp.agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    qualifying = per_supp.crossJoin(F.broadcast(totals)).where(
+        F.col("qty") * 2 * F.col("n_supp") > F.col("total_qty") * 3
+    )
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("qty").cast("double").alias("small_part_qty_1996"),
+        )
+        .orderBy("s_name")
+    )
+
+
+ORACLES["excess_suppliers"] = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+),
+totals AS (
+  SELECT SUM(qty) AS total_qty, count(*) AS n_supp FROM per_supp
+),
+qualifying AS (
+  SELECT l_suppkey, qty
+  FROM per_supp, totals
+  WHERE qty * 2 * n_supp > total_qty * 3
+)
+SELECT s_name, n_name AS nation, CAST(qty AS DOUBLE) AS small_part_qty_1996
+FROM supplier
+JOIN qualifying ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_name"""
+
+QUERIES["excess_suppliers"] = DriverQuery(
+    q_excess_suppliers, ORACLES["excess_suppliers"]
+)
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode canonicalization (functions/text.normalize_text): NFC
+    composition + whitespace-run collapse.  The synthetic corpus is
+    ASCII-heavy, so each doc gets a deterministic decomposed suffix
+    ('Cafe' + COMBINING ACUTE U+0301) planted on BOTH engines — NFC must
+    compose it to U+00E9, which the value hash then verifies."""
+    from tsatool_app_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" Café  x")).alias("text")
+    )
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+ORACLES["normalize_text"] = """
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(text || ' Café  x', '\\s+', ' ', 'g'))) AS norm_text,
+       CAST(length(nfc_normalize(trim(regexp_replace(text || ' Café  x', '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars_norm
+FROM documents
+ORDER BY doc_id"""
+
+QUERIES["normalize_text"] = DriverQuery(q_normalize_text, ORACLES["normalize_text"])
