@@ -254,3 +254,48 @@ def test_leakage_safe_split_cluster_invariant(spark):
     for d in (4, 5, 6, 50):
         want = "train" if b[d] < 80 else ("val" if b[d] < 90 else "test")
         assert out[d][1] == want
+
+
+def test_gram_matrix_and_pca_match_numpy(spark):
+    """gram_matrix == quantized numpy X.T@X; PCA eigenpairs == numpy eigh
+    on the same matrix; projection == matmul."""
+    import numpy as np
+
+    from tsatool_app_spark.functions.linalg import (
+        gram_matrix,
+        gram_to_numpy,
+        pca_top_components,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((40, 6))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    rows = gram_matrix(df, scale=1000).collect()
+    q = np.floor(x.astype(np.float32).astype(np.float64) * 1000).astype(np.int64)
+    expect = q.T @ q
+    got = {(r["i"], r["j"]): r["g"] for r in rows}
+    iu, ju = np.triu_indices(6)
+    for i, j in zip(iu, ju):
+        assert got[(int(i), int(j))] == int(expect[i, j])
+
+    g = gram_to_numpy(rows, 6, 1000)
+    vals, comps = pca_top_components(df, k=2, dim=6)
+    evals, evecs = np.linalg.eigh(g)
+    np.testing.assert_allclose(vals, evals[::-1][:2], rtol=1e-9)
+    for ci, c in enumerate(comps):
+        ref = evecs[:, np.argsort(evals)[::-1][ci]]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        np.testing.assert_allclose(c, ref, atol=1e-9)
+
+    proj = project_embeddings(df, comps).select("vec_id", "pca").collect()
+    xf = np.stack([np.asarray(r, dtype=np.float64) for r in x.astype(np.float32)])
+    for r in proj:
+        np.testing.assert_allclose(
+            np.asarray(r["pca"]), xf[r["vec_id"]] @ comps.T, rtol=1e-7
+        )

@@ -4653,3 +4653,29 @@ FROM documents
 ORDER BY doc_id"""
 
 QUERIES["normalize_text"] = DriverQuery(q_normalize_text, ORACLES["normalize_text"])
+
+
+def q_embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix (functions/linalg.gram_matrix): per-batch
+    int64 partial XᵀX via mapInPandas, ONE d²-keyed reduce — the shuffle
+    carries d²·partitions cells, never the vectors.  Exact quantized
+    entries hash-match DuckDB's double-unnest self-join oracle."""
+    from tsatool_app_spark.functions.linalg import gram_matrix
+
+    return gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLES["embedding_gram"] = """
+WITH ex AS (
+  SELECT vec_id, i.i AS i,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+)
+SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS g
+FROM ex a JOIN ex b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY 1, 2
+ORDER BY i, j"""
+
+QUERIES["embedding_gram"] = DriverQuery(q_embedding_gram, ORACLES["embedding_gram"])
