@@ -398,9 +398,15 @@ def clean_corpus(
 ) -> DataFrame:
     """The composed cleaning pass a training-data pipeline runs first:
     language filter -> quality floor -> exact-dedup survivors -> PII
-    redaction -> token accounting. One function so the whole chain plans as
-    a single DAG (each stage is a Column expression or one aggregate; the
-    only shuffle is the dedup groupBy on the 16-byte md5).
+    redaction -> token accounting.
+
+    Language, quality, token count, and redaction are all per-row Column
+    expressions, so they compute on ONE scan projection — no self-joins
+    (the r2 shape joined five derivations of the corpus on doc_id, which
+    cost four shuffle joins and blew whole-stage codegen past the JVM's
+    64 KB method cap, dropping the stage to interpreted eval).  The only
+    shuffle left is the exact-dedup groupBy on the 16-byte md5, applied
+    as a left-semi join of survivor ids.
 
     Keeps a doc iff its predicted language is ``lang``, its quality score
     is >= ``min_quality``, and it is the designated survivor (min doc_id)
@@ -409,25 +415,28 @@ def clean_corpus(
     """
     from tsatool_app_spark.functions.dedup import exact_dedup_groups
     from tsatool_app_spark.functions.text import (
-        lang_id_heuristic,
-        quality_score,
-        text_stats,
+        _count_occurrences,
+        lang_pred_col,
+        quality_col,
     )
 
     survivors = exact_dedup_groups(docs).select(
         F.col("keep_id").alias("doc_id")
     )
-    langs = lang_id_heuristic(docs)
-    quality = quality_score(docs)
-    stats = text_stats(docs)
-    redacted = redact_pii(docs)
+    t = F.col("text")
+    cleaned = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_DIGITS_RE, "<NUM>"
+    )
     return (
-        docs.select("doc_id")
+        docs.select(
+            "doc_id",
+            lang_pred_col(t).alias("lang_pred"),
+            quality_col(t).alias("quality"),
+            (_count_occurrences(t, " ") + 1).alias("n_tokens_ws"),
+            cleaned.alias("clean_text"),
+        )
+        .where((F.col("lang_pred") == lang) & (F.col("quality") >= min_quality))
         .join(survivors, "doc_id", "left_semi")
-        .join(langs.where(F.col("lang_pred") == lang), "doc_id")
-        .join(quality.where(F.col("quality") >= min_quality), "doc_id")
-        .join(stats.select("doc_id", "n_tokens_ws"), "doc_id")
-        .join(redacted.select("doc_id", "clean_text"), "doc_id")
     )
 
 

@@ -80,6 +80,40 @@ def _lang_scores(t: Column) -> dict[str, Column]:
     }
 
 
+def lang_pred_col(t: Column) -> Column:
+    """Predicted-language Column expression (the body of
+    :func:`lang_id_heuristic`, reusable inside wider single-scan
+    pipelines like corpus.clean_corpus).
+
+    The argmax is ONE array_max over (score, priority, lang) structs, so
+    each marker-score sum appears exactly once in the expression tree.
+    (The r2 shape — greatest(...) plus a when-chain re-comparing each
+    score — inlined every sum ~5x after Catalyst's project collapsing,
+    and was the main contributor to blowing generated code past the
+    JVM's 64 KB method cap in composed pipelines.)  Priority runs
+    DESCENDING in marker-dict order so score ties break toward the
+    earlier language, matching the original when-chain and the oracle."""
+    scores = _lang_scores(t)
+    n = len(scores)
+    entries = F.array(
+        *[
+            F.struct(
+                score.alias("s"), F.lit(n - i).alias("prio"), F.lit(lang).alias("l")
+            )
+            for i, (lang, score) in enumerate(scores.items())
+        ]
+    )
+    best = F.array_max(entries)  # struct compare: score, then priority
+    # non-ASCII ratio: chars whose codepoint > 127 (CJK detection)
+    ascii_stripped = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
+    nonascii_ratio = ascii_stripped / F.greatest(F.length(t), F.lit(1))
+    return (
+        F.when(nonascii_ratio > 0.3, F.lit("zh"))  # CJK check first: no ASCII stopwords
+        .when(best["s"] == 0, F.lit("und"))
+        .otherwise(best["l"])
+    )
+
+
 def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID via stopword-marker counting + non-ASCII ratio.
 
@@ -88,32 +122,12 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (CJK text has essentially no ASCII stopwords). Returns (doc_id,
     lang_pred). Accuracy against the testdata ``lang`` ground-truth column is
     asserted in tests."""
-    t = F.col(text_col)
-    scores = _lang_scores(t)
-    # non-ASCII ratio: chars whose codepoint > 127 (CJK detection)
-    ascii_stripped = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
-    nonascii_ratio = ascii_stripped / F.greatest(F.length(t), F.lit(1))
-
-    best = F.greatest(*scores.values())
-    marker_pred = None
-    for lang in _LANG_MARKERS:  # insertion order breaks ties deterministically
-        cond = scores[lang] == best
-        marker_pred = (
-            F.when(cond, F.lit(lang)) if marker_pred is None else marker_pred.when(cond, F.lit(lang))
-        )
-    pred = (
-        F.when(nonascii_ratio > 0.3, F.lit("zh"))  # CJK check first: no ASCII stopwords
-        .when(best == 0, F.lit("und"))
-        .otherwise(marker_pred)
-    )
-    return docs.select("doc_id", pred.alias("lang_pred"))
+    return docs.select("doc_id", lang_pred_col(F.col(text_col)).alias("lang_pred"))
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality in [0, 1] from surface statistics:
-    length band, punctuation presence, word-length sanity, space ratio.
-    All Column arithmetic; deterministic."""
-    t = F.col(text_col)
+def quality_col(t: Column) -> Column:
+    """Quality-score Column expression (the body of :func:`quality_score`,
+    reusable inside wider single-scan pipelines)."""
     n_chars = F.length(t)
     n_tokens = _count_occurrences(t, " ") + 1
     avg_token_len = n_chars / n_tokens
@@ -127,7 +141,14 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = (
         length_ok * 0.4 + has_sentence_end * 0.2 + token_len_ok * 0.2 + space_ok * 0.2
     )
-    return docs.select("doc_id", score.cast("double").alias("quality"))
+    return score.cast("double")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1] from surface statistics:
+    length band, punctuation presence, word-length sanity, space ratio.
+    All Column arithmetic; deterministic."""
+    return docs.select("doc_id", quality_col(F.col(text_col)).alias("quality"))
 
 
 def winnowing_fingerprints(
