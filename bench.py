@@ -20,6 +20,7 @@ detail.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -97,6 +98,14 @@ def main() -> None:
         # rebuilt per run (no cached DataFrames), so Catalyst planning is
         # still included — only OS/JIT jitter is excluded.
         timings[name] = round(best, 3)
+        # Drop the query's python refs NOW so ContextCleaner reclaims its
+        # localCheckpoint RDD blocks before the next query runs: with 130+
+        # queries in one JVM the leaked blocks otherwise pile into storage
+        # memory and the late heavy queries pay GC/spill for the whole
+        # board (measured: minhash-family queries +30-60% wall at the
+        # 133-query board vs the 113-query snapshot).
+        df = None
+        gc.collect()
 
     oracle_timings = time_oracles(
         sf_dir, {n: q.oracle for n, q in QUERIES.items() if q.oracle}, repeats

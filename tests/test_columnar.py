@@ -56,3 +56,26 @@ def test_write_partitioned_rejects_unknown_format(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError):
         write_partitioned(df, str(tmp_path / "x"), ["id"], fmt="avro")
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    """64 tiny files compact to far fewer; row content identical."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.sources.columnar import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 20000).select(
+        "id", (F.col("id") * 2).alias("v")
+    )
+    df.repartition(64).write.parquet(src)
+    n_in = spark.read.parquet(src).select(F.input_file_name()).distinct().count()
+    assert n_in >= 32
+    n_out = compact_small_files(spark, src, dst, target_mb=128)
+    assert n_out == 1  # 20k rows is far below one target file
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(20000))
+    assert spark.read.parquet(dst).agg(F.sum("v")).first()[0] == sum(
+        2 * i for i in range(20000)
+    )

@@ -299,3 +299,33 @@ def test_gram_matrix_and_pca_match_numpy(spark):
         np.testing.assert_allclose(
             np.asarray(r["pca"]), xf[r["vec_id"]] @ comps.T, rtol=1e-7
         )
+
+
+def test_power_sums_and_moments_match_numpy(spark):
+    import numpy as np
+
+    from tsatool_app_spark.functions.stats import moments_from_sums, power_sums
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(1, 60, size=500)
+    groups = rng.integers(0, 3, size=500)
+    df = spark.createDataFrame(
+        [(int(g), int(v)) for g, v in zip(groups, vals)], "g int, x long"
+    ).repartition(5)
+    rows = {r["g"]: r for r in power_sums(df, "x", ["g"]).collect()}
+    for g in range(3):
+        xs = vals[groups == g].astype(np.float64)
+        r = rows[g]
+        assert r["n"] == len(xs)
+        for k in range(1, 5):
+            assert r[f"s{k}"] == int((vals[groups == g].astype(object) ** k).sum())
+        mean, var, skew, kurt = moments_from_sums(
+            r["n"], r["s1"], r["s2"], r["s3"], r["s4"]
+        )
+        np.testing.assert_allclose(mean, xs.mean(), rtol=1e-12)
+        np.testing.assert_allclose(var, xs.var(), rtol=1e-9)
+        m = xs - xs.mean()
+        np.testing.assert_allclose(skew, (m**3).mean() / xs.var() ** 1.5, rtol=1e-9)
+        np.testing.assert_allclose(
+            kurt, (m**4).mean() / xs.var() ** 2 - 3.0, rtol=1e-9
+        )

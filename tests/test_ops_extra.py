@@ -339,3 +339,108 @@ def test_active_counts_iso_week_year_boundary(spark):
     out = {str(r.day): (r.dau, r.wau) for r in active_counts(ev).collect()}
     assert out["2024-01-03"] == (3, 3)
     assert out["2024-12-30"] == (2, 2)  # merged grouping would report 5
+
+
+def test_bloom_semi_join_exact_and_filters_before_join(spark):
+    """bloom_semi_join == plain left-semi join on planted data (including
+    keys engineered to miss), and the physical plan carries the bloom
+    probe (element_at bit tests) on the fact side BEFORE the verify join."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.operators.runtime_filter import (
+        bloom_semi_join,
+        build_bloom_words,
+        bloom_probe_col,
+    )
+
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    keys = spark.range(0, 997, 3).select(F.col("id").alias("k"))
+    got = sorted(
+        (r["k"], r["v"]) for r in bloom_semi_join(fact, keys, "k").collect()
+    )
+    expect = sorted(
+        (r["k"], r["v"])
+        for r in fact.join(keys, "k", "left_semi").collect()
+    )
+    assert got == expect and len(got) > 0
+
+    plan = bloom_semi_join(fact, keys, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan  # probe runs scan-side, in codegen
+
+    # No false negatives ever; FP rate bounded (probabilistic but with
+    # n_bits=2^17 for ~300 keys it is ~0 — assert a loose ceiling).
+    words = build_bloom_words(keys, "k").collect()[0]["bloom_words"]
+    probe = (
+        fact.crossJoin(F.broadcast(build_bloom_words(keys, "k")))
+        .where(bloom_probe_col(F.col("k"), F.col("bloom_words"), n_bits=1 << 17, n_hashes=5))
+        .count()
+    )
+    true_matches = len(expect)
+    assert probe >= true_matches
+    assert probe <= true_matches * 1.05 + 50
+
+
+def test_moment_partials_are_batch_split_independent(spark):
+    """Power-sum moment partials fold to bit-identical results no matter
+    how the input is split (the monoid property), and finalize's
+    skew/kurtosis match numpy on the dequantized values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(10, 2, size=400).round(3)
+    groups = rng.integers(0, 2, size=400)
+    rows = [(int(g), float(v)) for g, v in zip(groups, vals)]
+    df = spark.createDataFrame(rows, "g int, x double")
+
+    whole = partial_aggregate(df, ["g"], "x", moments_scale=1000)
+    a = partial_aggregate(spark.createDataFrame(rows[:150], "g int, x double"), ["g"], "x", moments_scale=1000)
+    b = partial_aggregate(spark.createDataFrame(rows[150:290], "g int, x double"), ["g"], "x", moments_scale=1000)
+    c = partial_aggregate(spark.createDataFrame(rows[290:], "g int, x double"), ["g"], "x", moments_scale=1000)
+    merged = merge_partials(a, b, c)
+
+    w = {r["g"]: r.asDict() for r in whole.collect()}
+    m = {r["g"]: r.asDict() for r in merged.collect()}
+    assert w == m
+
+    fin = {r["g"]: r for r in finalize_aggregate(merged).collect()}
+    for g in (0, 1):
+        q = np.floor(vals[groups == g] * 1000)
+        np.testing.assert_allclose(fin[g]["var_q"], q.var(), rtol=1e-9)
+        mz = q - q.mean()
+        np.testing.assert_allclose(
+            fin[g]["skewness"], (mz**3).mean() / q.var() ** 1.5, rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            fin[g]["kurtosis_excess"], (mz**4).mean() / q.var() ** 2 - 3, rtol=1e-9
+        )
+
+
+def test_snapshot_diff_null_safe_and_classes(spark):
+    """NULL→value and value→NULL transitions are changes; identical rows
+    (including NULL==NULL) are not emitted; added/removed classified."""
+    from tsatool_app_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, None)],
+        "k long, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "now"), (2, "b", None), (4, None, None), (5, "new", "z")],
+        "k long, c1 string, c2 string",
+    )
+    got = {r["k"]: (r["change"], sorted(r["changed_cols"])) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: ("changed", ["c2"]),   # NULL -> value
+        2: ("changed", ["c2"]),   # value -> NULL
+        3: ("removed", []),
+        5: ("added", []),
+    }  # k=4 identical incl. NULLs: not emitted

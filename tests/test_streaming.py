@@ -763,3 +763,107 @@ def test_streaming_cms_counts_query_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert est == exact
+
+
+def test_incremental_dedup_index_matches_batch_and_streams(spark, tmp_path):
+    """Feeding the corpus through the incremental index in batches finds
+    exactly the CROSS-batch + WITHIN-later-batch pairs the one-shot batch
+    LSH finds, each emitted once (when its later doc arrives); the
+    foreachBatch wrapper produces the same through a real stream."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.dedup import minhash_near_dup_pairs
+    from tsatool_app_spark.streaming.dedup_index import (
+        incremental_probe_and_update,
+        streaming_minhash_dedup,
+    )
+
+    # batch-1 docs are genuinely distinct (unique token vocabularies)
+    base = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(20)
+    ]
+    # near-dup clones across the boundary (100, 101) AND within batch 2
+    # (101 vs 102 — must be caught by the index ∪ self probe)
+    clones = [(100, base[3][1] + " tail"), (101, base[7][1]), (102, base[7][1] + " x")]
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(clones, "doc_id long, text string")
+
+    snap = str(tmp_path / "idx")
+    m1 = incremental_probe_and_update(spark, snap, df1)
+    assert m1.count() == 0  # batch 1 has no near-dups, within or against ∅
+    m2 = incremental_probe_and_update(spark, snap, df2)
+    got = sorted((r["id_a"], r["id_b"]) for r in m2.collect())
+
+    allpairs = minhash_near_dup_pairs(
+        df1.unionByName(df2)
+    ).select("id_a", "id_b")
+    cross = sorted(
+        (r["id_a"], r["id_b"])
+        for r in allpairs.collect()
+        if r["id_b"] >= 100  # pairs whose later doc is in batch 2
+    )
+    assert got == cross and len(got) >= 3
+    assert (101, 102) in got  # the within-batch pair
+
+    # same thing through readStream/foreachBatch, one file per batch
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.mode("overwrite").parquet(src + "/b=1")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    snap2 = str(tmp_path / "idx2")
+    matches_path = str(tmp_path / "matches")
+    q = streaming_minhash_dedup(
+        stream, snap2, matches_path, checkpoint=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    df2.coalesce(1).write.mode("overwrite").parquet(src + "/b=2")
+    q = streaming_minhash_dedup(
+        stream, snap2, matches_path, checkpoint=str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(matches_path).collect()
+    )
+    assert streamed == cross
+
+
+def test_streaming_moments_snapshot_matches_batch(spark, tmp_path):
+    """Moment partials (p_s1..p_s4) folded through a real stream equal the
+    batch power sums exactly, and finalize derives variance from them."""
+    import numpy as np
+
+    from tsatool_app_spark.operators.incremental import (
+        finalize_aggregate,
+        partial_aggregate,
+    )
+    from tsatool_app_spark.streaming import streaming_incremental_rollup
+    from tsatool_app_spark.streaming.snapshot_store import read_snapshot
+
+    src = str(tmp_path / "obs")
+    snap = str(tmp_path / "snapshot")
+    batches = [
+        [(0, 1, 1, 10.25), (1, 1, 1, 20.5), (2, 2, 1, 5.125)],
+        [(3, 1, 1, 40.75), (4, 2, 1, -5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        write_obs_batch(spark, src, rows, i)
+        stream = stream_observations(
+            spark, src, schema="tfrom timestamp, statid int, seid int, seval float"
+        )
+        q = streaming_incremental_rollup(
+            stream, snap, keys=["statid"], value_col="seval",
+            checkpoint=str(tmp_path / "ckpt"), moments_scale=1000,
+        )
+        q.awaitTermination(120)
+
+    folded = read_snapshot(spark, snap)
+    full = partial_aggregate(
+        spark.read.parquet(src), ["statid"], "seval", moments_scale=1000
+    )
+    key = lambda df: {
+        r["statid"]: tuple(r[f"p_s{k}"] for k in range(1, 5)) for r in df.collect()
+    }
+    assert key(folded) == key(full)
+
+    fin = {r["statid"]: r for r in finalize_aggregate(folded).collect()}
+    q1 = np.floor(np.array([10.25, 20.5, 40.75], dtype=np.float64) * 1000)
+    np.testing.assert_allclose(fin[1]["var_q"], q1.var(), rtol=1e-12)

@@ -155,3 +155,49 @@ def pearson_r(components: DataFrame) -> DataFrame:
     return components.select(
         "x_col", "y_col", (num / (dx * dy)).alias("r")
     )
+
+
+def power_sums(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    *,
+    max_power: int = 4,
+) -> DataFrame:
+    """Exact integer power sums Σx, Σx², … Σx^k (+ count) per group — the
+    mergeable summary behind mean/variance/skewness/kurtosis.
+
+    The value is cast to BIGINT (callers pre-scale fractional inputs), so
+    every sum is exact int64 arithmetic: order-independent, mergeable
+    across partitions/batches/days by simple addition, and engine-portable
+    — the same reasons the correlation moments (corr_components) avoid
+    float sums. ONE map-side-combined hash aggregate; the shuffle carries
+    |groups| × (k+1) longs."""
+    x = F.col(value_col).cast("long")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    p = x
+    for k in range(1, max_power + 1):
+        aggs.append(F.sum(p).cast("long").alias(f"s{k}"))
+        p = p * x
+    out = df.groupBy(*by).agg(*aggs)
+    return out.orderBy(*by) if by else out
+
+
+def moments_from_sums(n: int, s1: int, s2: int, s3: int = 0, s4: int = 0):
+    """Derive (mean, variance, skewness, excess kurtosis) from exact power
+    sums — the driver-side edge step after :func:`power_sums` (population
+    moments; float math happens only here, on one row per group)."""
+    n = float(n)
+    mean = s1 / n
+    m2 = s2 / n - mean**2
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean**3
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean**2 * (s2 / n)
+        - 3 * mean**4
+    )
+    var = m2
+    skew = m3 / m2**1.5 if m2 > 0 else float("nan")
+    kurt = m4 / m2**2 - 3.0 if m2 > 0 else float("nan")
+    return mean, var, skew, kurt

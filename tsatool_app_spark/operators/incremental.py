@@ -35,40 +35,86 @@ def partial_aggregate(
     df: DataFrame,
     keys: list[str],
     value_col: str,
+    *,
+    moments_scale: int | None = None,
 ) -> DataFrame:
     """Reduce a slice to mergeable per-key partials:
-    (keys..., p_count, p_sum [decimal], p_min, p_max)."""
-    return df.groupBy(*keys).agg(
+    (keys..., p_count, p_sum [decimal], p_min, p_max).
+
+    With ``moments_scale`` set, also keeps exact int64 power sums
+    p_s1..p_s4 of floor(value·scale) — the mergeable summary behind
+    incrementally-maintained variance/skewness/kurtosis (see
+    functions/stats.power_sums for the same construction in batch form).
+    Like every other partial these are plain sums, so the monoid property
+    (batch-boundary independence) is preserved."""
+    aggs = [
         F.count(F.lit(1)).alias("p_count"),
         F.sum(F.col(value_col).cast("decimal(20,6)")).alias("p_sum"),
         F.min(value_col).alias("p_min"),
         F.max(value_col).alias("p_max"),
-    )
+    ]
+    if moments_scale is not None:
+        q = F.floor(F.col(value_col).cast("double") * moments_scale).cast("long")
+        p = q
+        for k in range(1, 5):
+            aggs.append(F.sum(p).cast("long").alias(f"p_s{k}"))
+            p = p * q
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def merge_partials(*parts: DataFrame) -> DataFrame:
-    """Fold partial snapshots (same schema) into one: counts and decimal
-    sums add, extrema fold. Input rows ≈ keys × snapshots — tiny next to
-    the raw data they summarize."""
+    """Fold partial snapshots (same schema) into one: counts, sums, and
+    power sums add; extrema fold. Generic over whichever p_* columns the
+    snapshot carries (each summed column is cast back to its stored type
+    so repeated merges don't widen decimals round-over-round). Input rows
+    ≈ keys × snapshots — tiny next to the raw data they summarize."""
     unioned = reduce(DataFrame.unionByName, parts)
     keys = [c for c in unioned.columns if not c.startswith("p_")]
-    return unioned.groupBy(*keys).agg(
-        F.sum("p_count").alias("p_count"),
-        F.sum("p_sum").alias("p_sum"),
-        F.min("p_min").alias("p_min"),
-        F.max("p_max").alias("p_max"),
-    )
+    dtypes = dict(unioned.dtypes)
+    aggs = []
+    for c in unioned.columns:
+        if c in keys:
+            continue
+        if c == "p_min":
+            aggs.append(F.min(c).alias(c))
+        elif c == "p_max":
+            aggs.append(F.max(c).alias(c))
+        else:
+            aggs.append(F.sum(c).cast(dtypes[c]).alias(c))
+    return unioned.groupBy(*keys).agg(*aggs)
 
 
 def finalize_aggregate(partials: DataFrame) -> DataFrame:
     """User-facing view of a partial snapshot: DOUBLE sum and exact mean
-    (decimal total / count — identical in any engine)."""
+    (decimal total / count — identical in any engine). When the snapshot
+    carries moment partials (p_s1..p_s4), also derives population
+    variance / skewness / excess kurtosis — float math only here, at the
+    one-row-per-key edge, de-quantized from the exact integer sums."""
     keys = [c for c in partials.columns if not c.startswith("p_")]
-    return partials.select(
+    out = [
         *keys,
         F.col("p_count").cast("long").alias("n"),
         F.col("p_sum").cast("double").alias("sum_val"),
         F.col("p_min").alias("min_val"),
         F.col("p_max").alias("max_val"),
         (F.col("p_sum").cast("double") / F.col("p_count")).alias("avg_val"),
-    )
+    ]
+    if "p_s2" in partials.columns:
+        n = F.col("p_count").cast("double")
+        m1 = F.col("p_s1") / n
+        r2 = F.col("p_s2") / n
+        r3 = F.col("p_s3") / n
+        r4 = F.col("p_s4") / n
+        m2 = r2 - m1 * m1
+        m3 = r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1
+        m4 = r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1
+        # quantized-unit moments; variance scales by scale², but skew and
+        # kurtosis are scale-free ratios, so no de-quantization needed.
+        out.extend(
+            [
+                m2.alias("var_q"),
+                F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
+                F.when(m2 > 0, m4 / (m2 * m2) - 3.0).alias("kurtosis_excess"),
+            ]
+        )
+    return partials.select(*out)

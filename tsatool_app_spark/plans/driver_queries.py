@@ -4679,3 +4679,171 @@ GROUP BY 1, 2
 ORDER BY i, j"""
 
 QUERIES["embedding_gram"] = DriverQuery(q_embedding_gram, ORACLES["embedding_gram"])
+
+
+def q_power_moments(spark, sf_dir):
+    """Mergeable moment summary (functions/stats.power_sums): exact int64
+    Σx..Σx⁴ per return flag — one map-side-combined aggregate; skew and
+    kurtosis derive driver-side (stats.moments_from_sums, pytest-checked
+    against numpy).  l_quantity is integral so the BIGINT cast is lossless."""
+    from tsatool_app_spark.functions.stats import power_sums
+
+    return power_sums(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", ["l_returnflag"]
+    )
+
+
+ORACLES["power_moments"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS s1,
+       CAST(SUM(q * q) AS BIGINT) AS s2,
+       CAST(SUM(q * q * q) AS BIGINT) AS s3,
+       CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+QUERIES["power_moments"] = DriverQuery(q_power_moments, ORACLES["power_moments"])
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Runtime-filter semi-join (operators/runtime_filter.bloom_semi_join):
+    lineitem rows of URGENT orders via a distributed Bloom build + scan-side
+    probe + exact verify join — result identical to the plain semi-join
+    (the oracle), with the fact shuffle pre-shrunk by the bloom."""
+    from tsatool_app_spark.operators.runtime_filter import bloom_semi_join
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(l, o, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLES["bloom_semi_join"] = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+QUERIES["bloom_semi_join"] = DriverQuery(q_bloom_semi_join, ORACLES["bloom_semi_join"])
+
+
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental near-dup probe (streaming/dedup_index.py): the even-id
+    half of the corpus is the already-ingested index; the odd-id half is
+    the arriving batch.  Probe = ONE equi-join of the batch's band-bucket
+    keys against the index relation; candidates then verify with exact
+    n-gram Jaccard.  Oracle-checkable for the minhash_pairs reason: true
+    near-dup pairs sit at J ≥ 0.97 where the 64-hash/8-band miss
+    probability is ~5e-6, so the verified cross-half output equals the
+    exact cross-half answer DuckDB computes brute-force."""
+    from tsatool_app_spark.functions.dedup import ngram_jaccard_pairs
+    from tsatool_app_spark.streaming.dedup_index import band_bucket_keys, probe_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    indexed = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    cands = probe_index(band_bucket_keys(indexed), band_bucket_keys(arriving))
+    return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
+
+
+ORACLES["incremental_minhash_dedup"] = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM documents
+)
+SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+       len(list_intersect(a.s, b.s))
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE len(list_intersect(a.s, b.s))
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85"""
+
+QUERIES["incremental_minhash_dedup"] = DriverQuery(
+    q_incremental_minhash_dedup, ORACLES["incremental_minhash_dedup"]
+)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot diff (operators/diff.snapshot_diff): documents v1 vs
+    a deterministically perturbed v2 (every 97th doc dropped, every 89th
+    doc's text rewritten, clones of the first 5 docs added under new ids)
+    — one full-outer join on the key + NULL-safe column compares; the
+    changed-column list is array/filter Column work, no UDF."""
+    from tsatool_app_spark.operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    v2 = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.orderBy("doc_id")
+            .limit(5)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+            )
+        )
+    )
+    return snapshot_diff(docs, v2, ["doc_id"]).orderBy("doc_id")
+
+
+ORACLES["snapshot_diff"] = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 5)
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+         list_filter(
+           [CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END,
+            CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END,
+            CASE WHEN o.source IS DISTINCT FROM n.source THEN 'source' END],
+           x -> x IS NOT NULL) AS diffs
+  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN len(diffs) > 0 THEN 'changed' END AS change,
+       CASE WHEN in_old AND in_new AND len(diffs) > 0 THEN diffs
+            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+FROM j
+WHERE (NOT in_old) OR (NOT in_new) OR len(diffs) > 0
+ORDER BY doc_id"""
+
+QUERIES["snapshot_diff"] = DriverQuery(q_snapshot_diff, ORACLES["snapshot_diff"])

@@ -1,0 +1,171 @@
+"""Incremental near-duplicate index: probe new documents against the
+band-bucket index of everything ingested so far, then fold them in.
+
+Batch near-dedup (functions/dedup.minhash_near_dup_pairs) answers "which
+pairs inside THIS corpus are near-dups"; a growing training corpus needs
+the incremental question — "is this NEW document a near-dup of anything
+already ingested" — without re-running LSH over history.  The index is the
+(doc_id, band, bucket) relation itself: probing is ONE equi-join of the
+new batch's keys against it, updating is a union — both proportional to
+the batch, never the corpus.  State persists through the crash-safe
+versioned snapshot store (streaming/snapshot_store.py), exactly like the
+continuous aggregates in incremental_stream.py.
+
+At 100 TB: the index carries bands × |corpus| fixed-width rows (ids and
+two ints — no text, no signatures), the probe join shuffles only the
+batch's keys when the index side is bucketed/partitioned by (band,
+bucket), and the verify step (exact n-gram Jaccard) touches candidate
+pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsatool_app_spark.functions.dedup import _band_keys, minhash_signatures
+from tsatool_app_spark.streaming.snapshot_store import (
+    publish_snapshot,
+    read_snapshot,
+)
+
+
+def band_bucket_keys(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, bucket) index rows for a document slice — MinHash
+    signatures banded to bucket keys (the same construction the batch
+    self-join uses, so batch and incremental agree bucket-for-bucket)."""
+    sig = minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    return _band_keys(sig, bands, num_hashes // bands, id_col)
+
+
+def probe_index(
+    index: DataFrame,
+    new_keys: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Candidate matches of new documents against the index: (id_a, id_b)
+    with id_a < id_b, a pair iff the two share ≥ 1 (band, bucket).
+
+    ``max_bucket_size`` guards the same quadratic hot-bucket edge as the
+    batch join — index buckets above the cap are excluded (route those
+    clusters through exact dedup; the audit companion is
+    functions/dedup.minhash_oversize_buckets)."""
+    idx = index.select(F.col(id_col).alias("_idx_id"), "band", "bucket")
+    if max_bucket_size is not None:
+        ok = (
+            idx.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx = idx.join(ok, ["band", "bucket"], "left_semi")
+    probe = new_keys.select(F.col(id_col).alias("_new_id"), "band", "bucket")
+    return (
+        probe.join(idx, ["band", "bucket"])
+        .where(F.col("_new_id") != F.col("_idx_id"))
+        .select(
+            F.least("_new_id", "_idx_id").alias("id_a"),
+            F.greatest("_new_id", "_idx_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_probe_and_update(
+    spark: SparkSession,
+    snapshot_path: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Probe ``new_docs`` against the persisted index PLUS the batch
+    itself, fold the batch's keys in, and return the candidate pairs.
+    Probing index ∪ self means two duplicates arriving in the SAME batch
+    are still caught (the id_a < id_b dedup in probe_index collapses the
+    symmetric double-find), so every near-dup pair in the corpus is
+    emitted exactly once — when its later document arrives.
+
+    The returned candidates are UNVERIFIED (LSH bucket collisions);
+    verify with functions/dedup.ngram_jaccard_pairs over the union corpus
+    before dropping anything."""
+    new_keys = band_bucket_keys(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    ).localCheckpoint(eager=True)  # computed once: probed AND folded in
+    current = read_snapshot(spark, snapshot_path)
+    combined = (
+        current.unionByName(new_keys) if current is not None else new_keys
+    )
+    matches = probe_index(
+        combined, new_keys, id_col=id_col, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)  # computed before the index swaps versions
+    publish_snapshot(combined.distinct(), snapshot_path)
+    return matches
+
+
+def streaming_minhash_dedup(
+    stream_docs: DataFrame,
+    snapshot_path: str,
+    matches_path: str,
+    *,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
+):
+    """foreachBatch driver: each micro-batch of documents is probed
+    against the index-so-far, candidate pairs append to ``matches_path``
+    (parquet), and the batch folds into the index.  Returns the
+    StreamingQuery.  Batch-order determinism: a pair is emitted exactly
+    once, when its LATER document arrives."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = incremental_probe_and_update(
+            batch_df.sparkSession,
+            snapshot_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            max_bucket_size=max_bucket_size,
+        )
+        matches.write.mode("append").parquet(matches_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -37,13 +37,18 @@ def fold_batch_into_snapshot(
     snapshot_path: str,
     keys: list[str],
     value_col: str,
+    *,
+    moments_scale: int | None = None,
 ) -> None:
     """Reduce one batch to partials and fold it into the versioned
     snapshot (creating the store on first use). Driver-side file juggling
     only touches snapshot METADATA (the pointer file); data stays
-    distributed."""
+    distributed. ``moments_scale`` additionally maintains exact power-sum
+    moments in the snapshot (see operators/incremental.partial_aggregate)."""
     spark = batch_df.sparkSession
-    batch_partials = partial_aggregate(batch_df, keys, value_col)
+    batch_partials = partial_aggregate(
+        batch_df, keys, value_col, moments_scale=moments_scale
+    )
     current = read_snapshot(spark, snapshot_path)
     if current is not None:
         merged = merge_partials(current, batch_partials)
@@ -59,6 +64,7 @@ def streaming_incremental_rollup(
     keys: list[str],
     value_col: str,
     checkpoint: str,
+    moments_scale: int | None = None,
 ):
     """Start a foreachBatch query maintaining a continuous per-key
     aggregate snapshot at ``snapshot_path``. Returns the StreamingQuery."""
@@ -66,7 +72,9 @@ def streaming_incremental_rollup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fold_batch_into_snapshot(batch_df, snapshot_path, keys, value_col)
+        fold_batch_into_snapshot(
+            batch_df, snapshot_path, keys, value_col, moments_scale=moments_scale
+        )
 
     return (
         stream_df.writeStream.foreachBatch(process)
