@@ -867,3 +867,37 @@ def test_streaming_moments_snapshot_matches_batch(spark, tmp_path):
     fin = {r["statid"]: r for r in finalize_aggregate(folded).collect()}
     q1 = np.floor(np.array([10.25, 20.5, 40.75], dtype=np.float64) * 1000)
     np.testing.assert_allclose(fin[1]["var_q"], q1.var(), rtol=1e-12)
+
+
+def test_snapshot_store_segments_append_and_compact(spark, tmp_path):
+    """Append-only segments: each append writes only the batch; reads see
+    the union; compaction folds to one segment; plain->segment migration
+    works; crash garbage (unreferenced segment) is pruned on next publish."""
+    import os
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        append_snapshot_segment,
+        compact_segments,
+        current_version,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "store")
+    publish_snapshot(spark.range(0, 5).selectExpr("id AS k"), root)  # plain
+    append_snapshot_segment(spark.range(5, 8).selectExpr("id AS k"), root)
+    append_snapshot_segment(spark.range(8, 10).selectExpr("id AS k"), root)
+    got = sorted(r["k"] for r in read_snapshot(spark, root).collect())
+    assert got == list(range(10))
+
+    # simulate a crashed append: segment written, manifest never published
+    spark.range(90, 95).selectExpr("id AS k").write.parquet(
+        os.path.join(root, "seg-99")
+    )
+    assert sorted(r["k"] for r in read_snapshot(spark, root).collect()) == got
+
+    compact_segments(spark, root)
+    segs = [e for e in os.listdir(root) if e.startswith("seg-")]
+    assert len(segs) == 1  # orphan seg-99 pruned, live segments folded
+    assert sorted(r["k"] for r in read_snapshot(spark, root).collect()) == got
+    assert current_version(root) is not None

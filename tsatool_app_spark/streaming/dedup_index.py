@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tsatool_app_spark.functions.dedup import _band_keys, minhash_signatures
 from tsatool_app_spark.streaming.snapshot_store import (
-    publish_snapshot,
+    append_snapshot_segment,
     read_snapshot,
 )
 
@@ -124,7 +124,12 @@ def incremental_probe_and_update(
     matches = probe_index(
         combined, new_keys, id_col=id_col, max_bucket_size=max_bucket_size
     ).localCheckpoint(eager=True)  # computed before the index swaps versions
-    publish_snapshot(combined.distinct(), snapshot_path)
+    # Append-only: the update writes THIS BATCH's keys as a new segment —
+    # O(batch), while a publish_snapshot rewrite would be O(index) per
+    # batch (measured 6.5 s/25 k-doc batch at the 10x rehearsal, most of
+    # it rewriting history). Long-runners compact via
+    # snapshot_store.compact_segments.
+    append_snapshot_segment(new_keys, snapshot_path)
     return matches
 
 

@@ -46,12 +46,30 @@ def current_version(root: str) -> str | None:
     return name or None
 
 
+_SEG_MANIFEST = "_segments"
+
+
+def _manifest_segments(root: str, name: str) -> list[str] | None:
+    """Segment names listed by a manifest version, or None if ``name`` is
+    a plain data-directory version."""
+    try:
+        with open(os.path.join(root, name, _SEG_MANIFEST)) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return None
+
+
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
-    """The committed snapshot as a DataFrame, or None before first publish."""
+    """The committed snapshot as a DataFrame, or None before first publish.
+    A version is either a plain parquet directory (publish_snapshot) or a
+    manifest over append-only segments (append_snapshot_segment)."""
     name = current_version(root)
     if name is None:
         return None
-    return spark.read.parquet(os.path.join(root, name))
+    segs = _manifest_segments(root, name)
+    if segs is None:
+        return spark.read.parquet(os.path.join(root, name))
+    return spark.read.parquet(*[os.path.join(root, s) for s in segs])
 
 
 def publish_snapshot(df: DataFrame, root: str) -> str:
@@ -68,8 +86,82 @@ def publish_snapshot(df: DataFrame, root: str) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, _pointer_path(root))  # atomic single-file publish
-    # best-effort prune of superseded versions (and crashed partials)
+    # best-effort prune of superseded versions (and crashed partials);
+    # a full publish supersedes any append-only segments too
     for entry in os.listdir(root):
-        if entry.startswith("v-") and entry != name:
+        if (entry.startswith("v-") and entry != name) or entry.startswith("seg-"):
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     return name
+
+
+def _publish_manifest(root: str, segs: list[str]) -> str:
+    """Write a manifest version listing ``segs`` and point CURRENT at it;
+    prune superseded versions and unreferenced segments."""
+    prev = current_version(root)
+    seq = 0 if prev is None else int(prev.rsplit("-", 1)[1]) + 1
+    name = f"v-{seq}"
+    vdir = os.path.join(root, name)
+    os.makedirs(vdir, exist_ok=True)
+    with open(os.path.join(vdir, _SEG_MANIFEST), "w") as f:
+        f.write("\n".join(segs))
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = _pointer_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _pointer_path(root))
+    live = set(segs)
+    for entry in os.listdir(root):
+        stale_v = entry.startswith("v-") and entry != name
+        stale_seg = entry.startswith("seg-") and entry not in live
+        if stale_v or stale_seg:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    return name
+
+
+def append_snapshot_segment(df: DataFrame, root: str) -> str:
+    """Append ``df`` as a new immutable segment — write cost is the BATCH,
+    not the accumulated state (contrast publish_snapshot, which rewrites;
+    right for key-bounded partial aggregates, wrong for monotonically
+    growing state like the near-dup index).  Crash-safe by the same
+    pointer protocol: the segment lands fully before the manifest version
+    publishes; a crash in between leaves an unreferenced segment that the
+    next successful publish prunes.  Returns the published version name.
+    """
+    os.makedirs(root, exist_ok=True)
+    prev = current_version(root)
+    segs: list[str] = []
+    if prev is not None:
+        prev_segs = _manifest_segments(root, prev)
+        if prev_segs is None:
+            # migrate a plain version into segment form (one-time rewrite)
+            spark = df.sparkSession
+            seg0 = "seg-0"
+            spark.read.parquet(os.path.join(root, prev)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(root, seg0))
+            segs = [seg0]
+        else:
+            segs = list(prev_segs)
+    nums = [int(s.rsplit("-", 1)[1]) for s in segs] or [-1]
+    seg = f"seg-{max(nums) + 1}"
+    df.write.mode("overwrite").parquet(os.path.join(root, seg))
+    return _publish_manifest(root, segs + [seg])
+
+
+def compact_segments(spark: SparkSession, root: str) -> str | None:
+    """Fold all live segments into one (small-files maintenance for a
+    long-running append snapshot); no-op on plain or empty stores."""
+    name = current_version(root)
+    if name is None:
+        return None
+    segs = _manifest_segments(root, name)
+    if segs is None or len(segs) <= 1:
+        return None
+    df = spark.read.parquet(*[os.path.join(root, s) for s in segs])
+    nums = [int(s.rsplit("-", 1)[1]) for s in segs]
+    seg = f"seg-{max(nums) + 1}"
+    df.write.mode("overwrite").parquet(os.path.join(root, seg))
+    return _publish_manifest(root, [seg])
