@@ -329,3 +329,38 @@ def test_power_sums_and_moments_match_numpy(spark):
         np.testing.assert_allclose(
             kurt, (m**4).mean() / xs.var() ** 2 - 3.0, rtol=1e-9
         )
+
+
+def test_kfold_assign_cluster_integrity_and_coverage(spark):
+    """Docs sharing a component share a fold; folds cover 0..k-1; every
+    doc assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.sampling import kfold_assign
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    comps = spark.range(0, 1000, 2).select(
+        F.col("id").alias("node"), (F.col("id") - F.col("id") % 100).alias("component")
+    )
+    out = kfold_assign(docs, comps, k=4).collect()
+    assert len(out) == 1000 and {r["fold"] for r in out} == {0, 1, 2, 3}
+    by_comp = {}
+    for r in out:
+        if r["doc_id"] % 2 == 0:
+            by_comp.setdefault(r["doc_id"] - r["doc_id"] % 100, set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in by_comp.values())
+
+
+def test_class_balance_entropy_matches_numpy(spark):
+    import math
+
+    from tsatool_app_spark.functions.profile import class_balance
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "label string"
+    )
+    rows = class_balance(df, "label").collect()
+    total_entropy = sum(r["entropy_term"] for r in rows)
+    expect = -sum(p * math.log2(p) for p in (0.5, 0.3, 0.2))
+    assert abs(total_entropy - expect) < 1e-12
+    assert abs(sum(r["gini_term"] for r in rows) - (1 - (0.25 + 0.09 + 0.04))) < 1e-12

@@ -81,3 +81,79 @@ def fixed_width_histogram(
         .select("bucket", "lo_edge", "n")
         .orderBy("bucket")
     )
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str,
+    *,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-class counts and shares plus each class's term of the Shannon
+    entropy and Gini impurity — the label-skew report run before any
+    training job.  Totals derive from ONE aggregate (exact integer
+    counts); the float share/entropy math is per-ROW at the class-count
+    edge (|classes| rows), the same no-float-SUM rule as the chi² cells,
+    so every emitted value is engine-portable.  Callers sum the (few)
+    per-class terms for total entropy client-side."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        (
+            F.count(F.lit(1))
+            if weight_col is None
+            else F.sum(F.col(weight_col).cast("long"))
+        )
+        .cast("long")
+        .alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n",
+            share.alias("share"),
+            (-share * F.log2(share)).alias("entropy_term"),
+            (share * (1 - share)).alias("gini_term"),
+        )
+        .orderBy("label")
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    *,
+    null_token: str = "\x00NULL",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Order-independent content checksum: SUM over rows of a 32-bit
+    integer derived from md5 of the row's column rendering — the
+    engine-portable "did the migration copy every row intact" check
+    (compare the one checksum per group instead of the rows).
+
+    Portability contract: every column is rendered to text BEFORE
+    hashing, so only pass columns whose text form is engine-stable —
+    integers, strings, dates, DECIMALs.  Raw DOUBLEs are not ('1.0' vs
+    '1'); cast them to DECIMAL first.  NULLs render as a sentinel token
+    that cannot collide with real text; a unit separator joins columns
+    so ('ab','c') ≠ ('a','bc').
+
+    One narrow projection + one aggregate; sums are exact int64 (2³²-max
+    terms × row count stays far inside the 2⁶³ range up to ~2³⁰ rows per
+    group — beyond that, compare per-group checksums of finer groups).
+    """
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit(null_token)) for c in cols
+    ]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(sep, *rendered)), 1, 8), 16, 10
+    ).cast("long")
+    agg = [
+        F.sum(row_hash).cast("long").alias("checksum"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ]
+    if by:
+        return df.groupBy(*by).agg(*agg).orderBy(*by)
+    return df.agg(*agg)

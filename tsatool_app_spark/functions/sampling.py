@@ -113,3 +113,30 @@ def leakage_safe_split(
         .withColumn("cluster", F.coalesce("component", F.col(id_col)))
         .select(id_col, "cluster", split.alias("split"))
     )
+
+
+def kfold_assign(
+    docs: DataFrame,
+    components: DataFrame | None = None,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment, leakage-aware:
+    the fold key is the near-dup CLUSTER when ``components`` is given
+    (same rationale as leakage_safe_split — near-identical docs must
+    share a fold or eval folds leak into training), else the id itself.
+
+    fold = md5-bucket(cluster) mod k — engine-portable, repartition- and
+    rerun-stable, and every cluster's docs land together.  Zero-shuffle
+    beyond the (bounded) components join."""
+    if components is not None:
+        comp = components.select(F.col("node").alias(id_col), F.col("component"))
+        keyed = docs.join(F.broadcast(comp), id_col, "left").withColumn(
+            "cluster", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    else:
+        keyed = docs.withColumn("cluster", F.col(id_col))
+    return keyed.withColumn(
+        "fold", hash_bucket(F.col("cluster"), buckets=997) % k
+    ).drop("component", "cluster")

@@ -4847,3 +4847,94 @@ WHERE (NOT in_old) OR (NOT in_new) OR len(diffs) > 0
 ORDER BY doc_id"""
 
 QUERIES["snapshot_diff"] = DriverQuery(q_snapshot_diff, ORACLES["snapshot_diff"])
+
+
+def q_kfold_split(spark, sf_dir):
+    """Leakage-aware k-fold assignment (functions/sampling.kfold_assign):
+    fold key is the duplicate CLUSTER where one exists (planted here as a
+    deterministic relation so the oracle can mirror it: every 7th doc
+    belongs to cluster floor(id/50)·50), id otherwise — md5-bucket mod k,
+    stable across engines/repartitions/reruns."""
+    from tsatool_app_spark.functions.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    comps = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("node"),
+        (F.floor(F.col("doc_id") / 50) * 50).cast("long").alias("component"),
+    )
+    return kfold_assign(docs, comps, k=5).orderBy("doc_id")
+
+
+ORACLES["kfold_split"] = """
+WITH comps AS (
+  SELECT doc_id AS node, CAST(floor(doc_id / 50) * 50 AS BIGINT) AS component
+  FROM documents WHERE doc_id % 7 = 0
+),
+keyed AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+)
+SELECT doc_id, lang,
+       CAST((('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::INT % 997) % 5 AS INT) AS fold
+FROM keyed ORDER BY doc_id"""
+
+QUERIES["kfold_split"] = DriverQuery(q_kfold_split, ORACLES["kfold_split"])
+
+
+def q_class_balance(spark, sf_dir):
+    """Label-skew report (functions/profile.class_balance): exact counts
+    from one aggregate; share and Gini terms are per-row float at the
+    |classes| edge (entropy terms exist in the library too, but log2's
+    last-ulp is libm-dependent, so the cross-engine query pins the
+    rational columns and pytest checks entropy against numpy)."""
+    from tsatool_app_spark.functions.profile import class_balance
+
+    return class_balance(
+        load_table(spark, sf_dir, "documents"), "lang"
+    ).select("label", "n", "share", "gini_term")
+
+
+ORACLES["class_balance"] = """
+WITH c AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT label, n,
+       n / CAST(total AS DOUBLE) AS share,
+       (n / CAST(total AS DOUBLE)) * (1 - n / CAST(total AS DOUBLE)) AS gini_term
+FROM c, t ORDER BY label"""
+
+QUERIES["class_balance"] = DriverQuery(q_class_balance, ORACLES["class_balance"])
+
+
+def q_table_checksum(spark, sf_dir):
+    """Order-independent migration checksum (functions/profile.
+    table_checksum): per return flag, Σ int32(md5(row text)) over key
+    columns + a DECIMAL-rendered price — engine-portable because every
+    hashed byte is a text rendering both engines produce identically."""
+    from tsatool_app_spark.functions.profile import table_checksum
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price2", F.col("l_extendedprice").cast("decimal(12,2)")
+    )
+    return table_checksum(
+        l,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "price2"],
+        ["l_returnflag"],
+    )
+
+
+ORACLES["table_checksum"] = """
+SELECT l_returnflag,
+       CAST(SUM(('0x' || substring(md5(
+         COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'NULL') || chr(31) ||
+         COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'NULL') || chr(31) ||
+         COALESCE(CAST(l_returnflag AS VARCHAR), chr(0) || 'NULL') || chr(31) ||
+         COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), chr(0) || 'NULL')
+       ), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+QUERIES["table_checksum"] = DriverQuery(q_table_checksum, ORACLES["table_checksum"])
