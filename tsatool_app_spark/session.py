@@ -74,7 +74,12 @@ def get_spark(
         # TZ pinned to UTC above, the wall-clock values stay bit-identical to
         # DuckDB's naive timestamps, so oracle hashes are unaffected.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode heap: the single JVM holds every localCheckpoint block
+        # of whichever pipeline is running; 8g forced GC thrash on the
+        # 130-query board and OOM'd the 100x rehearsal (60 M-row inputs).
+        # 32g is ~25% of the dev box; cluster deployments size executors
+        # via spark-submit and ignore this local default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
