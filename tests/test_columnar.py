@@ -79,3 +79,35 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
     assert spark.read.parquet(dst).agg(F.sum("v")).first()[0] == sum(
         2 * i for i in range(20000)
     )
+
+
+def test_read_evolving_schemas(spark, tmp_path):
+    """Three schema epochs in one directory: added column, dropped
+    column, int->long widening — one read, latest unioned schema."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.sources.columnar import read_evolving
+
+    root = str(tmp_path / "evolving")
+    # epoch 1: (k int, a string)
+    spark.createDataFrame([(1, "x"), (2, "y")], "k int, a string").write.parquet(
+        root + "/e1"
+    )
+    # epoch 2: adds b, k still int
+    spark.createDataFrame([(3, "z", 30)], "k int, a string, b long").write.parquet(
+        root + "/e2"
+    )
+    # epoch 3: k widened to long, a dropped
+    spark.createDataFrame([(4000000000, 40)], "k long, b long").write.parquet(
+        root + "/e3"
+    )
+
+    df = read_evolving(spark, root, type_widening={"k": "long"})
+    rows = {r["k"]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows == {
+        1: ("x", None),
+        2: ("y", None),
+        3: ("z", 30),
+        4000000000: (None, 40),
+    }
+    assert dict(df.dtypes)["k"] == "bigint"

@@ -4762,9 +4762,13 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     from tsatool_app_spark.streaming.dedup_index import band_bucket_keys, probe_index
 
     docs = load_table(spark, sf_dir, "documents")
-    indexed = docs.where(F.col("doc_id") % 2 == 0)
-    arriving = docs.where(F.col("doc_id") % 2 == 1)
-    cands = probe_index(band_bucket_keys(indexed), band_bucket_keys(arriving))
+    # ONE signature pass over the whole corpus, split by parity afterwards
+    # — identical per-doc keys, but one scan + one groupBy instead of two
+    # half-corpus pipelines (checkpointed so both branches share it).
+    keys = band_bucket_keys(docs).localCheckpoint(eager=False)
+    cands = probe_index(
+        keys.where(F.col("doc_id") % 2 == 0), keys.where(F.col("doc_id") % 2 == 1)
+    )
     return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
 
 

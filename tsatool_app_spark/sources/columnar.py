@@ -98,3 +98,70 @@ def compact_small_files(
     df.coalesce(n_out).write.format(fmt).mode("overwrite").save(dst)
     out = spark.read.format(fmt).load(dst)
     return out.select(F.input_file_name()).distinct().count()
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    type_widening: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a directory whose files were written under EVOLVING schemas —
+    the long-lived-dataset reality (a column added in March must not
+    break February's files).
+
+    ``mergeSchema`` unions column sets across files (absent columns read
+    as NULL); Spark cannot merge conflicting TYPES though (an int32 file
+    next to an int64 file fails the footer merge), so ``type_widening``
+    maps column → target type and the read is issued with an explicit
+    widened schema instead — parquet upcasts int32→int64 and
+    float→double natively when the requested schema asks for it.  The
+    common evolution cases (added columns, dropped columns, integer/float
+    widening) all land in one DataFrame with the latest schema.
+    """
+    # recursiveFileLookup: schema epochs commonly live in sibling
+    # subdirectories (one per write); note it disables hive partition-column
+    # inference — for hive-layout directories pass the epoch dirs directly.
+    reader = spark.read.format(fmt).option("recursiveFileLookup", "true")
+    if not type_widening:
+        return reader.option("mergeSchema", "true").load(path)
+    return reader.schema(
+        _widened_schema(spark, path, fmt, type_widening)
+    ).load(path)
+
+
+def _widened_schema(spark, path: str, fmt: str, widening: dict[str, str]):
+    """Union of per-file schemas with the given columns forced to their
+    widened types. Footer reads are per FILE on the driver — this is a
+    maintenance utility for directories with a handful of schema epochs,
+    not a hot path (a lakehouse table format tracks schema in metadata)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
+        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
+    )
+    fields: dict[str, object] = {}
+    order: list[str] = []
+    for f in files:
+        for fld in spark.read.format(fmt).load(f).schema.fields:
+            if fld.name not in fields:
+                fields[fld.name] = fld.dataType
+                order.append(fld.name)
+    return StructType(
+        [
+            StructField(
+                name,
+                _parse_datatype_string(widening[name])
+                if name in widening
+                else fields[name],
+                True,
+            )
+            for name in order
+        ]
+    )
