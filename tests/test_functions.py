@@ -364,3 +364,14 @@ def test_class_balance_entropy_matches_numpy(spark):
     expect = -sum(p * math.log2(p) for p in (0.5, 0.3, 0.2))
     assert abs(total_entropy - expect) < 1e-12
     assert abs(sum(r["gini_term"] for r in rows) - (1 - (0.25 + 0.09 + 0.04))) < 1e-12
+
+
+def test_strip_markup(spark):
+    from tsatool_app_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [(1, '<div id="a">Hello <b>world</b></div>&nbsp;&amp; more &lt;ok&gt;')],
+        "doc_id long, text string",
+    )
+    out = strip_markup(df).collect()[0]["text"]
+    assert out == 'Hello world & more <ok>'

@@ -901,3 +901,42 @@ def test_snapshot_store_segments_append_and_compact(spark, tmp_path):
     assert len(segs) == 1  # orphan seg-99 pruned, live segments folded
     assert sorted(r["k"] for r in read_snapshot(spark, root).collect()) == got
     assert current_version(root) is not None
+
+
+def test_streaming_anomaly_monitor_score_then_fold(spark, tmp_path):
+    """Batch 1 builds history; batch 2's outlier is flagged against the
+    PRIOR snapshot; normal values are not; batch-1 rows never flagged
+    (empty history); a corrupt batch can't vote itself normal."""
+    from tsatool_app_spark.streaming import stream_observations
+    from tsatool_app_spark.streaming.incremental_stream import (
+        streaming_anomaly_monitor,
+    )
+
+    src = str(tmp_path / "obs")
+    snap = str(tmp_path / "snapshot")
+    anom = str(tmp_path / "anomalies")
+
+    # history: 40 values near 10.0 for key 1
+    b1 = [(m, 1, 1, 10.0 + (m % 5) * 0.01) for m in range(40)]
+    write_obs_batch(spark, src, b1, 0)
+    q = streaming_anomaly_monitor(
+        stream_observations(spark, src), snap, anom,
+        keys=["statid"], value_col="seval",
+        checkpoint=str(tmp_path / "ck"), min_n=30,
+    )
+    q.awaitTermination(120)
+    # first batch: no history, nothing flagged (the sink may hold an
+    # empty part file — row count is the contract)
+    assert spark.read.parquet(anom).count() == 0
+
+    # batch 2: one outlier (99.0), one normal, one for an UNSEEN key
+    write_obs_batch(spark, src, [(50, 1, 1, 99.0), (51, 1, 1, 10.02), (52, 7, 1, 99.0)], 1)
+    q = streaming_anomaly_monitor(
+        stream_observations(spark, src), snap, anom,
+        keys=["statid"], value_col="seval",
+        checkpoint=str(tmp_path / "ck"), min_n=30,
+    )
+    q.awaitTermination(120)
+    flagged = spark.read.parquet(anom).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["statid"] == 1 and abs(flagged[0]["seval"] - 99.0) < 1e-6

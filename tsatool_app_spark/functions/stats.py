@@ -171,7 +171,10 @@ def power_sums(
     every sum is exact int64 arithmetic: order-independent, mergeable
     across partitions/batches/days by simple addition, and engine-portable
     — the same reasons the correlation moments (corr_components) avoid
-    float sums. ONE map-side-combined hash aggregate; the shuffle carries
+    float sums.  Range contract: |x|^max_power · n must stay inside int64
+    (|x| ≲ 55 000 for the default 4th power; ANSI mode raises on
+    violation rather than wrapping) — for wide-ranging values use the
+    DECIMAL-accumulated variant in operators/incremental.partial_aggregate. ONE map-side-combined hash aggregate; the shuffle carries
     |groups| × (k+1) longs."""
     x = F.col(value_col).cast("long")
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]

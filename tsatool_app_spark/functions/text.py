@@ -219,3 +219,26 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     ws_collapsed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return docs.withColumn(text_col, _nfc(ws_collapsed))
+
+
+#: Markup-stripping patterns, deliberately inside the java.util.regex ∩ RE2
+#: subset so identical strings drive the DuckDB oracle (redact_pii rule).
+_MARKUP_TAG_RE = r"<[^>]+>"
+_MARKUP_ENTITIES = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+)
+
+
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markup removal for scraped corpora: drop HTML/XML tags, decode the
+    six ubiquitous named entities, collapse the whitespace the removals
+    leave behind.  Pure JVM regexp/replace chain — scan speed, no UDF.
+    (A browser-grade HTML parser is out of scope by design: corpus
+    pipelines strip tags lexically; documents needing DOM-aware
+    extraction go through the multimodal binary path.)"""
+    t = F.regexp_replace(F.col(text_col), _MARKUP_TAG_RE, " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.withColumn(text_col, t)

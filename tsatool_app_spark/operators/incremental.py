@@ -41,12 +41,18 @@ def partial_aggregate(
     """Reduce a slice to mergeable per-key partials:
     (keys..., p_count, p_sum [decimal], p_min, p_max).
 
-    With ``moments_scale`` set, also keeps exact int64 power sums
-    p_s1..p_s4 of floor(value·scale) — the mergeable summary behind
+    With ``moments_scale`` set, also keeps exact power sums p_s1..p_s4
+    of q = floor(value·scale) — the mergeable summary behind
     incrementally-maintained variance/skewness/kurtosis (see
-    functions/stats.power_sums for the same construction in batch form).
-    Like every other partial these are plain sums, so the monoid property
-    (batch-boundary independence) is preserved."""
+    functions/stats.power_sums for the int64 batch form).  The powers
+    accumulate in DECIMAL, not int64: q⁴ overflows a long already at
+    |q| ≈ 55 000 (i.e. |value| ≈ 55 at scale 1000 — found by a test
+    outlier of 99.0), while decimal(8,0)→(35,0) powers stay exact for
+    any |q| < 10⁸ and sum without order dependence.  Contract:
+    |value|·scale must stay below 10⁸ (ANSI mode raises rather than
+    silently wrapping if it doesn't).  Like every other partial these
+    are plain sums, so the monoid property (batch-boundary
+    independence) is preserved."""
     aggs = [
         F.count(F.lit(1)).alias("p_count"),
         F.sum(F.col(value_col).cast("decimal(20,6)")).alias("p_sum"),
@@ -54,10 +60,14 @@ def partial_aggregate(
         F.max(value_col).alias("p_max"),
     ]
     if moments_scale is not None:
-        q = F.floor(F.col(value_col).cast("double") * moments_scale).cast("long")
+        q = (
+            F.floor(F.col(value_col).cast("double") * moments_scale)
+            .cast("long")
+            .cast("decimal(8,0)")
+        )
         p = q
         for k in range(1, 5):
-            aggs.append(F.sum(p).cast("long").alias(f"p_s{k}"))
+            aggs.append(F.sum(p).alias(f"p_s{k}"))
             p = p * q
     return df.groupBy(*keys).agg(*aggs)
 

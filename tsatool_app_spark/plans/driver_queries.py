@@ -4942,3 +4942,44 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag"""
 
 QUERIES["table_checksum"] = DriverQuery(q_table_checksum, ORACLES["table_checksum"])
+
+
+def q_strip_markup(spark, sf_dir):
+    """Markup stripping (functions/text.strip_markup): the corpus is
+    plain text, so tags + entities are planted deterministically on both
+    engines; the hash then verifies tag removal, entity decode, and
+    whitespace collapse byte-for-byte."""
+    from tsatool_app_spark.functions.text import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p class=\"x\">"), F.col("text"),
+            F.lit("</p> &amp; <b>bold</b>&nbsp;end"),
+        ).alias("text"),
+    )
+    return strip_markup(docs).select(
+        "doc_id", F.col("text").alias("clean"), F.length("text").cast("long").alias("n")
+    ).orderBy("doc_id")
+
+
+ORACLES["strip_markup"] = """
+WITH planted AS (
+  SELECT doc_id,
+         '<p class="x">' || text || '</p> &amp; <b>bold</b>&nbsp;end' AS t
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(t, '<[^>]+>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '),
+           '\\s+', ' ', 'g')) AS clean
+  FROM planted
+)
+SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n
+FROM stripped ORDER BY doc_id"""
+
+QUERIES["strip_markup"] = DriverQuery(q_strip_markup, ORACLES["strip_markup"])
