@@ -65,3 +65,29 @@ def quarantine_split(
     valid = checked.where("is_valid").drop("violations", "is_valid")
     bad = checked.where(~F.col("is_valid")).drop("is_valid")
     return valid, bad
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: list[str],
+    rhs: list[str],
+) -> DataFrame:
+    """Functional-dependency check: LHS value combinations that map to
+    MORE than one distinct RHS combination — the data-quality question
+    behind every "key" that isn't enforced anywhere ("order line →
+    part", "station → name").  Returns (lhs..., n_rhs_variants, n_rows)
+    for violating LHS values only; empty result ⇒ the FD holds.
+
+    One hash aggregate; countDistinct over a struct of the RHS columns
+    keeps multi-column dependencies exact (NULLs compare as values
+    inside the struct, so NULL vs 'x' counts as two variants)."""
+    rhs_struct = F.struct(*[F.col(c) for c in rhs])
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.countDistinct(rhs_struct).cast("long").alias("n_rhs_variants"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .where(F.col("n_rhs_variants") > 1)
+        .orderBy(*lhs)
+    )

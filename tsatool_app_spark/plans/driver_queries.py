@@ -4983,3 +4983,38 @@ SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n
 FROM stripped ORDER BY doc_id"""
 
 QUERIES["strip_markup"] = DriverQuery(q_strip_markup, ORACLES["strip_markup"])
+
+
+def q_fd_violations(spark, sf_dir):
+    """FD checker (functions/quality_gate.fd_violations): o_orderkey →
+    o_custkey HOLDS on the clean orders table (primary key), so both
+    engines plant the same conflicting copy of the minimum order (same
+    key, custkey+1) — the check must report exactly that key and
+    nothing else."""
+    from tsatool_app_spark.functions.quality_gate import fd_violations
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    first = (
+        o.orderBy("o_orderkey")
+        .limit(1)
+        .select("o_orderkey", (F.col("o_custkey") + 1).alias("o_custkey"))
+    )
+    return fd_violations(o.unionByName(first), ["o_orderkey"], ["o_custkey"])
+
+
+ORACLES["fd_violations"] = """
+WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+planted AS (
+  SELECT o_orderkey, o_custkey + 1 AS o_custkey
+  FROM o ORDER BY o_orderkey LIMIT 1
+),
+u AS (SELECT * FROM o UNION ALL SELECT * FROM planted)
+SELECT o_orderkey,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_rhs_variants,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM u
+GROUP BY o_orderkey
+HAVING count(DISTINCT o_custkey) > 1
+ORDER BY o_orderkey"""
+
+QUERIES["fd_violations"] = DriverQuery(q_fd_violations, ORACLES["fd_violations"])
