@@ -5018,3 +5018,36 @@ HAVING count(DISTINCT o_custkey) > 1
 ORDER BY o_orderkey"""
 
 QUERIES["fd_violations"] = DriverQuery(q_fd_violations, ORACLES["fd_violations"])
+
+
+def q_dup_rate(spark, sf_dir):
+    """Corpus duplication summary (the report every dedup run opens
+    with): documents vs distinct texts vs exact-duplicate rows, from the
+    md5 grouping of functions/dedup.exact_dedup_groups — one scan, one
+    16-byte-key aggregate, one-row rollup."""
+    from tsatool_app_spark.functions.dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("long").alias("n_dup_rows"),
+        (
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            / F.sum("n_copies").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+ORACLES["dup_rate"] = """
+WITH g AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct_texts,
+       CAST(SUM(n_copies) - count(*) AS BIGINT) AS n_dup_rows,
+       (SUM(n_copies) - count(*)) / CAST(SUM(n_copies) AS DOUBLE) AS dup_rate
+FROM g"""
+
+QUERIES["dup_rate"] = DriverQuery(q_dup_rate, ORACLES["dup_rate"])
