@@ -444,3 +444,38 @@ def test_snapshot_diff_null_safe_and_classes(spark):
         3: ("removed", []),
         5: ("added", []),
     }  # k=4 identical incl. NULLs: not emitted
+
+
+def test_join_view_incremental_maintenance_equals_recompute(spark):
+    """Folding two insert-only delta rounds through the IVM delta rule
+    yields exactly the full A JOIN B recompute — including cross-delta
+    matches (a new order for a customer arriving in the SAME round)."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.operators.incremental import maintain_join_view
+
+    def cust(rows):
+        return spark.createDataFrame(rows, "custkey long, name string")
+
+    def orders(rows):
+        return spark.createDataFrame(rows, "orderkey long, custkey long")
+
+    a0, b0 = cust([(1, "a"), (2, "b")]), orders([(10, 1), (11, 2)])
+    view = maintain_join_view(None, None, a0, None, b0, ["custkey"])
+
+    # round 1: new customer 3 AND their first order in the same delta
+    da1, db1 = cust([(3, "c")]), orders([(12, 1), (13, 3)])
+    view = maintain_join_view(view, a0, da1, b0, db1, ["custkey"])
+    a1, b1 = a0.unionByName(da1), b0.unionByName(db1)
+
+    # round 2: orders only
+    da2, db2 = None, orders([(14, 2), (15, 3)])
+    view = maintain_join_view(view, a1, da2, b1, db2, ["custkey"])
+    a2, b2 = a1, b1.unionByName(db2)
+
+    got = sorted((r["custkey"], r["orderkey"], r["name"]) for r in view.collect())
+    full = sorted(
+        (r["custkey"], r["orderkey"], r["name"])
+        for r in a2.join(b2, ["custkey"]).collect()
+    )
+    assert got == full and len(got) == 6

@@ -128,3 +128,57 @@ def finalize_aggregate(partials: DataFrame) -> DataFrame:
             ]
         )
     return partials.select(*out)
+
+
+def join_view_delta(
+    a_old: DataFrame | None,
+    a_delta: DataFrame | None,
+    b_old: DataFrame | None,
+    b_delta: DataFrame | None,
+    on: list[str],
+) -> DataFrame | None:
+    """Delta rule for incremental JOIN-view maintenance:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — the rows the materialized inner-join view gains when insert-only
+    deltas ΔA/ΔB arrive.  Each term joins a DELTA against a snapshot (or
+    the other delta), so maintenance cost is driven by |Δ|, never
+    |A|·|B| — the reason warehouses maintain join views instead of
+    recomputing them.  Insert-only semantics (append streams); deletes
+    need counted multisets, deliberately out of scope here.
+
+    Returns None when both deltas are empty/None."""
+    terms = []
+    if a_delta is not None and b_old is not None:
+        terms.append(a_delta.join(b_old, on))
+    if b_delta is not None and a_old is not None:
+        terms.append(a_old.join(b_delta, on))
+    if a_delta is not None and b_delta is not None:
+        terms.append(a_delta.join(b_delta, on))
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def maintain_join_view(
+    view_old: DataFrame | None,
+    a_old: DataFrame | None,
+    a_delta: DataFrame | None,
+    b_old: DataFrame | None,
+    b_delta: DataFrame | None,
+    on: list[str],
+) -> DataFrame:
+    """Fold one maintenance step: the updated materialized view
+    ``view_old ∪ Δ(A ⋈ B)``.  Callers persist the result (and the updated
+    base snapshots) through the snapshot store; the
+    two-batch-equals-recompute property is pinned in tests."""
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, on)
+    if view_old is None:
+        return delta
+    if delta is None:
+        return view_old
+    return view_old.unionByName(delta)

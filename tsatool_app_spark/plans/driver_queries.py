@@ -5051,3 +5051,33 @@ SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
 FROM g"""
 
 QUERIES["dup_rate"] = DriverQuery(q_dup_rate, ORACLES["dup_rate"])
+
+
+def q_ivm_join_view(spark, sf_dir):
+    """Incremental join-view maintenance (operators/incremental.
+    maintain_join_view): the customer⋈orders view is built by folding two
+    insert-only delta rounds through Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB —
+    never by joining the full bases — and the oracle is the plain join:
+    their equality IS the delta rule's correctness, hash-checked."""
+    from tsatool_app_spark.operators.incremental import maintain_join_view
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c0, dc1 = c.where(F.col("c_custkey") % 2 == 0), c.where(F.col("c_custkey") % 2 == 1)
+    o0, do1 = o.where(F.col("o_orderkey") % 3 == 0), o.where(F.col("o_orderkey") % 3 != 0)
+
+    view = maintain_join_view(None, None, c0, None, o0, ["c_custkey"])
+    view = maintain_join_view(view, c0, dc1, o0, do1, ["c_custkey"])
+    return view.select("c_custkey", "o_orderkey", "c_name", "o_totalprice").orderBy(
+        "c_custkey", "o_orderkey"
+    )
+
+
+ORACLES["ivm_join_view"] = """
+SELECT c_custkey, o_orderkey, c_name, o_totalprice
+FROM customer JOIN orders ON c_custkey = o_custkey
+ORDER BY c_custkey, o_orderkey"""
+
+QUERIES["ivm_join_view"] = DriverQuery(q_ivm_join_view, ORACLES["ivm_join_view"])
