@@ -68,3 +68,41 @@ def cluster_by_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def zorder_key_n(cols: list[Column], bits: int = 10) -> Column:
+    """Morton interleave for ANY number of dimensions: bit i of column j
+    lands at position i·k + j (k = len(cols)) — the n-dim generalization
+    of :func:`zorder_key` for layouts clustered on 3+ filter columns
+    (e.g. station × sensor × day).  k·bits must fit a long (≤ 63);
+    values clamp into [0, 2^bits) so outliers cannot wrap the curve."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key_n needs >= 2 columns")
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long")
+    cap = (1 << bits) - 1
+    clamped = [
+        F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit(cap)) for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(clamped):
+            z = z + F.shiftleft(F.shiftright(c, i).bitwiseAND(1), i * k + j)
+    return z
+
+
+def zorder_sql_n(col_exprs: list[str], bits: int = 10) -> str:
+    """The SAME n-dim interleave as :func:`zorder_key_n` rendered as
+    engine-neutral SQL (one generator loop, so the two cannot drift)."""
+    k = len(col_exprs)
+    cap = (1 << bits) - 1
+    clamped = [
+        f"least(greatest(CAST({e} AS BIGINT), 0), {cap})" for e in col_exprs
+    ]
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j, c in enumerate(clamped)
+    ]
+    return "(" + " + ".join(terms) + ")"

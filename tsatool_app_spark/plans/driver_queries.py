@@ -5081,3 +5081,40 @@ FROM customer JOIN orders ON c_custkey = o_custkey
 ORDER BY c_custkey, o_orderkey"""
 
 QUERIES["ivm_join_view"] = DriverQuery(q_ivm_join_view, ORACLES["ivm_join_view"])
+
+
+def q_zorder3_key(spark, sf_dir):
+    """3-dimensional Morton key (operators/layout.zorder_key_n) over
+    (suppkey, partkey-low-bits, month) — the n-dim clustering key for
+    layouts filtered on three axes; SQL oracle generated from the same
+    loop as the Column expression so the interleave cannot drift."""
+    from tsatool_app_spark.operators.layout import zorder_key_n
+
+    l = load_table(spark, sf_dir, "lineitem")
+    key = zorder_key_n(
+        [F.col("l_suppkey"), F.col("l_partkey"), F.month("l_shipdate")], bits=10
+    )
+    return (
+        l.select(F.col("l_orderkey"), F.col("l_linenumber"), key.alias("z3"))
+        # (orderkey, linenumber) is NOT unique in the synthetic data (see
+        # fd_violations) — z3 makes the sort total so the LIMIT boundary
+        # is engine-deterministic
+        .orderBy("l_orderkey", "l_linenumber", "z3")
+        .limit(5000)
+    )
+
+
+def _zorder3_oracle() -> str:
+    from tsatool_app_spark.operators.layout import zorder_sql_n
+
+    z = zorder_sql_n(["l_suppkey", "l_partkey", "month(l_shipdate)"], bits=10)
+    return f"""
+SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS z3
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, z3
+LIMIT 5000"""
+
+
+ORACLES["zorder3_key"] = _zorder3_oracle()
+
+QUERIES["zorder3_key"] = DriverQuery(q_zorder3_key, ORACLES["zorder3_key"])
