@@ -506,3 +506,23 @@ def test_zorder_key_n_matches_reference_interleave(spark):
         return z
 
     assert all(out[(x, y, t)] == ref(x, y, t) for x, y, t in rows)
+
+
+def test_concurrency_curve_seam_ties_and_nesting(spark):
+    """Back-to-back intervals don't double count at the seam; nested
+    intervals stack; curve returns to zero after the last end."""
+    from datetime import datetime
+
+    from tsatool_app_spark.operators.intervals import concurrency_curve
+
+    T = lambda m: datetime(2020, 1, 1, 0, m)
+    ivs = spark.createDataFrame(
+        [
+            (T(0), T(10)),   # A
+            (T(10), T(20)),  # B starts exactly as A ends (seam)
+            (T(5), T(15)),   # C overlaps both
+        ],
+        "vfrom timestamp, vuntil timestamp",
+    )
+    got = [(r["t"].minute, r["n_active"]) for r in concurrency_curve(ivs).collect()]
+    assert got == [(0, 1), (5, 2), (10, 2), (15, 1), (20, 0)]

@@ -108,3 +108,41 @@ def interval_join_bucketed(
     for k in on_keys or []:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     return lb.join(rb, cond, "inner").drop("_lbucket", "_rbucket")
+
+
+def concurrency_curve(
+    intervals: DataFrame,
+    *,
+    start_col: str = "vfrom",
+    end_col: str = "vuntil",
+) -> DataFrame:
+    """How many intervals are active at each moment: the sweep-line
+    +1/−1 prefix sum.  Each interval contributes a +1 event at its start
+    and a −1 at its (exclusive) end; sorting events by time and running
+    a cumulative sum yields ``n_active`` on [t, next_t).
+
+    NO JOIN — the naive "count intervals covering each boundary" is a
+    quadratic theta-join; the sweep is one explode + one aggregate + one
+    ordered window over |distinct timestamps| rows.  Same-timestamp
+    events collapse to their NET delta before the running sum, so seam
+    ties (one interval ending exactly where another starts) are handled
+    by construction.  The single-partition window is bounded by run
+    counts, not raw readings — the combiner's boundary-timeline argument
+    (operators/combine.py) applies unchanged."""
+    from pyspark.sql import Window
+
+    events = intervals.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.t", "e.delta")
+    net = events.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        net.withColumn("n_active", F.sum("d").over(w).cast("long"))
+        .select("t", "n_active")
+        .orderBy("t")
+    )

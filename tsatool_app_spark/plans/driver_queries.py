@@ -5118,3 +5118,89 @@ LIMIT 5000"""
 ORACLES["zorder3_key"] = _zorder3_oracle()
 
 QUERIES["zorder3_key"] = DriverQuery(q_zorder3_key, ORACLES["zorder3_key"])
+
+
+def q_active_intervals(spark, sf_dir):
+    """Interval concurrency curve (operators/intervals.concurrency_curve):
+    how many of block A/B/C's TRUE ranges are simultaneously active at
+    each boundary — the sweep-line +1/−1 prefix sum (one explode + one
+    aggregate + one ordered window; the naive form is a quadratic
+    theta-join).  Oracle mirrors with a window SUM over net deltas."""
+    from tsatool_app_spark.operators.intervals import concurrency_curve
+
+    blocks = [
+        _block_df(spark, sf_dir, b).where(F.col("istrue"))
+        for b in (_BLOCK_A, _BLOCK_B, _BLOCK_C)
+    ]
+    ivs = blocks[0].unionByName(blocks[1]).unionByName(blocks[2]).select(
+        "vfrom", "vuntil"
+    )
+    return concurrency_curve(ivs)
+
+
+ORACLES["active_intervals"] = f"""
+WITH {_pack_sql_cte('pa', _BLOCK_A)},
+{_pack_sql_cte('pb', _BLOCK_B)},
+{_pack_sql_cte('pc', _BLOCK_C)},
+blocks AS (
+  SELECT vfrom, vuntil FROM pa WHERE istrue
+  UNION ALL SELECT vfrom, vuntil FROM pb WHERE istrue
+  UNION ALL SELECT vfrom, vuntil FROM pc WHERE istrue
+),
+ev AS (
+  SELECT vfrom AS t, 1 AS delta FROM blocks
+  UNION ALL
+  SELECT vuntil AS t, -1 AS delta FROM blocks
+),
+net AS (SELECT t, SUM(delta) AS d FROM ev GROUP BY t)
+SELECT t, CAST(SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active
+FROM net ORDER BY t"""
+
+QUERIES["active_intervals"] = DriverQuery(
+    q_active_intervals, ORACLES["active_intervals"]
+)
+
+
+def q_source_vocab_overlap(spark, sf_dir):
+    """Corpus-comparison report: for every pair of sources, how many
+    distinct lowercase terms they share.  distinct (source, term) →
+    self-join on term with source_a < source_b → count per pair: the
+    shuffle carries (source, term) pairs once, and the join fan-out is
+    bounded by |sources| per term."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_terms"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLES["source_vocab_overlap"] = """
+WITH vocab AS (
+  SELECT DISTINCT source, t.t AS term
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t(t)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_terms
+FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b"""
+
+QUERIES["source_vocab_overlap"] = DriverQuery(
+    q_source_vocab_overlap, ORACLES["source_vocab_overlap"]
+)
