@@ -501,3 +501,68 @@ def near_dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-neighbor pairs over SimHash signatures by BLOCK PROBING
+    (the web-dedup recipe of Manku, Jain & Sarma, WWW'07): split the
+    signature into ``max_hamming + 1`` blocks — two signatures within
+    Hamming distance k MUST agree exactly on at least one block
+    (pigeonhole), so candidates come from ONE equi-self-join per block
+    instead of an all-pairs O(n²) scan; an exact popcount(xor) verify
+    then removes the collisions.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
+    COMPLETE (no false negatives) by the pigeonhole argument; the
+    equi-join shuffles (block, key, id) triples only.  At 100 TB this is
+    the same banded-join shape as MinHash-LSH, with the guarantee
+    exact instead of probabilistic."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    widths = [width + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    s = F.col(sig_col)
+    keys = sigs.select(
+        F.col(id_col),
+        s,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(s, offs[j])
+                        .bitwiseAND((1 << widths[j]) - 1)
+                        .alias("key"),
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, sig_col, "bk.blk", "bk.key")
+    a = keys.select(
+        F.col("blk"), F.col("key"),
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
+    )
+    b = keys.select(
+        F.col("blk"), F.col("key"),
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
+    )
+    cands = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -5204,3 +5204,34 @@ ORDER BY source_a, source_b"""
 QUERIES["source_vocab_overlap"] = DriverQuery(
     q_source_vocab_overlap, ORACLES["source_vocab_overlap"]
 )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Hamming-neighbor SimHash dedup (functions/dedup.
+    simhash_near_dup_pairs): Manku-style block probing over the PORTABLE
+    md5 signatures — candidates from 4 equi-self-joins (pigeonhole:
+    Hamming ≤ 3 ⇒ one of 4 blocks matches exactly), popcount verify.
+    The oracle brute-forces all pairs from the same signature CTE, so
+    the block-probe's COMPLETENESS is what the hash-check certifies."""
+    from tsatool_app_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(
+        load_table(spark, sf_dir, "documents"), bits=32, shingle_k=3, portable=True
+    )
+    return simhash_near_dup_pairs(sigs, bits=32, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLES["simhash_pairs"] = f"""
+WITH sigs AS ({_simhash_md5_oracle_sql(32, 3).strip().rstrip()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b"""
+
+QUERIES["simhash_pairs"] = DriverQuery(q_simhash_pairs, ORACLES["simhash_pairs"])
