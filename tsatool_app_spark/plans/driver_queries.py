@@ -5235,3 +5235,46 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b"""
 
 QUERIES["simhash_pairs"] = DriverQuery(q_simhash_pairs, ORACLES["simhash_pairs"])
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized aggregates: clip order totals at the exact P05/P95
+    (percentile_disc bounds from one aggregate, broadcast back), then
+    decimal-exact sums — the robust-stats companion to iqr_outliers.
+    Clipping bounds are data-derived yet deterministic, so the oracle
+    reproduces them exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi"),
+    )
+    clipped = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderpriority",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("w").cast("decimal(14,2)")).cast("double").alias("wsum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLES["winsorized_stats"] = """
+WITH bounds AS (
+  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(14,2))) AS DOUBLE) AS wsum
+FROM orders, bounds
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+QUERIES["winsorized_stats"] = DriverQuery(
+    q_winsorized_stats, ORACLES["winsorized_stats"]
+)
