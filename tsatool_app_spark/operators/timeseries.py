@@ -492,3 +492,41 @@ def ewma_by_key(
         .sortWithinPartitions(key_col, order_col)
         .mapInPandas(fn, schema=schema)
     )
+
+
+def rolling_corr_sums(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    window_rows: int = 20,
+) -> DataFrame:
+    """Rolling PAIRWISE moment sums per key — the windowed companion to
+    functions/stats.corr_components: over the trailing ``window_rows``
+    rows, exact decimal Σx, Σy, Σxy, Σx², Σy² plus the count.  One
+    shuffle (the window partition); five window sums share the single
+    sort.  Pearson r derives per row at the edge (float math on exact
+    sums; see stats.pearson_r) — emitting the SUMS keeps the result
+    engine-exact and hash-comparable.
+    """
+    from pyspark.sql import Window
+
+    dx = F.col(x_col).cast("decimal(18,2)")
+    dy = F.col(y_col).cast("decimal(18,2)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.select(
+        key_col,
+        order_col,
+        F.count(F.lit(1)).over(w).cast("long").alias("n_w"),
+        F.sum(dx).over(w).cast("double").alias("sum_x"),
+        F.sum(dy).over(w).cast("double").alias("sum_y"),
+        F.sum(dx * dy).over(w).cast("double").alias("sum_xy"),
+        F.sum(dx * dx).over(w).cast("double").alias("sum_xx"),
+        F.sum(dy * dy).over(w).cast("double").alias("sum_yy"),
+    )

@@ -5278,3 +5278,53 @@ ORDER BY o_orderpriority"""
 QUERIES["winsorized_stats"] = DriverQuery(
     q_winsorized_stats, ORACLES["winsorized_stats"]
 )
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Rolling pairwise moments (operators/timeseries.rolling_corr_sums):
+    per-supplier trailing-20-line exact sums of (quantity, extendedprice)
+    — five window sums sharing one sort, decimal until the final cast.
+    order key (orderkey, linenumber) made total with quantity to keep the
+    window frame engine-deterministic under duplicate line numbers."""
+    from tsatool_app_spark.operators.timeseries import rolling_corr_sums
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.concat_ws(
+            "-",
+            F.lpad(F.col("l_orderkey").cast("string"), 10, "0"),
+            F.lpad(F.col("l_linenumber").cast("string"), 4, "0"),
+            F.lpad(F.col("l_quantity").cast("int").cast("string"), 4, "0"),
+            F.lpad((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").cast("string"), 12, "0"),
+        ).alias("ord"),
+        "l_quantity",
+        "l_extendedprice",
+    ).where(F.col("l_suppkey") <= 10)
+    return rolling_corr_sums(
+        l, "l_suppkey", "ord", "l_quantity", "l_extendedprice", window_rows=20
+    ).orderBy("l_suppkey", "ord")
+
+
+ORACLES["rolling_corr"] = """
+WITH l AS (
+  SELECT l_suppkey,
+         lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+         lpad(CAST(l_linenumber AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR), 12, '0') AS ord,
+         CAST(l_quantity AS DECIMAL(18,2)) AS dx,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS dy
+  FROM lineitem WHERE l_suppkey <= 10
+)
+SELECT l_suppkey, ord,
+       CAST(count(*) OVER w AS BIGINT) AS n_w,
+       CAST(SUM(dx) OVER w AS DOUBLE) AS sum_x,
+       CAST(SUM(dy) OVER w AS DOUBLE) AS sum_y,
+       CAST(SUM(dx * dy) OVER w AS DOUBLE) AS sum_xy,
+       CAST(SUM(dx * dx) OVER w AS DOUBLE) AS sum_xx,
+       CAST(SUM(dy * dy) OVER w AS DOUBLE) AS sum_yy
+FROM l
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY ord ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY l_suppkey, ord"""
+
+QUERIES["rolling_corr"] = DriverQuery(q_rolling_corr, ORACLES["rolling_corr"])
