@@ -940,3 +940,42 @@ def test_streaming_anomaly_monitor_score_then_fold(spark, tmp_path):
     flagged = spark.read.parquet(anom).collect()
     assert len(flagged) == 1
     assert flagged[0]["statid"] == 1 and abs(flagged[0]["seval"] - 99.0) < 1e-6
+
+
+def test_streaming_join_view_maintenance_matches_recompute(spark, tmp_path):
+    """Three IVM rounds through the segment store — including a round with
+    only one side's delta and a same-round cross-delta match — equal the
+    full A JOIN B recompute at every step."""
+    from tsatool_app_spark.streaming.incremental_stream import (
+        fold_join_view_batch,
+    )
+    from tsatool_app_spark.streaming.snapshot_store import read_snapshot
+
+    root = str(tmp_path / "jv")
+
+    def cust(rows):
+        return spark.createDataFrame(rows, "custkey long, name string")
+
+    def orders(rows):
+        return spark.createDataFrame(rows, "orderkey long, custkey long")
+
+    rounds = [
+        (cust([(1, "a"), (2, "b")]), orders([(10, 1)])),
+        (cust([(3, "c")]), orders([(11, 2), (12, 3)])),  # cross-delta match
+        (None, orders([(13, 1), (14, 3)])),              # one-sided round
+    ]
+    a_all, b_all = None, None
+    for a_d, b_d in rounds:
+        fold_join_view_batch(spark, root, a_d, b_d, ["custkey"])
+        a_all = a_d if a_all is None else (a_all if a_d is None else a_all.unionByName(a_d))
+        b_all = b_d if b_all is None else (b_all if b_d is None else b_all.unionByName(b_d))
+        view = read_snapshot(spark, root + "/view")
+        got = sorted(
+            (r["custkey"], r["orderkey"], r["name"]) for r in view.collect()
+        )
+        full = sorted(
+            (r["custkey"], r["orderkey"], r["name"])
+            for r in a_all.join(b_all, ["custkey"]).collect()
+        )
+        assert got == full
+    assert len(got) == 5

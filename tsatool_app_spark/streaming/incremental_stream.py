@@ -173,3 +173,39 @@ def streaming_anomaly_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fold_join_view_batch(
+    spark,
+    store_root: str,
+    a_delta: DataFrame | None,
+    b_delta: DataFrame | None,
+    on: list[str],
+) -> None:
+    """One maintenance round of a streaming materialized JOIN view: apply
+    the IVM delta rule against the persisted base snapshots, append the
+    view delta as a SEGMENT (O(|Δ view|) write), then fold the base
+    deltas into their snapshots.
+
+    Store layout under ``store_root``: ``a/`` and ``b/`` hold the base
+    relations (append-only segments), ``view/`` holds the materialized
+    join.  Order matters: the view delta must see the bases as of BEFORE
+    this round (the delta rule's A_old/B_old), so bases fold last."""
+    from tsatool_app_spark.operators.incremental import join_view_delta
+    from tsatool_app_spark.streaming.snapshot_store import (
+        append_snapshot_segment,
+        read_snapshot,
+    )
+
+    a_old = read_snapshot(spark, store_root + "/a")
+    b_old = read_snapshot(spark, store_root + "/b")
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, on)
+    if delta is not None:
+        # materialize BEFORE the bases advance (lazy plans would read the
+        # post-fold snapshots and double-count)
+        delta = delta.localCheckpoint(eager=True)
+        append_snapshot_segment(delta, store_root + "/view")
+    if a_delta is not None:
+        append_snapshot_segment(a_delta, store_root + "/a")
+    if b_delta is not None:
+        append_snapshot_segment(b_delta, store_root + "/b")
