@@ -526,3 +526,38 @@ def test_concurrency_curve_seam_ties_and_nesting(spark):
     )
     got = [(r["t"].minute, r["n_active"]) for r in concurrency_curve(ivs).collect()]
     assert got == [(0, 1), (5, 2), (10, 2), (15, 1), (20, 0)]
+
+
+def test_grouped_topk_pruned_equals_plain_window(spark):
+    """Map-side pruning never changes the result: equality with the plain
+    window on a many-partition input with heavy ties at the k boundary."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.operators.olap import grouped_topk_pruned
+
+    # 5 groups x 200 rows, scores with many ties, scattered over 16 partitions
+    df = (
+        spark.range(0, 1000)
+        .select(
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 7).alias("score"),  # ties everywhere
+            F.col("id").alias("uid"),
+        )
+        .repartition(16)
+    )
+    got = sorted(
+        (r["g"], r["score"], r["uid"], r["rank"])
+        for r in grouped_topk_pruned(
+            df, ["g"], [("score", True), ("uid", False)], 4
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("uid"))
+    expect = sorted(
+        (r["g"], r["score"], r["uid"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 4)
+        .selectExpr("g", "score", "uid", "CAST(rk AS LONG) rk")
+        .collect()
+    )
+    assert got == expect and len(got) == 20

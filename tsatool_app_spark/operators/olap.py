@@ -212,3 +212,48 @@ def quantile_buckets_by_value(
     return df.join(
         F.broadcast(boundaries), df[value_col] == boundaries["_v"]
     ).drop("_v")
+
+
+def grouped_topk_pruned(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k with MAP-SIDE pruning: stage 1 keeps each
+    partition's local top-k per group (one in-memory sort per Arrow
+    batch group, no shuffle), stage 2 runs the exact window rank on the
+    survivors.  The window's shuffle then carries ≤ k rows per (group ×
+    input partition) instead of every row — at 100 TB that is the
+    difference between shuffling the fact table and shuffling a bounded
+    candidate set.  Correct because the global top-k of a group is a
+    subset of the union of its per-partition top-k's, PROVIDED the prune
+    uses the same TOTAL order as the final rank (``order_cols`` =
+    [(col, descending), ...] must be total over the emitted columns, or
+    boundary ties can drop the eventual winner).
+    """
+    import pandas as pd
+
+    cols = df.columns
+    by = [c for c, _ in order_cols]
+    asc = [not d for _, d in order_cols]
+
+    def _prune(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(by=by, ascending=asc)
+                .groupby(group_cols, sort=False)
+                .head(k)
+            )
+
+    pruned = df.mapInPandas(_prune, df.schema)
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[(F.col(c).desc() if d else F.col(c).asc()) for c, d in order_cols]
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*cols, F.col("rk").cast("long").alias("rank"))
+    )

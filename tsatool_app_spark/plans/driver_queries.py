@@ -5328,3 +5328,38 @@ WINDOW w AS (PARTITION BY l_suppkey ORDER BY ord ROWS BETWEEN 19 PRECEDING AND C
 ORDER BY l_suppkey, ord"""
 
 QUERIES["rolling_corr"] = DriverQuery(q_rolling_corr, ORACLES["rolling_corr"])
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Map-side-pruned per-group top-k (operators/olap.
+    grouped_topk_pruned): top-3 lines by price per supplier — stage 1
+    prunes each partition to its local top-3 per supplier (no shuffle),
+    the exact window ranks survivors only.  The order
+    (price desc, orderkey, linenumber) is total over the emitted
+    columns, so boundary ties cannot change the output set."""
+    from tsatool_app_spark.operators.olap import grouped_topk_pruned
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return grouped_topk_pruned(
+        l,
+        ["l_suppkey"],
+        [("l_extendedprice", True), ("l_orderkey", False), ("l_linenumber", False)],
+        3,
+    ).orderBy("l_suppkey", "rank")
+
+
+ORACLES["grouped_topk"] = """
+SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+)
+WHERE rk <= 3
+ORDER BY l_suppkey, rank"""
+
+QUERIES["grouped_topk"] = DriverQuery(q_grouped_topk, ORACLES["grouped_topk"])
