@@ -979,3 +979,30 @@ def test_streaming_join_view_maintenance_matches_recompute(spark, tmp_path):
         )
         assert got == full
     assert len(got) == 5
+
+
+def test_snapshot_store_time_travel_retention(spark, tmp_path):
+    """publish_snapshot_retained keeps the last N versions readable;
+    older ones are pruned; CURRENT always resolves to the newest."""
+    import pytest as _pytest
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        current_version,
+        list_versions,
+        publish_snapshot_retained,
+        read_snapshot,
+        read_snapshot_version,
+    )
+
+    root = str(tmp_path / "tt")
+    for i in range(5):
+        publish_snapshot_retained(
+            spark.range(0, 10 + i).selectExpr("id AS k"), root, keep_versions=3
+        )
+    vs = list_versions(root)
+    assert vs == ["v-2", "v-3", "v-4"]  # 3 retained of 5
+    assert current_version(root) == "v-4"
+    assert read_snapshot(spark, root).count() == 14
+    assert read_snapshot_version(spark, root, "v-2").count() == 12
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_version(spark, root, "v-0")
