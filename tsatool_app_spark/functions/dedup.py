@@ -339,7 +339,7 @@ def embedding_near_dup_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _pair_overlap_counts(
     df: DataFrame,
     candidate_pairs: DataFrame,
     *,
@@ -347,11 +347,13 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (id_a, id_b).
+    """Shared core of the exact pair-overlap family: for candidate pairs
+    (id_a, id_b), the distinct-shingle intersection size and both set
+    sizes — (id_a, id_b, n_inter, n_a, n_b).
 
     Intersection via equi-join of exploded distinct shingles restricted to
-    candidate ids (semi-join pushdown), union by inclusion-exclusion —
-    |A∪B| = |A| + |B| − |A∩B| — so no giant union materialization.
+    candidate ids (semi-join pushdown); derived measures (Jaccard,
+    containment) are one expression on these three integers.
 
     ``candidate_pairs`` is referenced three times below; it is checkpointed
     lazily so the (potentially expensive: LSH banding) candidate subtree
@@ -393,14 +395,56 @@ def ngram_jaccard_pairs(
         .na.fill({"n_inter": 0})
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (id_a, id_b):
+    |A∩B| / (|A| + |B| − |A∩B|), union by inclusion-exclusion so no
+    giant union materialization (plan notes: _pair_overlap_counts)."""
+    counts = _pair_overlap_counts(
+        df, candidate_pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    )
+    return counts.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC overlap for candidate pairs: containment
+    |A∩B| / min(|A|, |B|) — the quote/subsumption detector.  A short
+    document fully embedded in a long one scores ~1.0 here while its
+    Jaccard stays low (the big doc\'s extra shingles dilute the union),
+    which is exactly why dedup pipelines check both measures.  Emits the
+    integer counts too, so thresholds stay engine-exact."""
+    counts = _pair_overlap_counts(
+        df, candidate_pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    )
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.least("n_a", "n_b").cast("long").alias("n_smaller"),
+        (F.col("n_inter") / F.least("n_a", "n_b")).alias("containment"),
     )
 
 

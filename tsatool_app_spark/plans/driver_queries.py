@@ -5363,3 +5363,54 @@ WHERE rk <= 3
 ORDER BY l_suppkey, rank"""
 
 QUERIES["grouped_topk"] = DriverQuery(q_grouped_topk, ORACLES["grouped_topk"])
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment (functions/dedup.ngram_containment_pairs):
+    each doc paired with a planted EXCERPT of itself (its first 120
+    chars, ids shifted) — containment ≈ 1 while Jaccard is diluted, the
+    quote-detection case.  Oracle recomputes |A∩B| / min set size on the
+    same pairs brute-force."""
+    from tsatool_app_spark.functions.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    excerpts = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+        "lang",
+        "source",
+        F.length(F.substring("text", 1, 120)).alias("n_chars"),
+    )
+    corpus = docs.unionByName(excerpts)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 5000000).alias("id_b"),
+    )
+    return ngram_containment_pairs(corpus, pairs).orderBy("id_a")
+
+
+ORACLES["ngram_containment"] = """
+WITH full_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+),
+corpus AS (
+  SELECT doc_id, text FROM full_docs
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text[1:120] AS text FROM full_docs
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                                      i -> text[i:i+4])) AS s
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+       CAST(least(len(a.s), len(b.s)) AS BIGINT) AS n_smaller,
+       len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s)) AS containment
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 5000000
+ORDER BY id_a"""
+
+QUERIES["ngram_containment"] = DriverQuery(
+    q_ngram_containment, ORACLES["ngram_containment"]
+)
