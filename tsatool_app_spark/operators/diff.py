@@ -35,6 +35,14 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_cols]
+    reserved = {"change", "changed_cols"} & set(key_cols) | (
+        {"change", "changed_cols"} & set(compare_cols)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with the diff output; "
+            "rename them before diffing"
+        )
     o = old.select(
         *[F.col(k).alias(k) for k in key_cols],
         *[F.col(c).alias(f"_old_{c}") for c in compare_cols],

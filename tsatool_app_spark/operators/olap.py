@@ -235,6 +235,8 @@ def grouped_topk_pruned(
     import pandas as pd
 
     cols = df.columns
+    if "rk" in cols or "rank" in cols:
+        raise ValueError("input already has an 'rk'/'rank' column; rename it")
     by = [c for c, _ in order_cols]
     asc = [not d for _, d in order_cols]
 

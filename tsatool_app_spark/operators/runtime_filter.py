@@ -101,6 +101,8 @@ def bloom_semi_join(
     the bloom only reduces how many fact rows reach the verify join's
     shuffle (false-positive survivors are removed there). At a ~1% FP
     rate the shuffle shrinks by roughly the true selectivity."""
+    if "bloom_words" in fact.columns:
+        raise ValueError("fact already has a 'bloom_words' column; rename it")
     words = build_bloom_words(keys, key_col, n_bits=n_bits, n_hashes=n_hashes)
     probed = (
         fact.crossJoin(F.broadcast(words))
