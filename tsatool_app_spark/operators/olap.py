@@ -231,6 +231,13 @@ def grouped_topk_pruned(
     uses the same TOTAL order as the final rank (``order_cols`` =
     [(col, descending), ...] must be total over the emitted columns, or
     boundary ties can drop the eventual winner).
+
+    Regime note (measured, SCALING.md): on local[32] the Arrow round
+    trip of the prune costs MORE than the in-memory window shuffle it
+    saves (~1.7× slower at 6 M rows) — use the plain window locally;
+    this operator exists for the network-bound cluster regime, where
+    shuffling k·groups·partitions candidate rows instead of the fact
+    table is the difference that matters.
     """
     import pandas as pd
 
