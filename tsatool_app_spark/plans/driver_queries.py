@@ -5414,3 +5414,37 @@ ORDER BY id_a"""
 QUERIES["ngram_containment"] = DriverQuery(
     q_ngram_containment, ORACLES["ngram_containment"]
 )
+
+
+def q_value_quantiles_by_type(spark, sf_dir):
+    """Grouped multi-quantile profile: exact P25/P50/P75/P95 of event
+    values per event type in ONE aggregate (four percentile_disc over a
+    shared sort) — the per-segment latency/size profile shape."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+        ).alias(f"p{int(q * 100)}")
+        for q in (0.25, 0.5, 0.75, 0.95)
+    ]
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), *qs)
+        .orderBy("event_type")
+    )
+
+
+ORACLES["value_quantiles_by_type"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+       percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+       percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+QUERIES["value_quantiles_by_type"] = DriverQuery(
+    q_value_quantiles_by_type, ORACLES["value_quantiles_by_type"]
+)
