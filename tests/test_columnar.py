@@ -111,3 +111,16 @@ def test_read_evolving_schemas(spark, tmp_path):
         4000000000: (None, 40),
     }
     assert dict(df.dtypes)["k"] == "bigint"
+
+
+def test_read_evolving_empty_dir_raises(spark, tmp_path):
+    """type_widening reads must FAIL on an empty/missing listing instead of
+    silently issuing the read with an empty schema (the remote-path trap)."""
+    import pytest
+
+    from tsatool_app_spark.sources.columnar import read_evolving
+
+    root = str(tmp_path / "nothing")
+    (tmp_path / "nothing").mkdir()
+    with pytest.raises(Exception, match="no data files|does not exist"):
+        read_evolving(spark, root, type_widening={"k": "long"})

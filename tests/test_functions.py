@@ -101,6 +101,70 @@ def test_simhash_hamming(spark):
     assert d_near < d_far
 
 
+def test_simhash_combination_probe_complete(spark):
+    """Combination block probing must be COMPLETE vs brute force: every
+    pair within max_hamming appears (pigeonhole over 3-of-6 block
+    combos), and nothing beyond max_hamming leaks through the verify."""
+    from tsatool_app_spark.functions.dedup import simhash_near_dup_pairs
+
+    # Signatures engineered around a base value: flip 0..6 specific bits.
+    base = 0x00A5_5A3C_C3F0_0F5A & ((1 << 56) - 1)
+    def flip(v, *bs):
+        for b in bs:
+            v ^= 1 << b
+        return v
+    rows = [
+        (1, base),
+        (2, flip(base, 3)),            # hamming 1 from base
+        (3, flip(base, 3, 17, 44)),    # hamming 3 from base
+        (4, flip(base, 0, 9, 19, 29)), # hamming 4 — must NOT pair with base
+        (5, base),                     # exact dup
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            sigs, bits=56, max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    # brute-force expectation
+    import itertools
+    vals = dict(rows)
+    want = {
+        (a, b): bin(vals[a] ^ vals[b]).count("1")
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want
+    assert (1, 4) not in got
+
+
+def test_simhash_bucket_cap_and_audit(spark):
+    """A mega-cluster of identical signatures must hit the bucket cap in
+    every probe table, be excluded from the candidate join, and be
+    surfaced by simhash_bucket_audit — never silently exploded to O(d²)."""
+    from tsatool_app_spark.functions.dedup import (
+        simhash_bucket_audit,
+        simhash_near_dup_pairs,
+    )
+
+    sig = 0x0055_AA33_CC0F_F0AA & ((1 << 56) - 1)
+    rows = [(i, sig) for i in range(100)] + [(1000, sig ^ 0b101), (1001, 0)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    # Cap above cluster size: audit empty, full pair set (100 identical +
+    # one hamming-2 neighbor of all of them).
+    assert simhash_bucket_audit(sigs, max_bucket_size=128).count() == 0
+    full = simhash_near_dup_pairs(sigs, max_bucket_size=128)
+    assert full.count() == 100 * 99 // 2 + 100
+    # Cap below cluster size: audit reports one oversize bucket per combo
+    # table (C(6,3)=20), and the mega-cluster's pairs are dropped.
+    audit = simhash_bucket_audit(sigs, max_bucket_size=64).collect()
+    assert len(audit) == 20
+    assert all(r.size >= 100 for r in audit)
+    capped = simhash_near_dup_pairs(sigs, max_bucket_size=64)
+    assert capped.count() == 0
+
+
 def test_text_stats_and_quality(spark):
     docs = docs_with_dups(spark)
     st = {r.doc_id: r for r in text_stats(docs).collect()}
@@ -364,6 +428,20 @@ def test_class_balance_entropy_matches_numpy(spark):
     expect = -sum(p * math.log2(p) for p in (0.5, 0.3, 0.2))
     assert abs(total_entropy - expect) < 1e-12
     assert abs(sum(r["gini_term"] for r in rows) - (1 - (0.25 + 0.09 + 0.04))) < 1e-12
+
+
+def test_class_balance_fractional_weights(spark):
+    """Fractional weights must be SUMMED before the long cast — casting
+    each weight first truncated 0.9 → 0 and zeroed whole classes."""
+    from tsatool_app_spark.functions.profile import class_balance
+
+    df = spark.createDataFrame(
+        [("a", 0.9)] * 10 + [("b", 1.5)] * 10, "label string, w double"
+    )
+    rows = {r["label"]: r for r in class_balance(df, "label", weight_col="w").collect()}
+    assert rows["a"]["n"] == 9  # 10 × 0.9, not 10 × long(0.9) == 0
+    assert rows["b"]["n"] == 15
+    assert abs(rows["a"]["share"] - 9 / 24) < 1e-12
 
 
 def test_strip_markup(spark):

@@ -561,3 +561,57 @@ def test_grouped_topk_pruned_equals_plain_window(spark):
         .collect()
     )
     assert got == expect and len(got) == 20
+
+
+def test_grouped_topk_pruned_nulls_match_window(spark):
+    """Null order values must survive the prune exactly as the final
+    window ranks them (asc → nulls FIRST, desc → nulls LAST); the old
+    single-na_position sort dropped null rows that belonged in the
+    global top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.operators.olap import grouped_topk_pruned
+
+    df = (
+        spark.range(0, 400)
+        .select(
+            (F.col("id") % 2).alias("g"),
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 7).alias(
+                "score"
+            ),
+            F.col("id").alias("uid"),
+        )
+        .repartition(8)
+    )
+    for order in ([("score", False), ("uid", False)], [("score", True), ("uid", True)]):
+        got = sorted(
+            (r["g"], r["score"], r["uid"], r["rank"])
+            for r in grouped_topk_pruned(df, ["g"], order, 5).collect()
+        )
+        w = Window.partitionBy("g").orderBy(
+            *[(F.col(c).desc() if d else F.col(c).asc()) for c, d in order]
+        )
+        expect = sorted(
+            (r["g"], r["score"], r["uid"], r["rk"])
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .selectExpr("g", "score", "uid", "CAST(rk AS LONG) rk")
+            .collect()
+        )
+        assert got == expect
+
+
+def test_kfold_assign_rejects_colliding_columns(spark):
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.sampling import kfold_assign
+
+    docs = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("fold")
+    )
+    try:
+        kfold_assign(docs, k=3)
+        raise AssertionError("expected ValueError on pre-existing 'fold' column")
+    except ValueError as e:
+        assert "fold" in str(e)

@@ -323,3 +323,27 @@ def test_segment_set_ops_shuffle_ids_only(spark, sf_dir):
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "user_id" in ex
         assert "value" not in ex and "props" not in ex
+
+
+def test_kfold_assign_no_forced_broadcast(spark):
+    """kfold_assign must leave the components-join strategy to the
+    planner: components is O(near-dup docs) on a real corpus — billions of
+    rows — so a forced broadcast hint would OOM the driver. With the
+    broadcast threshold disabled (simulating a components table past any
+    broadcast bound), the plan must fall back to a shuffle join."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.sampling import kfold_assign
+
+    docs = spark.range(0, 10_000).select(F.col("id").alias("doc_id"))
+    comps = spark.range(0, 10_000, 2).select(
+        F.col("id").alias("node"), (F.col("id") % 100).alias("component")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = executed_plan(kfold_assign(docs, comps, k=5))
+        assert "BroadcastHashJoin" not in plan
+        assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -547,59 +547,139 @@ def near_dedup_survivors(
     return df.join(F.broadcast(drop), id_col, "left_anti")
 
 
-def simhash_near_dup_pairs(
+def _simhash_probe_tables(
     sigs: DataFrame,
     *,
-    bits: int = 32,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    sig_col: str = "simhash",
+    bits: int,
+    max_hamming: int,
+    n_blocks: int,
+    id_col: str,
+    sig_col: str,
 ) -> DataFrame:
-    """Hamming-neighbor pairs over SimHash signatures by BLOCK PROBING
-    (the web-dedup recipe of Manku, Jain & Sarma, WWW'07): split the
-    signature into ``max_hamming + 1`` blocks — two signatures within
-    Hamming distance k MUST agree exactly on at least one block
-    (pigeonhole), so candidates come from ONE equi-self-join per block
-    instead of an all-pairs O(n²) scan; an exact popcount(xor) verify
-    then removes the collisions.
+    """(id, sig, combo, key) probe rows for combination block probing.
 
-    Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
-    COMPLETE (no false negatives) by the pigeonhole argument; the
-    equi-join shuffles (block, key, id) triples only.  At 100 TB this is
-    the same banded-join shape as MinHash-LSH, with the guarantee
-    exact instead of probabilistic."""
-    n_blocks = max_hamming + 1
+    The signature is split into ``n_blocks`` near-equal bit blocks; a probe
+    table exists for every (n_blocks - max_hamming)-subset of blocks, keyed
+    on the CONCATENATION of those blocks' values.  Two signatures within
+    Hamming distance k differ in at most k blocks, hence agree exactly on
+    ≥ n_blocks - k blocks — and any (n_blocks - k)-subset of that agreeing
+    set is one of our combos, so every true pair collides in at least one
+    probe table (pigeonhole → COMPLETE)."""
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
     width = bits // n_blocks
     widths = [width + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     offs = [sum(widths[:i]) for i in range(n_blocks)]
     s = F.col(sig_col)
-    keys = sigs.select(
-        F.col(id_col),
-        s,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("blk"),
-                        F.shiftright(s, offs[j])
-                        .bitwiseAND((1 << widths[j]) - 1)
-                        .alias("key"),
-                    )
-                    for j in range(n_blocks)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, sig_col, "bk.blk", "bk.key")
+    block = [
+        F.shiftright(s, offs[j]).bitwiseAND((1 << widths[j]) - 1)
+        for j in range(n_blocks)
+    ]
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
+    if sum(widths[j] for j in combos[0]) > 62:
+        raise ValueError("combined probe key exceeds 62 bits; lower n_blocks")
+    entries = []
+    for ci, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for j in combo:
+            key = F.shiftleft(key, widths[j]).bitwiseOR(block[j])
+        entries.append(F.struct(F.lit(ci).alias("combo"), key.alias("key")))
+    return sigs.select(
+        F.col(id_col), s, F.explode(F.array(*entries)).alias("ck")
+    ).select(id_col, sig_col, "ck.combo", "ck.key")
+
+
+def simhash_bucket_audit(
+    sigs: DataFrame,
+    *,
+    bits: int = 56,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int = 2048,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Audit companion to :func:`simhash_near_dup_pairs` (same pattern as
+    the MinHash audit): the (combo, key, size) probe buckets the cap
+    REMOVES from the candidate join.  Empty result ⇒ the cap did not fire
+    and the pair set is complete; non-empty ⇒ those keys are
+    near-identical mega-clusters to route through exact dedup."""
+    keys = _simhash_probe_tables(
+        sigs,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        sig_col=sig_col,
+    )
+    return (
+        keys.groupBy("combo", "key")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
+    )
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    *,
+    bits: int = 56,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int | None = 2048,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-neighbor pairs over SimHash signatures by COMBINATION BLOCK
+    PROBING (Manku, Jain & Sarma, WWW'07 §3): split the signature into
+    ``n_blocks`` blocks and build one probe table per
+    (n_blocks - max_hamming)-subset of blocks, keyed on the concatenation
+    of those blocks.  Pigeonhole makes the candidate set COMPLETE (at most
+    ``max_hamming`` blocks differ, so some probed subset agrees exactly);
+    an exact popcount(xor) verify removes collisions.
+
+    Probing on block COMBINATIONS — not single blocks — is what survives
+    corpus scale: with bits=56, max_hamming=3, n_blocks=6 each probe key
+    carries ~28 bits (C(6,3)=20 tables), so bucket sizes fall as n/2²⁸
+    and the self-join stays linear-ish in true near-dups; single-block
+    probing (n_blocks = k+1) would leave 256-value keys at bits=32 and an
+    ~n²/256 candidate cliff.  Choose n_blocks so the probe-key width
+    (n_blocks - max_hamming)/n_blocks × bits ≥ log₂(corpus size).
+
+    ``max_bucket_size`` guards the residual hot-bucket edge exactly like
+    MinHash-LSH (``minhash_near_dup_pairs``): a cluster of d identical
+    signatures emits O(d²) pairs per probe table; buckets past the cap are
+    excluded here and surfaced by :func:`simhash_bucket_audit` — route
+    them through exact dedup.  None disables the cap (exact completeness).
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
+    Shuffles (combo, key, id, sig) rows only — never text."""
+    keys = _simhash_probe_tables(
+        sigs,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        id_col=id_col,
+        sig_col=sig_col,
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("combo", "key")
+        keys = (
+            keys.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = keys.select(
-        F.col("blk"), F.col("key"),
+        F.col("combo"), F.col("key"),
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
     )
     b = keys.select(
-        F.col("blk"), F.col("key"),
+        F.col("combo"), F.col("key"),
         F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
     )
     cands = (
-        a.join(b, ["blk", "key"])
+        a.join(b, ["combo", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()

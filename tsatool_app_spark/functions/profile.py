@@ -96,11 +96,15 @@ def class_balance(
     edge (|classes| rows), the same no-float-SUM rule as the chi² cells,
     so every emitted value is engine-portable.  Callers sum the (few)
     per-class terms for total entropy client-side."""
+    # Weighted path: SUM the raw weights first, cast the TOTAL — casting
+    # each weight to long before summing would truncate fractional weights
+    # (0.9 → 0) and skew every share/entropy/Gini term. Decimal accumulator
+    # keeps the per-class totals engine-portable.
     counts = df.groupBy(F.col(label_col).alias("label")).agg(
         (
             F.count(F.lit(1))
             if weight_col is None
-            else F.sum(F.col(weight_col).cast("long"))
+            else F.round(F.sum(F.col(weight_col).cast("decimal(28,9)")))
         )
         .cast("long")
         .alias("n")

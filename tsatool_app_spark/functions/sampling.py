@@ -128,11 +128,21 @@ def kfold_assign(
     share a fold or eval folds leak into training), else the id itself.
 
     fold = md5-bucket(cluster) mod k — engine-portable, repartition- and
-    rerun-stable, and every cluster's docs land together.  Zero-shuffle
-    beyond the (bounded) components join."""
+    rerun-stable, and every cluster's docs land together.  The components
+    join strategy is left to AQE (same as leakage_safe_split): on a real
+    web corpus components is O(near-dup docs) — billions of rows — so a
+    forced broadcast would OOM the driver; AQE still broadcasts it when
+    its runtime size is actually small."""
+    clash = {"cluster", "component", "fold"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"docs already has column(s) {sorted(clash)}; rename them — "
+            "kfold_assign emits 'fold' and uses 'cluster'/'component' "
+            "internally"
+        )
     if components is not None:
         comp = components.select(F.col("node").alias(id_col), F.col("component"))
-        keyed = docs.join(F.broadcast(comp), id_col, "left").withColumn(
+        keyed = docs.join(comp, id_col, "left").withColumn(
             "cluster", F.coalesce(F.col("component"), F.col(id_col))
         )
     else:

@@ -239,23 +239,27 @@ def grouped_topk_pruned(
     shuffling k·groups·partitions candidate rows instead of the fact
     table is the difference that matters.
     """
-    import pandas as pd
-
     cols = df.columns
     if "rk" in cols or "rank" in cols:
         raise ValueError("input already has an 'rk'/'rank' column; rename it")
-    by = [c for c, _ in order_cols]
-    asc = [not d for _, d in order_cols]
 
     def _prune(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            yield (
-                pdf.sort_values(by=by, ascending=asc)
-                .groupby(group_cols, sort=False)
-                .head(k)
-            )
+            # Match Spark's per-direction null ordering (asc → nulls FIRST,
+            # desc → nulls LAST) — pandas sort_values takes one na_position
+            # for all keys, so sort one key at a time, least-significant
+            # first, relying on stable sort to compose the total order.
+            s = pdf
+            for c, desc in reversed(order_cols):
+                s = s.sort_values(
+                    by=c,
+                    ascending=not desc,
+                    na_position="last" if desc else "first",
+                    kind="stable",
+                )
+            yield s.groupby(group_cols, sort=False).head(k)
 
     pruned = df.mapInPandas(_prune, df.schema)
     w = Window.partitionBy(*group_cols).orderBy(

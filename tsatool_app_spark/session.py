@@ -21,6 +21,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~25% of system memory, clamped to [2g, 32g]. Reads /proc/meminfo
+    (Linux); falls back to a conservative 8g where it is absent."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(32, max(2, total_gb // 4))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "tsatool_app_spark",
     master: str | None = None,
@@ -77,9 +91,14 @@ def get_spark(
         # local-mode heap: the single JVM holds every localCheckpoint block
         # of whichever pipeline is running; 8g forced GC thrash on the
         # 130-query board and OOM'd the 100x rehearsal (60 M-row inputs).
-        # 32g is ~25% of the dev box; cluster deployments size executors
-        # via spark-submit and ignore this local default.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Default to ~25% of DETECTED system memory (capped at 32g, floored
+        # at 2g) instead of a hardcoded 32g — on smaller hosts a fixed 32g
+        # heap grows toward the OS OOM-killer instead of spilling. Cluster
+        # deployments size executors via spark-submit and ignore this.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

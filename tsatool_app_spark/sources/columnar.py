@@ -135,17 +135,30 @@ def _widened_schema(spark, path: str, fmt: str, widening: dict[str, str]):
     """Union of per-file schemas with the given columns forced to their
     widened types. Footer reads are per FILE on the driver — this is a
     maintenance utility for directories with a handful of schema epochs,
-    not a hot path (a lakehouse table format tracks schema in metadata)."""
-    import glob as _glob
-    import os as _os
+    not a hot path (a lakehouse table format tracks schema in metadata).
 
+    Files are listed via the Hadoop FileSystem API (same as
+    compact_small_files) so s3://, hdfs://, and local paths all work; a
+    local-only glob would silently find ZERO files on a remote store and
+    issue the read with an empty schema."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
-    files = sorted(
-        f
-        for f in _glob.glob(_os.path.join(path, "**", "*"), recursive=True)
-        if _os.path.isfile(f) and not _os.path.basename(f).startswith(("_", "."))
-    )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(hconf)
+    it = fs.listFiles(fs_path, True)  # recursive
+    files = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            files.append(st.getPath().toString())
+    files.sort()
+    if not files:
+        raise FileNotFoundError(
+            f"no data files under {path!r}; refusing to derive an empty schema"
+        )
     fields: dict[str, object] = {}
     order: list[str] = []
     for f in files:
