@@ -254,3 +254,104 @@ def test_resize_images_real_png(spark):
     ys = (np.arange(8) * 16) // 8
     xs = (np.arange(4) * 16) // 4
     assert np.array_equal(got, arr[ys][:, xs])
+
+
+def _gradient_img(h, w, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 200, h)[:, None] * np.ones((1, w))
+    return np.clip(
+        np.stack([x, y, (x + y) / 2], -1) + rng.normal(0, 3, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_near_lossless_q100():
+    """quality=100 scales every Annex-K quant value to 1, so the only
+    round-trip error is DCT/color rounding — a tight bound that validates
+    encoder and decoder against each other numerically."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = _gradient_img(45, 61)  # non-multiple-of-8 on both axes
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    g = img[:, :, 1]
+    gout = decode_jpeg_baseline(encode_jpeg_baseline(g, quality=100))
+    assert gout.shape == (45, 61, 1)
+    assert np.abs(gout[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_subsampled_and_restart_markers():
+    """4:2:0 interleaved MCUs (4 Y blocks + Cb + Cr) and DRI/RSTn restart
+    handling both decode; lossy error stays within quantization bounds."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = _gradient_img(33, 50, seed=11)
+    for kwargs in (
+        dict(quality=90, subsample=True),
+        dict(quality=95, restart_interval=4),
+        dict(quality=92, subsample=True, restart_interval=3),
+    ):
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img, **kwargs))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 6 and err.max() < 40
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    import numpy as np
+    import pytest as _pytest
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg_baseline, encode_jpeg_baseline
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x01")
+    # forge a progressive (SOF2) header out of a real baseline stream
+    buf = bytearray(encode_jpeg_baseline(_gradient_img(16, 16), quality=90))
+    idx = buf.find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_baseline(bytes(buf))
+
+
+def test_decode_image_batch_real_jpeg(spark):
+    """decode_image_batch decodes baseline JPEG natively — no PIL gate
+    (r3 VERDICT next-round #4)."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg_baseline, encode_jpeg_baseline
+
+    imgs = {
+        1: _gradient_img(24, 32, seed=3),
+        2: _gradient_img(9, 13, seed=5),
+    }
+    rows = [
+        (
+            mid,
+            encode_jpeg_baseline(a, quality=95, subsample=(mid == 1)),
+            ("image", "jpeg", a.shape[1], a.shape[0], None),
+        )
+        for mid, a in imgs.items()
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_image_batch(df).collect()}
+    for mid, a in imgs.items():
+        r = out[mid]
+        assert (r.width, r.height, r.channels) == (a.shape[1], a.shape[0], 3)
+        # the kernel reports the DECODED mean — recompute it locally
+        dec = decode_jpeg_baseline([b for m, b, _ in rows if m == mid][0])
+        assert r.mean_px == f"{float(dec.mean()):.6f}"
+        assert abs(float(r.mean_px) - float(a.mean())) < 3.0

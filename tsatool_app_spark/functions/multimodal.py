@@ -114,10 +114,12 @@ def decode_image_batch(
     byte-free).
 
     Real decode: PNG is decoded natively (sinks_png.decode_png — pure
-    zlib/numpy, all filter types, grey/RGB/RGBA); JPEG and other formats
-    fall back to PIL if it is importable, else raise NotImplementedError
-    (libjpeg is absent in this container). fake_decoder=True keeps the
-    deterministic stub for plumbing tests.
+    zlib/numpy, all filter types, grey/RGB/RGBA) and baseline JPEG is
+    decoded natively too (jpeg_codec.decode_jpeg_baseline — pure numpy:
+    Huffman + dequant + batched IDCT, 4:4:4/4:2:2/4:2:0, restart markers).
+    Other formats (progressive JPEG, webp, …) fall back to PIL if it is
+    importable, else raise NotImplementedError. fake_decoder=True keeps
+    the deterministic stub for plumbing tests.
     """
     out_schema = StructType(
         [
@@ -140,12 +142,22 @@ def decode_image_batch(
                 arr.shape[2],
                 float(arr.mean()),
             )
+        if buf[:2] == b"\xff\xd8":
+            from tsatool_app_spark.jpeg_codec import decode_jpeg_baseline
+
+            arr = decode_jpeg_baseline(buf)
+            return (
+                arr.shape[1],
+                arr.shape[0],
+                arr.shape[2],
+                float(arr.mean()),
+            )
         try:
             from PIL import Image  # optional — not in this container
         except ImportError:
             raise NotImplementedError(
-                "non-PNG decode requires PIL/libjpeg (absent here); PNG is "
-                "decoded natively, or use fake_decoder=True"
+                "unrecognized image format: PNG and baseline JPEG decode "
+                "natively; others need PIL (absent here) or fake_decoder=True"
             ) from None
         import io
 
