@@ -453,3 +453,37 @@ def test_strip_markup(spark):
     )
     out = strip_markup(df).collect()[0]["text"]
     assert out == 'Hello world & more <ok>'
+
+
+def test_token_budget_mixture(spark):
+    """Sources with budget >= supply keep everything (rate capped at 1);
+    undersupplied sources sample down so kept tokens land near the budget;
+    unbudgeted sources are dropped; membership is deterministic."""
+    from tsatool_app_spark.functions.sampling import token_budget_mixture
+
+    rows = [
+        (i, "a" * 100, "web" if i < 2000 else ("books" if i < 2200 else "other"))
+        for i in range(2400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs = docs.withColumn("n_chars", F.length("text"))
+    out = token_budget_mixture(
+        docs, {"web": 50_000, "books": 1_000_000}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "other" not in by_src  # unbudgeted -> dropped
+    assert len(by_src["books"]) == 200  # budget > supply -> keep all
+    assert all(r["rate_q"] == 10_000 for r in by_src["books"])
+    # web: 200k tokens available, 50k budget -> rate 2500/10000; the md5
+    # bucket test keeps ~25% of docs (binomial, wide tolerance)
+    n_web = len(by_src["web"])
+    assert 350 <= n_web <= 650, n_web
+    assert all(r["rate_q"] == 2500 for r in by_src["web"])
+    # deterministic: second run selects the identical ids
+    again = {
+        r["doc_id"]
+        for r in token_budget_mixture(docs, {"web": 50_000, "books": 1_000_000}).collect()
+    }
+    assert again == {r["doc_id"] for r in out}

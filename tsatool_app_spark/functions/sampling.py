@@ -150,3 +150,56 @@ def kfold_assign(
     return keyed.withColumn(
         "fold", hash_bucket(F.col("cluster"), buckets=997) % k
     ).drop("component", "cluster")
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Budgeted corpus mixture: sample each source DOWN to a token budget.
+
+    The training-mix spec is usually "X billion tokens of source A, Y of
+    source B"; the per-source keep-rate depends on how many tokens each
+    source actually HAS, so unlike :func:`weighted_sample_by_group` the
+    rates are data-derived: one tiny aggregate computes per-source token
+    totals, rate = min(1, budget / available) quantized to ``buckets``
+    INTEGER basis points (all-integer arithmetic — engine-portable, no
+    float rounding drift), and the keep filter is the usual deterministic
+    hash-bucket test. Sources not in ``budgets`` are dropped.
+
+    Output: input columns + ``rate_q`` (the quantized keep-rate numerator;
+    weight for loss-reweighting = buckets / rate_q). Plan shape at 100 TB:
+    one map-side-combined aggregate over |sources| groups, a broadcast
+    join back, then a scan-speed filter — the corpus is scanned once and
+    never shuffled.
+    """
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+    if "rate_q" in docs.columns or "_avail" in docs.columns:
+        raise ValueError("docs already has a 'rate_q'/'_avail' column; rename it")
+    avail = docs.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("_avail")
+    )
+    budget = F.lit(None).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == s, F.lit(int(b))).otherwise(budget)
+    rates = (
+        avail.withColumn("_budget", budget)
+        .where(F.col("_budget").isNotNull())
+        .select(
+            source_col,
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.expr(f"(_budget * {buckets}) div _avail"),
+            ).alias("rate_q"),
+        )
+    )
+    return docs.join(F.broadcast(rates), source_col).where(
+        hash_bucket(F.col(id_col), buckets) < F.col("rate_q")
+    )

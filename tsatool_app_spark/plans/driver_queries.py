@@ -5452,6 +5452,50 @@ QUERIES["value_quantiles_by_type"] = DriverQuery(
 )
 
 
+def q_token_budget_mixture(spark, sf_dir):
+    """Budgeted corpus mixture (functions/sampling.token_budget_mixture):
+    per-source keep-rates DERIVED from a token budget against the actual
+    per-source token supply — all-integer rate quantization (basis
+    points), deterministic md5-bucket membership.  One tiny aggregate +
+    broadcast join + scan-speed filter: the corpus never shuffles."""
+    from tsatool_app_spark.functions.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_mixture(
+        docs,
+        {"src0": 3_000, "src1": 20_000, "src2": 800},
+        source_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source", "rate_q").orderBy("doc_id")
+
+
+ORACLES["token_budget_mixture"] = """
+WITH avail AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+         LEAST(10000, (CASE source
+                         WHEN 'src0' THEN 3000
+                         WHEN 'src1' THEN 20000
+                         WHEN 'src2' THEN 800
+                       END) * 10000 // a) AS rate_q
+  FROM avail
+  WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT d.doc_id, d.source, r.rate_q
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 10000
+      < r.rate_q
+ORDER BY d.doc_id"""
+
+QUERIES["token_budget_mixture"] = DriverQuery(
+    q_token_budget_mixture, ORACLES["token_budget_mixture"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation (round 4).
 #
