@@ -77,8 +77,13 @@ def test_oracle_match(spark, duck, name, q):
     assert not mismatches, f"{len(mismatches)} mismatched rows, first: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name,q", ROWS_ONLY_QUERIES, ids=[n for n, _ in ROWS_ONLY_QUERIES])
-def test_rows_only_queries_run(spark, name, q):
-    df = q.fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert df.columns
+def test_rows_only_queries_run(spark):
+    """Weaker rows-only check for registry entries WITHOUT an oracle.
+    Currently every query has a DuckDB oracle, so this is expected to be
+    an explicit no-op — iterating (instead of parametrizing) avoids
+    pytest's empty-parameter-set auto-skip, which read as an unexplained
+    skipped test in full-suite runs (r3 VERDICT next-round #8)."""
+    for name, q in ROWS_ONLY_QUERIES:
+        df = q.fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert df.columns, name
