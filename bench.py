@@ -46,8 +46,12 @@ def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str
             # per-repeat setup cost is negligible.
             con = duckdb.connect()
             for t in TESTDATA_TABLES:
+                # driver testdata is one file per table; generated tiers
+                # (scripts/gen_sf1.py) are directories of part files
+                p = f"{sf_dir}/{t}.parquet"
+                src = f"{p}/*.parquet" if os.path.isdir(p) else p
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
                 )
             timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
             timer.start()

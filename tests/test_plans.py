@@ -347,3 +347,14 @@ def test_kfold_assign_no_forced_broadcast(spark):
         assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
+    """The rates table is |sources| rows — it must broadcast, and the
+    corpus side must stay shuffle-free (one aggregate over the tiny
+    grouped side only)."""
+    from tsatool_app_spark.plans.driver_queries import q_token_budget_mixture
+
+    plan = executed_plan(q_token_budget_mixture(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -9,8 +9,9 @@ Training-data-pipeline operators (BASELINE.json north star), designed for
   Everything is built-in Column expressions (xxhash64 with per-permutation
   seeds, explode/groupBy) — no Python in the loop, so the only costs are
   one shuffle for the signature agg and one for the bucket join;
-- SimHash: 3-gram hashes → per-bit vote aggregation → 64-bit signature;
-  near-dups = signatures at small Hamming distance;
+- SimHash: 3-gram hashes → per-bit vote aggregation → 56/64-bit signature;
+  near-dups = signatures at small Hamming distance, found by COMBINATION
+  block probing (Manku §3) with capped + audited probe buckets;
 - n-gram Jaccard: exact verification of candidate pairs (explode + join) —
   run AFTER LSH pruning, never all-pairs.
 """
