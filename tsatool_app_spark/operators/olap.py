@@ -243,22 +243,30 @@ def grouped_topk_pruned(
     if "rk" in cols or "rank" in cols:
         raise ValueError("input already has an 'rk'/'rank' column; rename it")
 
+    by = [c for c, _ in order_cols]
+    asc = [not d for _, d in order_cols]
+
     def _prune(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            # Match Spark's per-direction null ordering (asc → nulls FIRST,
-            # desc → nulls LAST) — pandas sort_values takes one na_position
-            # for all keys, so sort one key at a time, least-significant
-            # first, relying on stable sort to compose the total order.
-            s = pdf
-            for c, desc in reversed(order_cols):
-                s = s.sort_values(
-                    by=c,
-                    ascending=not desc,
-                    na_position="last" if desc else "first",
-                    kind="stable",
-                )
+            if not any(pdf[c].isna().any() for c in by):
+                # fast path: one multi-key sort (null ordering is moot)
+                s = pdf.sort_values(by=by, ascending=asc)
+            else:
+                # Match Spark's per-direction null ordering (asc → nulls
+                # FIRST, desc → nulls LAST) — pandas sort_values takes one
+                # na_position for all keys, so sort one key at a time,
+                # least-significant first, composing the total order via
+                # stable sorts.
+                s = pdf
+                for c, desc in reversed(order_cols):
+                    s = s.sort_values(
+                        by=c,
+                        ascending=not desc,
+                        na_position="last" if desc else "first",
+                        kind="stable",
+                    )
             yield s.groupby(group_cols, sort=False).head(k)
 
     pruned = df.mapInPandas(_prune, df.schema)
