@@ -319,12 +319,59 @@ def test_jpeg_rejects_unsupported_profiles():
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_baseline(b"\x00\x01")
-    # forge a progressive (SOF2) header out of a real baseline stream
+    # forge a lossless (SOF3) header out of a real baseline stream — still
+    # rejected with a process-specific error (SOF2 decodes for real now)
     buf = bytearray(encode_jpeg_baseline(_gradient_img(16, 16), quality=90))
     idx = buf.find(b"\xff\xc0")
-    buf[idx + 1] = 0xC2
-    with _pytest.raises(ValueError, match="SOF2"):
+    buf[idx + 1] = 0xC3
+    with _pytest.raises(ValueError, match="SOF3"):
         decode_jpeg_baseline(bytes(buf))
+    # a SOF2 header over BASELINE scan data is invalid progressive
+    # (a single scan cannot span DC and AC) — clear error, not garbage
+    buf[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive|DC mixed"):
+        decode_jpeg_baseline(bytes(buf))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """decode(progressive(x)) must equal decode(baseline(x)) BIT-FOR-BIT:
+    the two encoders quantize identical coefficients, so any pixel
+    difference would be a defect in the progressive scan machinery (DC/AC
+    successive approximation, EOB-run accumulation, refinement bits)."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    img = _gradient_img(45, 61)
+    for q in (85, 95, 100):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, quality=q)),
+            decode_jpeg(encode_jpeg_baseline(img, quality=q)),
+        ), q
+    # grayscale
+    g = img[:, :, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, quality=92)),
+        decode_jpeg(encode_jpeg_baseline(g, quality=92)),
+    )
+    # near-constant image: long cross-block EOB runs in both AC passes
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    flat[10, 10] = (250, 10, 10)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quality=85)),
+        decode_jpeg(encode_jpeg_baseline(flat, quality=85)),
+    )
+    # dense noise: heavy refinement-bit traffic, ZRL paths
+    rng = np.random.default_rng(13)
+    noise = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(noise, quality=75)),
+        decode_jpeg(encode_jpeg_baseline(noise, quality=75)),
+    )
 
 
 def test_decode_image_batch_real_jpeg(spark):

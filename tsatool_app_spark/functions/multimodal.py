@@ -114,12 +114,12 @@ def decode_image_batch(
     byte-free).
 
     Real decode: PNG is decoded natively (sinks_png.decode_png — pure
-    zlib/numpy, all filter types, grey/RGB/RGBA) and baseline JPEG is
-    decoded natively too (jpeg_codec.decode_jpeg_baseline — pure numpy:
-    Huffman + dequant + batched IDCT, 4:4:4/4:2:2/4:2:0, restart markers).
-    Other formats (progressive JPEG, webp, …) fall back to PIL if it is
-    importable, else raise NotImplementedError. fake_decoder=True keeps
-    the deterministic stub for plumbing tests.
+    zlib/numpy, all filter types, grey/RGB/RGBA) and JPEG is decoded
+    natively too (jpeg_codec.decode_jpeg — pure numpy: baseline AND
+    progressive SOF2, Huffman + dequant + batched IDCT,
+    4:4:4/4:2:2/4:2:0, restart markers). Other formats (webp, …) fall
+    back to PIL if it is importable, else raise NotImplementedError.
+    fake_decoder=True keeps the deterministic stub for plumbing tests.
     """
     out_schema = StructType(
         [

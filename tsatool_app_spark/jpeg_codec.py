@@ -6,13 +6,18 @@ is mostly JPEG, so the multimodal decode kernels
 (functions/multimodal.decode_image_batch) need a native path instead of an
 import-gated stub.
 
-Scope — the overwhelmingly common profile:
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-  any h/v sampling factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0),
-  multiple DQT/DHT segments, restart markers (DRI/RSTn).
-- encode: grayscale or RGB; 4:4:4 or 4:2:0; IJG quality scaling of the
-  Annex K tables; optional restart interval.
-Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise ValueError
+Scope — the overwhelmingly common profiles:
+- decode: baseline sequential DCT (SOF0) AND progressive (SOF2 — spectral
+  selection, successive approximation incl. AC refinement and EOB runs),
+  8-bit, grayscale or YCbCr with any h/v sampling factors in {1, 2}
+  (4:4:4, 4:2:2, 4:4:0, 4:2:0), multiple DQT/DHT segments, restart
+  markers (DRI/RSTn).
+- encode: baseline (grayscale or RGB; 4:4:4 or 4:2:0; IJG quality scaling
+  of the Annex K tables; optional restart interval) and progressive
+  (4:4:4; DC+AC successive approximation — coefficient-identical to the
+  baseline encoder, which pins the progressive decoder bit-for-bit in
+  tests).
+Lossless/arithmetic/hierarchical SOFs, 12-bit, and CMYK raise ValueError
 with a clear message — they are rare in training corpora and callers can
 route them to quarantine.
 
@@ -417,22 +422,253 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+# Near-flat AC Huffman table covering every symbol: progressive AC scans
+# need EOBn symbols (0x10..0xE0) that the Annex-K baseline tables lack
+# (libjpeg always custom-optimizes tables for progressive output for the
+# same reason). 255 canonical codes at length 9 plus one at length 10 stay
+# inside the code space (DHT Li fields are single bytes, so 256-at-9 is
+# unrepresentable anyway) and clear of the all-ones reserved code; the
+# decoder reads it from DHT like any other table.
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 90) -> bytes:
+    """uint8 (H, W) or (H, W, 3) → PROGRESSIVE JFIF (SOF2) bytes.
+
+    Scan script (spectral selection + one successive-approximation step,
+    the common libjpeg shape in miniature): interleaved DC first pass at
+    Al=1, DC refinement, then per component an AC 1..63 first pass at
+    Al=1 and an AC refinement — with real EOB-run accumulation and
+    correction-bit encoding (T.81 G.7.2), so the decoder's progressive
+    paths are exercised by genuine streams, not toy ones. 4:4:4 only;
+    coefficient-identical to the baseline encoder at the same quality,
+    which makes decode(progressive(x)) ≡ decode(baseline(x)) testable
+    bit-for-bit."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("expected uint8 (H, W) or (H, W, 3)")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scaled_quant(QUANT_LUMA, quality)
+    qt_c = _scaled_quant(QUANT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+    ncomp = len(planes)
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    nblocks = mcus_x * mcus_y
+
+    comp_zz = []
+    for plane, qt in zip(planes, qts):
+        pp = np.pad(
+            plane, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge"
+        )
+        blocks = _to_blocks(pp - 128.0)
+        coefs = np.einsum("ij,njk,lk->nil", DCT_D, blocks, DCT_D)
+        q = np.round(coefs / qt.reshape(8, 8)).astype(np.int64)
+        comp_zz.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_flat = _canonical_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    AL = 1
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(comps_spec, ss, se, ah, al):
+        body = bytes([len(comps_spec)])
+        for cid, tsel in comps_spec:
+            body += bytes([cid, tsel])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[ZIGZAG].tolist()))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    if not gray:
+        out += seg(
+            0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS)
+    )
+
+    # scan 1: DC first pass, interleaved, Al=AL
+    wtr = _BitWriter()
+    prev = [0] * ncomp
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            dc = int(comp_zz[ci][bi, 0]) >> AL  # arithmetic shift, like decode
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[ci][size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    wtr.pad_to_byte()
+    out += sos([(ci + 1, (0x00 if ci == 0 else 0x10)) for ci in range(ncomp)],
+               0, 0, 0, AL)
+    out += wtr.out
+
+    # scan 2: DC refinement, Ah=AL, Al=0 — one raw bit per block
+    wtr = _BitWriter()
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            wtr.write(int(comp_zz[ci][bi, 0]) & 1, 1)
+    wtr.pad_to_byte()
+    out += sos([(ci + 1, (0x00 if ci == 0 else 0x10)) for ci in range(ncomp)],
+               0, 0, AL, 0)
+    out += wtr.out
+
+    # per component: AC first pass then AC refinement
+    for ci in range(ncomp):
+        out += sos([(ci + 1, 0x00)], 1, 63, 0, AL)
+        out += _encode_ac_first(comp_zz[ci], ac_flat, AL)
+        out += sos([(ci + 1, 0x00)], 1, 63, AL, 0)
+        out += _encode_ac_refine(comp_zz[ci], ac_flat, AL)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_eobrun(wtr, ac_codes, eobrun, pending_bits):
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        wtr.write(code, ln)
+        if nbits:
+            wtr.write(eobrun - (1 << nbits), nbits)
+        for b in pending_bits:
+            wtr.write(b, 1)
+        pending_bits.clear()
+    return 0
+
+
+def _encode_ac_first(zzs, ac_codes, al) -> bytes:
+    """AC first pass (Ss=1..63, Ah=0): baseline-style run/size coding plus
+    cross-block EOB-run accumulation."""
+    wtr = _BitWriter()
+    eobrun = 0
+    for zz in zzs:
+        vals = [
+            int(v) >> al if v >= 0 else -((-int(v)) >> al) for v in zz[1:64]
+        ]  # point transform truncates toward zero
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(wtr, ac_codes, eobrun, [])
+    _emit_eobrun(wtr, ac_codes, eobrun, [])
+    wtr.pad_to_byte()
+    return bytes(wtr.out)
+
+
+def _encode_ac_refine(zzs, ac_codes, al) -> bytes:
+    """AC refinement pass (Ah=al, Al=0): T.81 G.7.2 — newly-significant
+    coefficients as (run, 1) symbols with sign bits, correction bits for
+    already-significant coefficients interleaved in positional order,
+    EOB runs carrying their buffered correction bits."""
+    wtr = _BitWriter()
+    pending_eob = 0
+    pending_bits: list[int] = []
+    for zz in zzs:
+        coef = [int(v) for v in zz[1:64]]
+        absv = [abs(v) for v in coef]  # >> Al with Al=0
+        eobpos = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = i
+        run = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                pending_eob = _emit_eobrun(wtr, ac_codes, pending_eob, pending_bits)
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run -= 16
+            if a > 1:
+                br.append(a & 1)  # correction bit for already-significant coef
+                continue
+            pending_eob = _emit_eobrun(wtr, ac_codes, pending_eob, pending_bits)
+            code, ln = ac_codes[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if coef[i] > 0 else 0, 1)
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            pending_eob += 1
+            pending_bits.extend(br)
+            if pending_eob == 0x7FFF:
+                pending_eob = _emit_eobrun(wtr, ac_codes, pending_eob, pending_bits)
+    _emit_eobrun(wtr, ac_codes, pending_eob, pending_bits)
+    wtr.pad_to_byte()
+    return bytes(wtr.out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
-def decode_jpeg_baseline(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 ndarray (H, W, C), C = 1 or 3.
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes → uint8 ndarray (H, W, C), C = 1 or 3.
 
-    See module docstring for the supported profile. Cited for parity:
-    nothing in the reference decodes images — this is beyond-reference
-    surface for the multimodal pipeline."""
+    Supports baseline sequential (SOF0) and PROGRESSIVE (SOF2) — spectral
+    selection, successive approximation (DC and AC refinement scans,
+    EOB-run decoding), interleaved DC scans and single-component AC
+    scans, per ITU-T T.81 Annex G. See module docstring for the overall
+    profile. Cited for parity: nothing in the reference decodes images —
+    this is beyond-reference surface for the multimodal pipeline."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    store = None
+    geom = None
+    eobrun_box = [0]
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -468,7 +704,7 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 vals = list(body[bp + 17 : bp + 17 + n])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 bp += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -477,47 +713,76 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}); baseline "
-                "sequential (SOF0) only"
+                "sequential (SOF0) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan, qtabs, htabs, restart_interval
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                if store is None:
+                    store, geom = _alloc_stores(frame)
+                pos = _decode_baseline_scan(
+                    data, pos, frame, scan, htabs, store, geom, restart_interval
+                )
+                return _reconstruct(frame, qtabs, store, geom)
+            if store is None:
+                store, geom = _alloc_stores(frame)
+            eobrun_box[0] = 0  # EOB runs never cross scan boundaries
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, (ss, se, ah, al), htabs,
+                store, geom, restart_interval, eobrun_box,
             )
+        else:
+            pass  # APPn / COM / unknown length-prefixed segments: skipped
+    if progressive and store is not None:
+        return _reconstruct(frame, qtabs, store, geom)
     raise ValueError("no scan data found")
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+# Back-compat name: the original entry point decoded baseline only; the
+# same function now also handles progressive streams.
+decode_jpeg_baseline = decode_jpeg
+
+
+def _alloc_stores(frame):
+    """Per-component zigzag coefficient arrays + shared geometry."""
     fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("empty frame")
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[cs] for cs, _, _ in scan]
-    tables = {cs: (htabs[(0, td)], htabs[(1, ta)]) for cs, td, ta in scan}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
     if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
         raise ValueError("sampling factors beyond 2 unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-
-    # per-component zigzag coefficient store
     store = {}
     for c in comps:
         bw, bh = mcus_x * c["h"], mcus_y * c["v"]
         store[c["id"]] = np.zeros((bh * bw, 64), np.int64)
+    return store, (hmax, vmax, mcus_x, mcus_y)
+
+
+def _decode_baseline_scan(data, pos, frame, scan, htabs, store, geom, restart_interval):
+    fh, fw, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scan]
+    tables = {cs: (htabs[(0, td)], htabs[(1, ta)]) for cs, td, ta in scan}
+    hmax, vmax, mcus_x, mcus_y = geom
 
     r = _BitReader(data, pos)
     prev = {c["id"]: 0 for c in comps}
@@ -553,8 +818,144 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                         zz[k] = _receive_extend(r, size)
                         k += 1
                     zz_store[(my * c["v"] + by) * bw + (mx * c["h"] + bx)] = zz
+    return r.pos
 
-    # dequant + batched IDCT + assemble per component
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, band, htabs, store, geom, restart_interval, eobrun_box
+):
+    """One progressive scan (T.81 Annex G decode): DC scans may be
+    interleaved over several components; AC scans cover exactly one
+    component's own block grid. Coefficients accumulate across scans in
+    ``store``; returns the stream position after the scan."""
+    fh, fw, comps = frame
+    ss, se, ah, al = band
+    by_id = {c["id"]: c for c in comps}
+    hmax, vmax, mcus_x, mcus_y = geom
+    r = _BitReader(data, pos)
+    rst_box = [0]
+
+    def maybe_restart(i, reset_pred):
+        if restart_interval and i and i % restart_interval == 0:
+            r.align_and_expect_rst(rst_box[0])
+            rst_box[0] += 1
+            eobrun_box[0] = 0
+            reset_pred()
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("invalid progressive scan: DC mixed with AC band")
+        order = [by_id[cs] for cs, _, _ in scan]
+        tables = {cs: htabs[(0, td)] for cs, td, _ in scan}
+        prev = {c["id"]: 0 for c in order}
+
+        def reset():
+            for cid in prev:
+                prev[cid] = 0
+
+        for mcu in range(mcus_x * mcus_y):
+            maybe_restart(mcu, reset)
+            my, mx = divmod(mcu, mcus_x)
+            for c in order:
+                zz_store = store[c["id"]]
+                bw = mcus_x * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                        if ah == 0:
+                            size = r.decode_symbol(tables[c["id"]])
+                            prev[c["id"]] += _receive_extend(r, size)
+                            zz_store[bi, 0] = prev[c["id"]] << al
+                        elif r.read_bit():
+                            zz_store[bi, 0] |= 1 << al
+        return r.pos
+
+    # AC scan: single component, its OWN block grid (non-interleaved)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must cover exactly one component")
+    cs, _, ta = scan[0]
+    c = by_id[cs]
+    ac_t = htabs[(1, ta)]
+    zz_store = store[cs]
+    bw = mcus_x * c["h"]
+    sx = -(-fw * c["h"] // hmax)  # component samples per row (ceil)
+    sy = -(-fh * c["v"] // vmax)
+    cw = -(-sx // 8)  # component's own block grid (non-interleaved scan)
+    ch = -(-sy // 8)
+    p1, m1 = 1 << al, -(1 << al)
+
+    bi_iter = [
+        by * bw + bx for by in range(ch) for bx in range(cw)
+    ]
+    for i, bi in enumerate(bi_iter):
+        maybe_restart(i, lambda: None)
+        zz = zz_store[bi]
+        if ah == 0:  # first pass for this band
+            if eobrun_box[0] > 0:
+                eobrun_box[0] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = r.decode_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun_box[0] = (1 << run) - 1
+                    if run:
+                        eobrun_box[0] += r.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC index overflow")
+                zz[k] = _receive_extend(r, size) << al
+                k += 1
+        else:  # refinement pass (T.81 G.7.2 / libjpeg-style)
+            k = ss
+            if eobrun_box[0] == 0:
+                while k <= se:
+                    rs = r.decode_symbol(ac_t)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run < 15:
+                            # FULL count here (unlike the first-pass branch):
+                            # this block still flows through the refinement
+                            # tail below, whose decrement accounts for it.
+                            eobrun_box[0] = 1 << run
+                            if run:
+                                eobrun_box[0] += r.read_bits(run)
+                            break
+                        val = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise ValueError("invalid refinement magnitude")
+                        val = p1 if r.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if r.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if run == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            if eobrun_box[0] > 0:
+                while k <= se:
+                    if zz[k] != 0 and r.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun_box[0] -= 1
+    return r.pos
+
+
+def _reconstruct(frame, qtabs, store, geom):
+    """Dequant + batched IDCT + upsample + color transform."""
+    fh, fw, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
     planes = {}
     for c in comps:
         qt = qtabs[c["tq"]]
