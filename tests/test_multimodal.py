@@ -402,3 +402,67 @@ def test_decode_image_batch_real_jpeg(spark):
         dec = decode_jpeg_baseline([b for m, b, _ in rows if m == mid][0])
         assert r.mean_px == f"{float(dec.mean()):.6f}"
         assert abs(float(r.mean_px) - float(a.mean())) < 3.0
+
+
+def test_mjpeg_avi_end_to_end(spark):
+    """Real video path, no ffmpeg: MJPEG-AVI container parsed natively
+    (avi_codec), sampled frames are baseline JPEGs, and decode_image_batch
+    decodes them — the full video → frames → features pipeline on one
+    actually-produced format."""
+    import numpy as np
+
+    from tsatool_app_spark.avi_codec import encode_avi_mjpeg
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    frames = [
+        np.clip(
+            np.fromfunction(
+                lambda y, x, c: (x * 3 + y * 2 + f * 20 + c * 40) % 256,
+                (24, 32, 3),
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for f in range(8)
+    ]
+    jpegs = [encode_jpeg_baseline(f, quality=100) for f in frames]
+    avi = encode_avi_mjpeg(jpegs, 32, 24, fps=10)
+    df = spark.createDataFrame(
+        [(7, avi, ("video", "mjpeg", 32, 24, None))], MEDIA_SCHEMA
+    )
+    sampled = sample_video_frames(df, 3)
+    rows = sorted(sampled.collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 3, 6]
+    # sampled frame bytes are the exact container payloads
+    assert all(bytes(r.frame_bytes) == jpegs[r.frame_idx] for r in rows)
+    # and they decode through the IMAGE kernel (rename to its contract)
+    frame_media = sampled.selectExpr(
+        "media_id * 10 + frame_idx AS media_id", "frame_bytes AS content"
+    )
+    meta = {r.media_id: r for r in decode_image_batch(frame_media).collect()}
+    assert len(meta) == 3
+    for r in rows:
+        m = meta[70 + r.frame_idx]
+        assert (m.width, m.height, m.channels) == (32, 24, 3)
+        dec = decode_jpeg(jpegs[r.frame_idx])
+        assert m.mean_px == f"{float(dec.mean()):.6f}"
+
+
+def test_avi_codec_rejects_non_mjpeg():
+    import numpy as np
+    import pytest as _pytest
+
+    from tsatool_app_spark.avi_codec import encode_avi_mjpeg, iter_avi_mjpeg_frames
+    from tsatool_app_spark.jpeg_codec import encode_jpeg_baseline
+    from tsatool_app_spark.wav_codec import encode_wav
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        list(iter_avi_mjpeg_frames(encode_wav(np.zeros(8, np.int16), 8000)))
+    avi = bytearray(
+        encode_avi_mjpeg(
+            [encode_jpeg_baseline(np.zeros((8, 8), np.uint8))], 8, 8
+        )
+    )
+    avi[avi.find(b"MJPG") : avi.find(b"MJPG") + 4] = b"H264"
+    with _pytest.raises(NotImplementedError, match="MJPEG"):
+        list(iter_avi_mjpeg_frames(bytes(avi)))

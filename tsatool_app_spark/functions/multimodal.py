@@ -352,11 +352,13 @@ def sample_video_frames(
     frame (media_id, frame_idx, frame_bytes) — the 1→N mapInPandas fan-out
     every video pipeline needs.
 
-    The fan-out, schema, and byte handling are REAL and run on the TSTV
-    fake container (pack_fake_video); real codecs (mp4/h264) need
-    ffmpeg/pyav, absent from this container, and raise NotImplementedError
-    inside the worker. Frame bytes stay within the worker's output batch —
-    downstream shuffles should drop them first (module design rules).
+    MJPEG-AVI decodes NATIVELY (avi_codec RIFF walk; each sampled frame is
+    a baseline JPEG that decode_image_batch handles directly), and the
+    TSTV fake container supports plumbing tests. Inter-frame codecs
+    (mp4/h264) need ffmpeg/pyav, absent from this container, and raise
+    NotImplementedError inside the worker. Frame bytes stay within the
+    worker's output batch — downstream shuffles should drop them first
+    (module design rules).
     """
     out_schema = StructType(
         [
@@ -373,11 +375,21 @@ def sample_video_frames(
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
                 buf = bytes(buf)
+                if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                    # MJPEG AVI decodes NATIVELY: container walk via
+                    # avi_codec, frames are baseline JPEGs for the image
+                    # kernels (decode_image_batch handles them directly)
+                    from tsatool_app_spark.avi_codec import iter_avi_mjpeg_frames
+
+                    for f, jpg in enumerate(iter_avi_mjpeg_frames(buf)):
+                        if f % every_nth == 0:
+                            rows.append((mid, f, jpg))
+                    continue
                 if buf[:4] != _FAKE_VIDEO_MAGIC:
                     raise NotImplementedError(
-                        "real video codecs require ffmpeg/pyav (absent in "
-                        "this container); only the TSTV test container is "
-                        "decoded natively"
+                        "inter-frame video codecs require ffmpeg/pyav "
+                        "(absent in this container); MJPEG-AVI and the TSTV "
+                        "test container decode natively"
                     )
                 _, w, h, n = _struct.unpack_from(">4sIII", buf, 0)
                 fsize = w * h
