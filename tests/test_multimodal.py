@@ -466,3 +466,62 @@ def test_avi_codec_rejects_non_mjpeg():
     avi[avi.find(b"MJPG") : avi.find(b"MJPG") + 4] = b"H264"
     with _pytest.raises(NotImplementedError, match="MJPEG"):
         list(iter_avi_mjpeg_frames(bytes(avi)))
+
+
+def test_resize_images_real_jpeg(spark):
+    """Native JPEG resize: output decodes at target size and tracks the
+    nearest-neighbour selection within re-encode loss."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    img = _gradient_img(40, 56, seed=17)
+    df = spark.createDataFrame(
+        [(3, encode_jpeg_baseline(img, quality=95),
+          ("image", "jpeg", 56, 40, None))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(df, 14, 10).collect()
+    arr = decode_jpeg(bytes(out[0].content))
+    assert arr.shape == (10, 14, 3)
+    src = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    ys = (np.arange(10) * 40) // 10
+    xs = (np.arange(14) * 56) // 14
+    want = src[ys][:, xs]
+    assert np.abs(arr.astype(int) - want.astype(int)).mean() < 8
+
+
+def test_audio_frame_features_match_numpy(spark):
+    """Frame RMS / ZCR / spectral centroid from WAV bytes: a pure sine's
+    centroid sits at its frequency and ZCR at 2f/sr; values match a direct
+    numpy recomputation exactly."""
+    import numpy as np
+
+    from tsatool_app_spark.functions.multimodal import audio_frame_features
+    from tsatool_app_spark.wav_codec import encode_wav
+
+    sr, f0 = 16000, 1000.0
+    t = np.arange(4096) / sr
+    sine = (0.5 * np.sin(2 * np.pi * f0 * t) * 32767).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, encode_wav(sine, sr), ("audio", "wav", None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        audio_frame_features(df, frame_len=512, hop=256).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert len(rows) == (4096 - 512) // 256 + 1
+    for r in rows:
+        assert abs(r.centroid_hz - f0) < 60  # leakage smears a little
+        assert abs(r.zcr - 2 * f0 / sr) < 0.01
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+
+    # exact parity with a direct numpy recomputation of frame 3
+    x = sine.astype(np.float64) / 32768.0
+    fr = x[3 * 256 : 3 * 256 + 512]
+    rms = float(np.sqrt((fr**2).mean()))
+    spec = np.abs(np.fft.rfft(fr))
+    cen = float((spec * np.fft.rfftfreq(512, 1 / sr)).sum() / spec.sum())
+    got = rows[3]
+    assert got.rms == rms and abs(got.centroid_hz - cen) < 1e-9

@@ -2,14 +2,14 @@
 
 Large-scale training pipelines carry media as opaque ``binary`` columns with
 typed metadata; the Spark-side concerns — schema, batch shape, partition
-sizing, Arrow transfer — are real and tested here. PNG decode/resize are
-REAL (sinks_png.decode_png/encode_png — pure zlib + numpy) and so is PCM
-WAV audio decode (wav_codec — stdlib struct); video frame sampling runs
-its real 1→N fan-out on the TSTV test container. Codecs that require
-native libraries absent from this container (JPEG, mp3/flac, mp4/h264)
-fall back to PIL when importable and otherwise raise NotImplementedError;
-a deterministic fake (``fake_decoder=True``, 16-byte test header) keeps
-the distributed plumbing testable independently of any codec.
+sizing, Arrow transfer — are real and tested here. The codec set is
+NATIVE: PNG decode/resize (sinks_png — pure zlib + numpy), JPEG baseline
+AND progressive (jpeg_codec — pure numpy), PCM WAV audio (wav_codec —
+stdlib struct), and MJPEG-AVI video frame extraction (avi_codec). Only
+formats with no realistic pure-Python path (mp3/flac, h264/vp9) fall back
+to PIL/ffmpeg when importable and otherwise raise NotImplementedError; a
+deterministic fake (``fake_decoder=True``, 16-byte test header) keeps the
+distributed plumbing testable independently of any codec.
 
 Design rules for 100 TB of media:
 
@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -194,10 +195,11 @@ def resize_images(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Resize kernel: (media_id, content) → (media_id, content) at target
-    size. RGB PNG input is resized for real (native decode → vectorized
-    nearest-neighbour index → native encode); with fake_decoder the
-    nearest-neighbour subsample runs on the fake payload, re-packed with
-    the fake header — byte-deterministic either way."""
+    size. PNG and JPEG inputs resize for real (native decode → vectorized
+    nearest-neighbour index → native encode; JPEG re-encodes baseline
+    q90); with fake_decoder the nearest-neighbour subsample runs on the
+    fake payload, re-packed with the fake header — byte-deterministic
+    either way."""
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -220,20 +222,37 @@ def resize_images(
         xs = (_np.arange(target_w) * w) // target_w
         return encode_png(_np.ascontiguousarray(arr[ys][:, xs]))
 
+    def _resize_jpeg(buf: bytes) -> bytes:
+        import numpy as _np
+
+        from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+        arr = decode_jpeg(buf)
+        if arr.shape[2] == 1:
+            arr = _np.repeat(arr, 3, axis=2)
+        h, w = arr.shape[:2]
+        ys = (_np.arange(target_h) * h) // target_h
+        xs = (_np.arange(target_w) * w) // target_w
+        return encode_jpeg_baseline(
+            _np.ascontiguousarray(arr[ys][:, xs]), quality=90
+        )
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
                 buf = bytes(buf)
                 if not fake_decoder:
-                    if buf[:8] != b"\x89PNG\r\n\x1a\n":
-                        raise NotImplementedError(
-                            "non-PNG resize requires an image library "
-                            "(absent here); PNG is handled natively, or use "
-                            "fake_decoder=True"
-                        )
-                    rows.append((mid, _resize_png(buf)))
-                    continue
+                    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                        rows.append((mid, _resize_png(buf)))
+                        continue
+                    if buf[:2] == b"\xff\xd8":
+                        rows.append((mid, _resize_jpeg(buf)))
+                        continue
+                    raise NotImplementedError(
+                        "unrecognized format: PNG and JPEG resize natively; "
+                        "others need an image library or fake_decoder=True"
+                    )
                 w, h, c, payload = _unpack_fake_header(buf)
                 out = bytearray(_pack_fake_header(target_w, target_h, c))
                 for y in range(target_h):
@@ -401,3 +420,64 @@ def sample_video_frames(
             )
 
     return media.select(id_col, content_col).mapInPandas(sample, out_schema)
+
+
+def audio_frame_features(
+    media: DataFrame,
+    *,
+    frame_len: int = 512,
+    hop: int = 256,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-level audio features from PCM WAV bytes: one output row per
+    analysis frame with RMS energy, zero-crossing rate, and spectral
+    centroid (Hz, via numpy rFFT) — the standard speech-preprocessing
+    triple, computed natively (wav_codec decode, no audio libraries).
+
+    1→N fan-out like sample_video_frames: the audio bytes are consumed in
+    the worker and only small typed feature rows leave it. Multi-channel
+    input is mixed down to mono (mean) before framing; the last partial
+    frame is dropped (librosa-style center=False behavior)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("frame_idx", IntegerType(), True),
+            StructField("rms", DoubleType(), True),
+            StructField("zcr", DoubleType(), True),
+            StructField("centroid_hz", DoubleType(), True),
+        ]
+    )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        from tsatool_app_spark.wav_codec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                rate, samples = decode_wav(bytes(buf))
+                x = samples.astype(_np.float64).mean(axis=1) / 32768.0
+                n_frames = max(0, (len(x) - frame_len) // hop + 1)
+                if n_frames == 0:
+                    continue
+                idx = _np.arange(frame_len)[None, :] + hop * _np.arange(n_frames)[:, None]
+                frames = x[idx]  # (n_frames, frame_len)
+                rms = _np.sqrt((frames**2).mean(axis=1))
+                zcr = (_np.diff(_np.signbit(frames), axis=1) != 0).mean(axis=1)
+                spec = _np.abs(_np.fft.rfft(frames, axis=1))
+                freqs = _np.fft.rfftfreq(frame_len, d=1.0 / rate)
+                denom = spec.sum(axis=1)
+                centroid = _np.where(
+                    denom > 0, (spec * freqs).sum(axis=1) / _np.maximum(denom, 1e-300), 0.0
+                )
+                for i in range(n_frames):
+                    rows.append(
+                        (mid, i, float(rms[i]), float(zcr[i]), float(centroid[i]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "rms", "zcr", "centroid_hz"]
+            )
+
+    return media.select(id_col, content_col).mapInPandas(features, out_schema)
