@@ -236,3 +236,54 @@ def test_incremental_fold_equals_full_any_slicing(spark, rows):
         r.k: (r.n, r.sum_val, r.min_val, r.max_val, r.avg_val) for r in d.collect()
     }
     assert as_map(folded) == as_map(full)
+
+
+# --- JPEG codec invariants (no Spark involved: pure numpy kernels) ---------
+
+jpeg_images = st.tuples(
+    st.integers(min_value=4, max_value=24),   # height
+    st.integers(min_value=4, max_value=24),   # width
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.sampled_from([75, 90, 100]),
+    st.booleans(),  # grayscale?
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(jpeg_images)
+def test_jpeg_progressive_equals_baseline_property(params):
+    """For ANY image: the progressive and baseline encoders quantize the
+    same coefficients, so the decoder must produce bit-identical pixels
+    from both streams — a single mismatch means a defect in successive
+    approximation, EOB runs, or refinement-bit handling."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    h, w, seed, quality, gray = params
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    dp = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    db = decode_jpeg(encode_jpeg_baseline(img, quality=quality))
+    assert np.array_equal(dp, db)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(jpeg_images)
+def test_jpeg_q100_roundtrip_bound_property(params):
+    """quality=100 → all-ones quant tables → round-trip error bounded by
+    DCT/color rounding alone, for any input."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    h, w, seed, _, gray = params
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=100))
+    ref = img[:, :, None] if gray else img
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 3
