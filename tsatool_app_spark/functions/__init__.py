@@ -9,7 +9,14 @@ from tsatool_app_spark.functions.dedup import (
     minhash_near_dup_pairs,
     minhash_oversize_buckets,
     simhash_signatures,
+    simhash_near_dup_pairs,
+    simhash_bucket_audit,
     ngram_jaccard_pairs,
+)
+from tsatool_app_spark.functions.sampling import (
+    deterministic_sample,
+    weighted_sample_by_group,
+    token_budget_mixture,
 )
 from tsatool_app_spark.functions.similarity import (
     quantized_dot,
@@ -27,7 +34,12 @@ __all__ = [
     "minhash_near_dup_pairs",
     "minhash_oversize_buckets",
     "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "simhash_bucket_audit",
     "ngram_jaccard_pairs",
+    "deterministic_sample",
+    "weighted_sample_by_group",
+    "token_budget_mixture",
     "quantized_dot",
     "cosine_similarity_col",
     "brute_force_topk",

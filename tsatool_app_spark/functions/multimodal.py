@@ -157,8 +157,9 @@ def decode_image_batch(
             from PIL import Image  # optional — not in this container
         except ImportError:
             raise NotImplementedError(
-                "unrecognized image format: PNG and baseline JPEG decode "
-                "natively; others need PIL (absent here) or fake_decoder=True"
+                "unrecognized image format: PNG and JPEG (baseline + "
+                "progressive) decode natively; others need PIL (absent "
+                "here) or fake_decoder=True"
             ) from None
         import io
 
