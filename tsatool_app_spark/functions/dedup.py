@@ -210,12 +210,19 @@ def simhash_signatures(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 56,
     shingle_k: int = 3,
     portable: bool = False,
 ) -> DataFrame:
     """SimHash: per-bit majority vote over shingle hashes → one integer
     signature per document. Near-dups have small Hamming distance.
+
+    The default width (56) matches :func:`simhash_near_dup_pairs` — pairing
+    the two at defaults must put real entropy in every probe block.  A
+    narrower signature fed to the pairer with a wider claimed ``bits``
+    leaves the high blocks all-zero: those probe combos degenerate into one
+    giant bucket that the ``max_bucket_size`` cap silently removes, losing
+    true pairs.  Keep the widths equal on both sides.
 
     Vote computation is ``bits`` conditional sums in ONE groupBy (map-side
     partial agg) — no per-bit passes.

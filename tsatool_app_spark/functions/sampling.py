@@ -194,10 +194,24 @@ def token_budget_mixture(
         .where(F.col("_budget").isNotNull())
         .select(
             source_col,
-            F.least(
+            # Zero/NULL token supply must not poison the filter: NULL _avail
+            # (all-null token_col) or _avail <= 0 would make rate_q NULL and
+            # `hash < NULL` silently drop the whole source.  A budgeted
+            # source with no measurable supply is trivially under budget —
+            # keep everything (rate_q = buckets); an explicit 0 budget
+            # always wins and drops everything.
+            F.when(F.col("_budget") == 0, F.lit(0).cast("long"))
+            .when(
+                F.coalesce(F.col("_avail"), F.lit(0)) <= 0,
                 F.lit(buckets).cast("long"),
-                F.expr(f"(_budget * {buckets}) div _avail"),
-            ).alias("rate_q"),
+            )
+            .otherwise(
+                F.least(
+                    F.lit(buckets).cast("long"),
+                    F.expr(f"(_budget * {buckets}) div _avail"),
+                )
+            )
+            .alias("rate_q"),
         )
     )
     return docs.join(F.broadcast(rates), source_col).where(

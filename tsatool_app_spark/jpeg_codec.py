@@ -139,6 +139,39 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
     return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
 
 
+_ANNEX_K_DECODE: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+
+
+def _htab(
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]], tc: int, th: int
+) -> dict[tuple[int, int], int]:
+    """Huffman table lookup with the Annex-K fallback MJPEG demands.
+
+    MJPEG-AVI frames routinely omit the DHT segment — the OpenDML spec says
+    decoders supply the fixed T.81 Annex-K tables (the same constants this
+    module's encoder writes).  Slots (tc∈{0,1} × th∈{0,1}) fall back to
+    those; any other undefined slot is a malformed stream and raises the
+    codec's ValueError contract."""
+    t = htabs.get((tc, th))
+    if t is not None:
+        return t
+    if not _ANNEX_K_DECODE:
+        _ANNEX_K_DECODE.update(
+            {
+                (0, 0): _decode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+                (0, 1): _decode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (1, 0): _decode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+                (1, 1): _decode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+            }
+        )
+    t = _ANNEX_K_DECODE.get((tc, th))
+    if t is None:
+        raise ValueError(
+            f"scan references undefined Huffman table (class={tc}, id={th})"
+        )
+    return t
+
+
 # --- bit I/O ----------------------------------------------------------------
 
 
@@ -175,8 +208,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> bool:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -204,6 +241,8 @@ class _BitReader:
         """Discard partial byte, consume the RSTn marker."""
         self.nbits = 0
         self.acc = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n % 8):
             raise ValueError("expected restart marker")
         self.pos += 2
@@ -657,7 +696,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     EOB-run decoding), interleaved DC scans and single-component AC
     scans, per ITU-T T.81 Annex G. See module docstring for the overall
     profile. Cited for parity: nothing in the reference decodes images —
-    this is beyond-reference surface for the multimodal pipeline."""
+    this is beyond-reference surface for the multimodal pipeline.
+
+    Error contract: every malformed/truncated/unsupported stream raises
+    ValueError — corpus-scale pipelines catch ONE exception type and
+    route bad blobs to quarantine instead of dying on an opaque
+    IndexError inside a mapInPandas batch."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, struct.error):
+        raise ValueError("truncated JPEG stream") from None
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -781,7 +832,7 @@ def _decode_baseline_scan(data, pos, frame, scan, htabs, store, geom, restart_in
     fh, fw, comps = frame
     by_id = {c["id"]: c for c in comps}
     order = [by_id[cs] for cs, _, _ in scan]
-    tables = {cs: (htabs[(0, td)], htabs[(1, ta)]) for cs, td, ta in scan}
+    tables = {cs: (_htab(htabs, 0, td), _htab(htabs, 1, ta)) for cs, td, ta in scan}
     hmax, vmax, mcus_x, mcus_y = geom
 
     r = _BitReader(data, pos)
@@ -846,7 +897,7 @@ def _decode_progressive_scan(
         if se != 0:
             raise ValueError("invalid progressive scan: DC mixed with AC band")
         order = [by_id[cs] for cs, _, _ in scan]
-        tables = {cs: htabs[(0, td)] for cs, td, _ in scan}
+        tables = {cs: _htab(htabs, 0, td) for cs, td, _ in scan}
         prev = {c["id"]: 0 for c in order}
 
         def reset():
@@ -875,7 +926,7 @@ def _decode_progressive_scan(
         raise ValueError("progressive AC scan must cover exactly one component")
     cs, _, ta = scan[0]
     c = by_id[cs]
-    ac_t = htabs[(1, ta)]
+    ac_t = _htab(htabs, 1, ta)
     zz_store = store[cs]
     bw = mcus_x * c["h"]
     sx = -(-fw * c["h"] // hmax)  # component samples per row (ceil)

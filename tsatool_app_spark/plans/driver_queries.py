@@ -3407,17 +3407,22 @@ def q_null_semantics(spark, sf_dir):
 def q_array_funcs(spark, sf_dir):
     """Array/higher-order-function parity over the embedding column: size,
     min/max, sorted prefix, lambda filter count.  float32 values widen to
-    identical float64 in both engines, so comparisons are exact."""
+    identical float64 in both engines, so comparisons are exact.  The
+    sorted prefix is emitted as THREE SCALAR columns (b1..b3), not an
+    array — the driver's canonicalizer hashes scalar cells only (an
+    array-typed column made this the lone driver-red row in r4; values
+    were always correct)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    bot = F.array_sort("embedding")
     return (
         emb.select(
             "vec_id",
             F.size("embedding").cast("long").alias("n_dims"),
             F.array_min("embedding").cast("double").alias("vmin"),
             F.array_max("embedding").cast("double").alias("vmax"),
-            F.slice(F.array_sort("embedding"), 1, 3)
-            .cast("array<double>")
-            .alias("bottom3"),
+            F.get(bot, 0).cast("double").alias("b1"),
+            F.get(bot, 1).cast("double").alias("b2"),
+            F.get(bot, 2).cast("double").alias("b3"),
             F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         )
         .orderBy("vec_id")
@@ -3828,7 +3833,9 @@ SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS n_dims,
        CAST(list_min(embedding) AS DOUBLE) AS vmin,
        CAST(list_max(embedding) AS DOUBLE) AS vmax,
-       CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3,
+       CAST(list_sort(embedding)[1] AS DOUBLE) AS b1,
+       CAST(list_sort(embedding)[2] AS DOUBLE) AS b2,
+       CAST(list_sort(embedding)[3] AS DOUBLE) AS b3,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
 FROM embeddings ORDER BY vec_id LIMIT 500"""
 
@@ -5497,33 +5504,32 @@ QUERIES["token_budget_mixture"] = DriverQuery(
 
 
 # ---------------------------------------------------------------------------
-# Driver correctness-window rotation (round 4).
+# Driver correctness-window ordering — manifest-driven (round 5).
 #
-# The driver's per-round gate hashes only the FIRST 50 entries of this
-# registry (CORRECTNESS_r0{1,2,3}.json all cover the same first-50 prefix).
-# Every query below already has builder-side oracle evidence
-# (scripts/selfcheck.py — all green at sf0.01), but 99 of them have never
-# had a DRIVER-visible hash row.  Rotate the insertion order so the
-# never-driver-hashed queries come first; the 50 already-certified names
-# keep their relative order at the tail.  Pure reordering — no query or
+# The driver's per-round gate hashes only the FIRST `window_size` entries
+# of this registry.  Which queries occupy that window is CONFIG, not code:
+# `driver_window.json` (same directory) holds the ordered `front` list and
+# documents the rotation policy (never-hashed and red queries first, new
+# registrations join the next round's front, then a re-hash cycle over the
+# longest-uncertified names so previously-green queries stay
+# driver-visible).  Every name in the manifest must exist in the registry —
+# a stale manifest fails loudly at import instead of silently shrinking
+# driver coverage (round-4 advisory).  Pure reordering — no query or
 # oracle changes.
-_DRIVER_HASHED_R1_R3 = [
-    "pack_ranges", "pack_ranges_in", "condition_and", "condition_or_not",
-    "condition_summary", "obs_summary_monthly", "distinct_stations", "dedup_pk",
-    "ts_parse_finnish", "pricing_summary", "revenue_by_nation", "top_suppliers_per_nation",
-    "shipping_priority", "above_avg_orders", "dedup_exact_docs", "text_stats",
-    "lang_id", "embedding_dotq", "quality_score", "doc_fingerprint",
-    "ngram_jaccard", "interval_overlap_join", "sessionize", "deterministic_sample",
-    "sql_surface", "time_bucket_rollup", "asof_join", "salted_sum",
-    "ann_topk_exact", "multimodal_meta", "chunk_documents", "repetition_signals",
-    "redact_pii", "stratified_sample", "top_terms", "vocab_top_terms",
-    "decontaminate", "sheet_workload", "minhash_pairs", "dedup_components",
-    "pack_sequences", "embedding_near_dups", "lsh_ann", "ivf_ann",
-    "json_props", "line_filter", "keyword_search", "rolling_features",
-    "percentile_disc", "sales_rollup",
-]
-_seen = set(_DRIVER_HASHED_R1_R3)
-QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _seen},
-    **{k: QUERIES[k] for k in _DRIVER_HASHED_R1_R3 if k in QUERIES},
-}
+import json as _json
+from pathlib import Path as _Path
+
+_MANIFEST_PATH = _Path(__file__).with_name("driver_window.json")
+if _MANIFEST_PATH.exists():
+    _front = _json.loads(_MANIFEST_PATH.read_text())["front"]
+    _unknown = [n for n in _front if n not in QUERIES]
+    if _unknown:
+        raise ValueError(
+            f"driver_window.json lists unknown queries {_unknown}; "
+            "update the manifest when renaming/removing registry entries"
+        )
+    _front_set = set(_front)
+    QUERIES = {
+        **{n: QUERIES[n] for n in _front},
+        **{k: v for k, v in QUERIES.items() if k not in _front_set},
+    }
