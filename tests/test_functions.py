@@ -487,3 +487,55 @@ def test_token_budget_mixture(spark):
         for r in token_budget_mixture(docs, {"web": 50_000, "books": 1_000_000}).collect()
     }
     assert again == {r["doc_id"] for r in out}
+
+
+def test_token_budget_mixture_zero_or_null_supply(spark):
+    """A budgeted source whose token supply sums to NULL (all-null
+    token_col) or 0 must keep ALL its rows — not silently vanish via a
+    NULL rate_q poisoning the hash filter; an explicit 0 budget still
+    drops the source entirely."""
+    from tsatool_app_spark.functions.sampling import token_budget_mixture
+
+    rows = (
+        [(i, "nulls", None) for i in range(40)]
+        + [(100 + i, "zeros", 0) for i in range(40)]
+        + [(200 + i, "real", 50) for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = token_budget_mixture(
+        docs, {"nulls": 1_000, "zeros": 1_000, "real": 0}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src.get("nulls", [])) == 40  # NULL supply -> keep all
+    assert len(by_src.get("zeros", [])) == 40  # zero supply -> keep all
+    assert all(r["rate_q"] == 10_000 for r in out)
+    assert "real" not in by_src  # explicit 0 budget -> drop all
+
+
+def test_simhash_default_widths_agree(spark):
+    """Pairing simhash_signatures with simhash_near_dup_pairs AT DEFAULTS
+    must behave identically to the explicit bits=56 configuration — the r4
+    advisory found signatures defaulting narrower than the pairer claimed,
+    zeroing the high probe blocks."""
+    import inspect
+
+    from tsatool_app_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    sig_bits = inspect.signature(simhash_signatures).parameters["bits"].default
+    pair_bits = inspect.signature(simhash_near_dup_pairs).parameters["bits"].default
+    assert sig_bits == pair_bits
+    sigs = simhash_signatures(docs_with_dups(spark))
+    default_pairs = {
+        (r.id_a, r.id_b) for r in simhash_near_dup_pairs(sigs).collect()
+    }
+    explicit_pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(sigs, bits=56, max_hamming=3, n_blocks=6).collect()
+    }
+    assert default_pairs == explicit_pairs
+    assert (1, 2) in default_pairs  # the planted exact dup survives

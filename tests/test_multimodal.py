@@ -525,3 +525,34 @@ def test_audio_frame_features_match_numpy(spark):
     cen = float((spec * np.fft.rfftfreq(512, 1 / sr)).sum() / spec.sum())
     got = rows[3]
     assert got.rms == rms and abs(got.centroid_hz - cen) < 1e-9
+
+
+def test_jpeg_dht_less_frame_decodes_with_annex_k_tables():
+    """MJPEG-AVI frames commonly omit DHT — OpenDML says decoders supply
+    the fixed T.81 Annex-K tables.  Stripping every DHT segment from a
+    baseline JPEG must decode to the identical pixels (the encoder writes
+    exactly the Annex-K tables the fallback installs)."""
+    import struct
+
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    data = encode_jpeg_baseline(img, quality=90)
+
+    out = bytearray(data[:2])  # SOI
+    pos = 2
+    while pos < len(data):
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: copy the rest (entropy data + EOI)
+            out += data[pos:]
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        if marker != 0xC4:  # drop DHT, keep everything else
+            out += data[pos : pos + 2 + length]
+        pos += 2 + length
+    stripped = bytes(out)
+    assert b"\xff\xc4" not in stripped[:200] or len(stripped) < len(data)
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(data))

@@ -615,3 +615,40 @@ def test_kfold_assign_rejects_colliding_columns(spark):
         raise AssertionError("expected ValueError on pre-existing 'fold' column")
     except ValueError as e:
         assert "fold" in str(e)
+
+
+def test_ewma_cross_batch_carry_seeding(spark):
+    """Force tiny Arrow batches so key runs straddle batch boundaries —
+    the prepend-carry seeding of the vectorized ewm kernel must continue
+    the recurrence bit-exactly across every boundary."""
+    from tsatool_app_spark.operators.timeseries import ewma_by_key
+
+    rows = [
+        (k, i, float((i * 13 + k * 7) % 50) / 3.0)
+        for k in range(3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, value double"
+    ).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.user_id, r.event_id): r.ewma
+            for r in ewma_by_key(
+                df, key_col="user_id", order_col="event_id", value_col="value"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for k in range(3):
+        series = [v for kk, _, v in rows if kk == k]
+        y = series[0]
+        assert got[(k, 0)] == y
+        for i, x in enumerate(series[1:], start=1):
+            y = 0.5 * x + 0.5 * y
+            assert got[(k, i)] == y

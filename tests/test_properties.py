@@ -287,3 +287,65 @@ def test_jpeg_q100_roundtrip_bound_property(params):
     out = decode_jpeg(encode_jpeg_baseline(img, quality=100))
     ref = img[:, :, None] if gray else img
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 3
+
+
+# --- MJPEG-AVI container round-trip (r4 ask: fuzz AVI like JPEG) ------------
+
+avi_clips = st.tuples(
+    st.integers(min_value=1, max_value=5),  # frame count
+    st.sampled_from([(8, 8), (11, 9), (16, 13), (24, 17)]),  # (w, h) incl. odd
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.booleans(),  # grayscale frames?
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(avi_clips)
+def test_avi_mjpeg_roundtrip_property(params):
+    """For ANY clip (random frame counts/sizes, odd dimensions, odd-length
+    JPEG payloads forcing RIFF pad bytes): encode_avi_mjpeg →
+    iter_avi_mjpeg_frames must return the exact JPEG bytes that went in,
+    in order — a byte diff means chunk sizes, pad handling, or idx1/movi
+    layout is wrong."""
+    import numpy as np
+
+    from tsatool_app_spark.avi_codec import encode_avi_mjpeg, iter_avi_mjpeg_frames
+    from tsatool_app_spark.jpeg_codec import encode_jpeg_baseline
+
+    n, (w, h), seed, gray = params
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg_baseline(
+            rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8),
+            quality=90,
+        )
+        for _ in range(n)
+    ]
+    avi = encode_avi_mjpeg(frames, w, h, fps=10)
+    out = list(iter_avi_mjpeg_frames(avi))
+    assert len(out) == n
+    assert all(a == b for a, b in zip(out, frames))
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=2, max_value=10_000),  # truncation point
+)
+def test_jpeg_truncation_raises_only_valueerror(seed, cut):
+    """Error contract under corruption: decoding ANY prefix of a valid
+    JPEG either succeeds or raises ValueError — never IndexError /
+    struct.error / KeyError.  This is what lets corpus pipelines catch one
+    exception type and quarantine bad blobs."""
+    import numpy as np
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg_baseline(img, quality=85)
+    cut = min(cut, len(data) - 1)
+    try:
+        decode_jpeg(data[:cut])
+    except ValueError:
+        pass  # the contract
