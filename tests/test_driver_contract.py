@@ -77,6 +77,28 @@ def test_oracle_match(spark, duck, name, q):
     assert not mismatches, f"{len(mismatches)} mismatched rows, first: {mismatches[:3]}"
 
 
+def test_no_complex_output_types(spark):
+    """Registry-wide guard (r5 VERDICT next-round #1): the driver's pandas
+    canonicalizer hashes scalar values only — an Array/Map/Struct output
+    column fails with "unhashable type: 'list'" and burns the window slot
+    (array_funcs r4, snapshot_diff r5).  Assert NO registry query's output
+    schema contains a complex type, so the class cannot recur a third time.
+    Schema inspection only (no job run), so this covers all 150 queries in
+    seconds."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, q in QUERIES.items():
+        schema = q.fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, (
+        "driver-unhashable complex output columns (flatten with "
+        f"F.array_join / to_json before returning): {bad}"
+    )
+
+
 def test_rows_only_queries_run(spark):
     """Weaker rows-only check for registry entries WITHOUT an oracle.
     Currently every query has a DuckDB oracle, so this is expected to be

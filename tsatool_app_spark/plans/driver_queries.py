@@ -4803,7 +4803,9 @@ def q_snapshot_diff(spark, sf_dir):
     a deterministically perturbed v2 (every 97th doc dropped, every 89th
     doc's text rewritten, clones of the first 5 docs added under new ids)
     — one full-outer join on the key + NULL-safe column compares; the
-    changed-column list is array/filter Column work, no UDF."""
+    changed-column list is array/filter Column work, no UDF.  The array
+    column is flattened to a comma-joined string for the driver's
+    scalar-only canonicalizer (same class of fix as array_funcs r5)."""
     from tsatool_app_spark.operators.diff import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -4824,7 +4826,11 @@ def q_snapshot_diff(spark, sf_dir):
             )
         )
     )
-    return snapshot_diff(docs, v2, ["doc_id"]).orderBy("doc_id")
+    return (
+        snapshot_diff(docs, v2, ["doc_id"])
+        .withColumn("changed_cols", F.array_join("changed_cols", ","))
+        .orderBy("doc_id")
+    )
 
 
 ORACLES["snapshot_diff"] = """
@@ -4851,8 +4857,9 @@ SELECT doc_id,
        CASE WHEN NOT in_old THEN 'added'
             WHEN NOT in_new THEN 'removed'
             WHEN len(diffs) > 0 THEN 'changed' END AS change,
-       CASE WHEN in_old AND in_new AND len(diffs) > 0 THEN diffs
-            ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+       CASE WHEN in_old AND in_new AND len(diffs) > 0
+            THEN array_to_string(diffs, ',')
+            ELSE '' END AS changed_cols
 FROM j
 WHERE (NOT in_old) OR (NOT in_new) OR len(diffs) > 0
 ORDER BY doc_id"""
