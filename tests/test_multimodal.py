@@ -527,20 +527,9 @@ def test_audio_frame_features_match_numpy(spark):
     assert got.rms == rms and abs(got.centroid_hz - cen) < 1e-9
 
 
-def test_jpeg_dht_less_frame_decodes_with_annex_k_tables():
-    """MJPEG-AVI frames commonly omit DHT — OpenDML says decoders supply
-    the fixed T.81 Annex-K tables.  Stripping every DHT segment from a
-    baseline JPEG must decode to the identical pixels (the encoder writes
-    exactly the Annex-K tables the fallback installs)."""
+def _strip_dht(data: bytes) -> bytes:
+    """Drop every DHT segment from a JPEG, keeping everything else."""
     import struct
-
-    import numpy as np
-
-    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
-
-    rng = np.random.default_rng(7)
-    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
-    data = encode_jpeg_baseline(img, quality=90)
 
     out = bytearray(data[:2])  # SOI
     pos = 2
@@ -550,9 +539,49 @@ def test_jpeg_dht_less_frame_decodes_with_annex_k_tables():
             out += data[pos:]
             break
         (length,) = struct.unpack_from(">H", data, pos + 2)
-        if marker != 0xC4:  # drop DHT, keep everything else
+        if marker != 0xC4:
             out += data[pos : pos + 2 + length]
         pos += 2 + length
-    stripped = bytes(out)
-    assert b"\xff\xc4" not in stripped[:200] or len(stripped) < len(data)
-    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(data))
+    return bytes(out)
+
+
+def test_jpeg_dht_less_frame_decodes_with_annex_k_tables():
+    """MJPEG-AVI frames commonly omit DHT — OpenDML says decoders supply
+    the fixed T.81 Annex-K tables, but only when the caller OPTS IN
+    (mjpeg_tables=True, r5 ADVICE): a standalone JPEG missing its DHT is
+    corrupt and must raise ValueError, not decode to garbage.  With the
+    flag, the stripped stream decodes to identical pixels (the encoder
+    writes exactly the Annex-K tables the fallback installs)."""
+    import numpy as np
+    import pytest
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    data = encode_jpeg_baseline(img, quality=90)
+    stripped = _strip_dht(data)
+    assert len(stripped) < len(data)
+    with pytest.raises(ValueError, match="undefined Huffman table"):
+        decode_jpeg(stripped)  # strict default: DHT-less standalone = corrupt
+    assert np.array_equal(decode_jpeg(stripped, mjpeg_tables=True), decode_jpeg(data))
+
+
+def test_jpeg_unknown_scan_component_raises_value_error():
+    """A scan referencing a component id absent from SOF is a malformed
+    (not truncated) stream — it must still raise the codec's uniform
+    ValueError, not escape as KeyError (r5 ADVICE)."""
+    import numpy as np
+    import pytest
+
+    from tsatool_app_spark.jpeg_codec import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_baseline(img, quality=85))
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    # SOS layout: marker(2) length(2) ns(1) then (cs, tdta) pairs
+    data[sos + 5] = 0x77  # first scan component selector → unknown id
+    with pytest.raises(ValueError, match="component id 119"):
+        decode_jpeg(bytes(data))

@@ -652,3 +652,51 @@ def test_ewma_cross_batch_carry_seeding(spark):
         for i, x in enumerate(series[1:], start=1):
             y = 0.5 * x + 0.5 * y
             assert got[(k, i)] == y
+
+
+def test_ewma_null_propagates_like_explicit_recurrence(spark):
+    """NULL/NaN contract (r5 ADVICE): a NULL value at row t must poison
+    y_t and every later row of that key — the explicit y=αx+(1−α)y loop's
+    behavior — not be skipped-and-renormalized as bare pandas ewm would.
+    Forced 7-row Arrow batches also exercise carrying a NaN state across
+    batch boundaries; keys without NULLs must be untouched."""
+    import math
+
+    from tsatool_app_spark.operators.timeseries import ewma_by_key
+
+    rows = []
+    for k in range(3):
+        for i in range(40):
+            v = float((i * 11 + k * 5) % 30) / 4.0
+            if k == 1 and i == 3:
+                v = None  # poisons key 1 from row 3 onward
+            rows.append((k, i, v))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, value double"
+    ).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.user_id, r.event_id): r.ewma
+            for r in ewma_by_key(
+                df, key_col="user_id", order_col="event_id", value_col="value"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for k in (0, 2):
+        series = [v for kk, _, v in rows if kk == k]
+        y = series[0]
+        assert got[(k, 0)] == y
+        for i, x in enumerate(series[1:], start=1):
+            y = 0.5 * x + 0.5 * y
+            assert got[(k, i)] == y
+    for i in range(3):  # pre-NULL rows of key 1 follow the recurrence
+        assert got[(1, i)] is not None and not math.isnan(got[(1, i)])
+    for i in range(3, 40):  # NULL row and everything after → NULL/NaN
+        v = got[(1, i)]
+        assert v is None or math.isnan(v), f"row {i} should be poisoned, got {v}"

@@ -105,6 +105,7 @@ def decode_image_batch(
     media: DataFrame,
     *,
     fake_decoder: bool = False,
+    mjpeg_tables: bool = False,
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
@@ -121,6 +122,12 @@ def decode_image_batch(
     4:4:4/4:2:2/4:2:0, restart markers). Other formats (webp, …) fall
     back to PIL if it is importable, else raise NotImplementedError.
     fake_decoder=True keeps the deterministic stub for plumbing tests.
+
+    ``mjpeg_tables=True`` is for frames sampled out of MJPEG-AVI
+    containers (sample_video_frames): such JPEGs routinely omit DHT and
+    decode with the fixed Annex-K tables per OpenDML. Leave it False for
+    ordinary image corpora so a DHT-less (= corrupt) standalone JPEG is
+    quarantined instead of decoding to garbage.
     """
     out_schema = StructType(
         [
@@ -144,9 +151,9 @@ def decode_image_batch(
                 float(arr.mean()),
             )
         if buf[:2] == b"\xff\xd8":
-            from tsatool_app_spark.jpeg_codec import decode_jpeg_baseline
+            from tsatool_app_spark.jpeg_codec import decode_jpeg
 
-            arr = decode_jpeg_baseline(buf)
+            arr = decode_jpeg(buf, mjpeg_tables=mjpeg_tables)
             return (
                 arr.shape[1],
                 arr.shape[0],

@@ -142,19 +142,11 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
 _ANNEX_K_DECODE: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
 
 
-def _htab(
-    htabs: dict[tuple[int, int], dict[tuple[int, int], int]], tc: int, th: int
-) -> dict[tuple[int, int], int]:
-    """Huffman table lookup with the Annex-K fallback MJPEG demands.
-
-    MJPEG-AVI frames routinely omit the DHT segment — the OpenDML spec says
-    decoders supply the fixed T.81 Annex-K tables (the same constants this
-    module's encoder writes).  Slots (tc∈{0,1} × th∈{0,1}) fall back to
-    those; any other undefined slot is a malformed stream and raises the
-    codec's ValueError contract."""
-    t = htabs.get((tc, th))
-    if t is not None:
-        return t
+def _annex_k_tables() -> dict[tuple[int, int], dict[tuple[int, int], int]]:
+    """Fixed T.81 Annex-K Huffman decode tables, built lazily once — the
+    fallback MJPEG demands.  MJPEG-AVI frames routinely omit the DHT
+    segment; the OpenDML spec says decoders supply these (the same
+    constants this module's encoder writes)."""
     if not _ANNEX_K_DECODE:
         _ANNEX_K_DECODE.update(
             {
@@ -164,7 +156,19 @@ def _htab(
                 (1, 1): _decode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
             }
         )
-    t = _ANNEX_K_DECODE.get((tc, th))
+    return _ANNEX_K_DECODE
+
+
+def _htab(
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]], tc: int, th: int
+) -> dict[tuple[int, int], int]:
+    """Strict Huffman table lookup: an undefined slot is a malformed
+    stream and raises the codec's ValueError contract.  The Annex-K
+    MJPEG fallback is OPT-IN via decode_jpeg(..., mjpeg_tables=True) —
+    seeded into ``htabs`` at SOS time — so a standalone JPEG whose DHT
+    was lost to corruption raises instead of decoding to garbage pixels
+    with slots 0/1 (r5 ADVICE)."""
+    t = htabs.get((tc, th))
     if t is None:
         raise ValueError(
             f"scan references undefined Huffman table (class={tc}, id={th})"
@@ -688,7 +692,7 @@ def _encode_ac_refine(zzs, ac_codes, al) -> bytes:
 # --- decoder -----------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, *, mjpeg_tables: bool = False) -> np.ndarray:
     """JFIF bytes → uint8 ndarray (H, W, C), C = 1 or 3.
 
     Supports baseline sequential (SOF0) and PROGRESSIVE (SOF2) — spectral
@@ -698,17 +702,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     profile. Cited for parity: nothing in the reference decodes images —
     this is beyond-reference surface for the multimodal pipeline.
 
+    ``mjpeg_tables=True`` enables the OpenDML MJPEG behavior: a scan
+    referencing a Huffman table slot no DHT defined falls back to the
+    fixed T.81 Annex-K tables (MJPEG-AVI frames routinely omit DHT).
+    The default is STRICT — a standalone JPEG missing its DHT is treated
+    as corrupt and raises, instead of silently decoding to garbage
+    pixels with the slot-0/1 defaults; AVI frame pipelines opt in
+    (functions/multimodal.decode_image_batch(mjpeg_tables=True)).
+
     Error contract: every malformed/truncated/unsupported stream raises
     ValueError — corpus-scale pipelines catch ONE exception type and
     route bad blobs to quarantine instead of dying on an opaque
     IndexError inside a mapInPandas batch."""
     try:
-        return _decode_jpeg_impl(data)
+        return _decode_jpeg_impl(data, mjpeg_tables=mjpeg_tables)
     except (IndexError, struct.error):
         raise ValueError("truncated JPEG stream") from None
 
 
-def _decode_jpeg_impl(data: bytes) -> np.ndarray:
+def _decode_jpeg_impl(data: bytes, *, mjpeg_tables: bool = False) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -778,9 +790,22 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
+            frame_ids = {c["id"] for c in frame[2]}
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in frame_ids:
+                    raise ValueError(
+                        f"scan references component id {cs} absent from frame"
+                    )
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if mjpeg_tables:
+                # OpenDML MJPEG: undefined slots referenced by this scan
+                # get the fixed Annex-K tables (a later DHT still wins
+                # for later scans — DHT parsing overwrites the slot).
+                for _, td, ta in scan:
+                    for slot in ((0, td), (1, ta)):
+                        if slot not in htabs and slot in _annex_k_tables():
+                            htabs[slot] = _annex_k_tables()[slot]
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F

@@ -455,16 +455,28 @@ def ewma_by_key(
     semantically requires.  Measured: 20 k rows 12 s → ~1 s.
 
     The per-key recurrence runs through pandas' C kernel —
-    ``Series.ewm(alpha, adjust=False).mean()`` computes the IDENTICAL
-    fixed-order two-multiply-one-add step (verified bit-identical against
-    the explicit loop, including non-binary α), so results stay bit-exact
-    vs the DuckDB recursive-CTE oracle (plans/driver_queries.py) while the
-    hot path is vectorized (the r4-audited interpreted Python loop was
-    ~12× DuckDB at sf1; this is the fix).  Batches are sliced into
-    contiguous key segments (input is sorted by key within the partition);
-    a segment continuing the previous batch's key is seeded by prepending
-    the carried ewma value and dropping the first output row — ewm's first
-    output equals its first input, so the recurrence continues exactly.
+    ``Series.ewm(alpha, adjust=False).mean()`` computes the same
+    fixed-order two-multiply-one-add step.  Bit-exactness vs the explicit
+    loop (and hence the DuckDB recursive-CTE oracle in
+    plans/driver_queries.py) holds for BINARY-RATIONAL α (0.5 default,
+    0.25, 0.75, …): pandas normalizes each step by (1−α)+α, which is
+    exactly 1.0 only when α's float representation makes the sum exact;
+    for α like 0.9 or 1/3 results can differ in the last bit.  Driver
+    oracles stay at α=0.5.  The hot path is vectorized (the r4-audited
+    interpreted Python loop was ~12× DuckDB at sf1; this is the fix).
+    Batches are sliced into contiguous key segments (input is sorted by
+    key within the partition); a segment continuing the previous batch's
+    key is seeded by prepending the carried ewma value and dropping the
+    first output row — ewm's first output equals its first input, so the
+    recurrence continues exactly.
+
+    NULL/NaN contract: the recurrence PROPAGATES — a NULL or NaN value at
+    row t makes y_t and every later y of that key NaN, exactly like the
+    explicit ``y = α·x + (1−α)·y`` loop and the recursive-CTE oracle.
+    (pandas ewm alone would silently SKIP NaNs and renormalize the decayed
+    weights — plausible-looking but oracle-divergent values; a vectorized
+    ``logical_or.accumulate`` mask restores the propagating semantics,
+    carried across batch boundaries with the ewma state.)
     """
     import numpy as np
 
@@ -488,7 +500,8 @@ def ewma_by_key(
             out = np.empty(n, dtype="float64")
             for s, e in zip(bounds[:-1], bounds[1:]):
                 seg = vals[s:e]
-                if s == 0 and keys[0] == prev_key:
+                carried = s == 0 and keys[0] == prev_key
+                if carried:
                     seeded = np.empty(len(seg) + 1, dtype="float64")
                     seeded[0] = prev_y
                     seeded[1:] = seg
@@ -505,6 +518,12 @@ def ewma_by_key(
                         .mean()
                         .to_numpy()
                     )
+                # ewm skips NaNs and renormalizes; the recurrence must
+                # PROPAGATE them (see docstring), incl. a NaN carried in.
+                prop = np.logical_or.accumulate(np.isnan(seg))
+                if carried and np.isnan(prev_y):
+                    prop |= True
+                out[s:e][prop] = np.nan
             prev_key = keys[-1]
             prev_y = out[-1]
             pdf = pdf.copy()
