@@ -40,9 +40,11 @@ def main() -> None:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # driver testdata is one file per table; generated tiers
+        # (scripts/gen_sf1.py) are directories of part files
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     bad = []
     for name, q in QUERIES.items():

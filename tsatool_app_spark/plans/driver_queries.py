@@ -1613,6 +1613,127 @@ SELECT doc_id,
 FROM ranked"""
 
 
+def _neardup_pairs_ctes(*, grams: str, t_num: int, t_den: int, c: int = 20) -> str:
+    """CTE body (no leading WITH) defining ``pairs(id_a, id_b, jaccard,
+    inter_size, union_size)``: ALL document pairs with shingle-set Jaccard
+    >= t_num/t_den — exactly the brute-force all-pairs answer, computed
+    sub-quadratically so the oracle survives sf1+ inside the bench budget
+    (r5 VERDICT next-round #4; the old all-pairs form was abandoned at the
+    45 s budget for every sf >= 0.1).
+
+    Construction (each step is a LOSSLESS necessary condition, so the
+    result is provably identical to the brute-force join — pinned by
+    tests/test_driver_contract.py::test_candidate_restricted_oracles_match_brute_force):
+
+    1. Identical texts are grouped first (md5); within-group pairs have
+       J = 1 by definition and skip straight to the output, so the
+       candidate search runs over DISTINCT texts (10x fewer at the
+       replicated sf1 tier).
+    2. Length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so qualifying
+       pairs satisfy t_den*min >= t_num*max (integer-exact).
+    3. Multi-prefix filter (Chaudhuri/Xiao et al.): under any global
+       total order (here: ascending document frequency, then gram), a
+       pair with |A∩B| = a shares its a smallest common elements within
+       the first |x| - a + i positions of each set (i = 1..a).  With
+       J >= t, a >= ceil(t*max(|A|,|B|)), so prefixes of length
+       |x| - ceil(t*|x|) + c must share >= min(c, ceil(t*max)) elements.
+       Integer ceil ((t_num*n + t_den - 1) // t_den) avoids float-edge
+       misses; the HAVING threshold uses LEAST(c, ...) so tiny sets
+       (where |A∩B| < c) are not dropped.
+    4. Exact verification of the surviving candidates with the SAME
+       list_intersect/double-division predicate as the brute-force form,
+       so accepted values are bit-identical.
+
+    grams='char': 5-char shingles txt[i:i+4] (minhash/leakage family);
+    grams='word': word 5-grams (setsim family).
+    """
+    if grams == "char":
+        toks = ""
+        shingles = (
+            "list_distinct(list_transform(range(1, greatest(length(txt) - 4, 1) + 1),\n"
+            "                             i -> txt[i:i+4]))"
+        )
+        src = "grp"
+    else:
+        toks = (
+            "toks AS (SELECT h, list_filter(string_split(txt, ' '), x -> x <> '') AS t\n"
+            "         FROM grp),\n"
+        )
+        shingles = (
+            "list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),\n"
+            "              i -> array_to_string(list_slice(t, i, i + 4), ' ')))"
+        )
+        src = "toks"
+    thr = f"{t_num / t_den!r}"
+    return f"""grp AS MATERIALIZED (
+  SELECT md5(text) AS h, any_value(text) AS txt, list(doc_id) AS ids
+  FROM documents GROUP BY md5(text)
+),
+{toks}sh AS MATERIALIZED (SELECT h, {shingles} AS s FROM {src}),
+ex AS MATERIALIZED (SELECT h, unnest(s) AS g, len(s) AS n FROM sh),
+freq AS MATERIALIZED (SELECT g, count(*) AS df FROM ex GROUP BY g),
+pref AS MATERIALIZED (
+  SELECT h, g, n FROM (
+    SELECT e.h, e.g, e.n,
+           row_number() OVER (PARTITION BY e.h ORDER BY f.df, e.g) AS rk
+    FROM ex e JOIN freq f USING (g)
+  ) WHERE rk <= n - ({t_num} * n + {t_den - 1}) // {t_den} + {c}
+),
+cand AS MATERIALIZED (
+  SELECT a.h AS ha, b.h AS hb
+  FROM pref a JOIN pref b ON a.g = b.g AND a.h < b.h
+     AND a.n * {t_num} <= b.n * {t_den} AND b.n * {t_num} <= a.n * {t_den}
+  GROUP BY 1, 2
+  HAVING count(*) >= LEAST({c},
+    ({t_num} * GREATEST(any_value(a.n), any_value(b.n)) + {t_den - 1}) // {t_den})
+),
+xtext AS MATERIALIZED (
+  SELECT c.ha, c.hb,
+         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+  FROM cand c JOIN sh a ON a.h = c.ha JOIN sh b ON b.h = c.hb
+  WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {thr}
+),
+pairs AS (
+  SELECT least(ua.ia, ub.ib) AS id_a, greatest(ua.ia, ub.ib) AS id_b,
+         x.i / (x.na + x.nb - x.i) AS jaccard,
+         CAST(x.i AS BIGINT) AS inter_size,
+         CAST(x.na + x.nb - x.i AS BIGINT) AS union_size
+  FROM xtext x
+  JOIN grp ga ON ga.h = x.ha JOIN grp gb ON gb.h = x.hb,
+  unnest(ga.ids) AS ua(ia), unnest(gb.ids) AS ub(ib)
+  UNION ALL
+  SELECT least(ua.ia, ub.ib) AS id_a, greatest(ua.ia, ub.ib) AS id_b,
+         1.0 AS jaccard,
+         CAST(len(s) AS BIGINT) AS inter_size,
+         CAST(len(s) AS BIGINT) AS union_size
+  FROM grp g JOIN sh USING (h),
+  unnest(g.ids) AS ua(ia), unnest(g.ids) AS ub(ib)
+  WHERE ua.ia < ub.ib
+)"""
+
+
+#: Shared CTE bodies for the near-dup oracle family (char 5-gram / J>=0.85
+#: and word 5-gram / J>=3/5) — one construction, five oracles.
+_NEARDUP_CHAR_85 = _neardup_pairs_ctes(grams="char", t_num=17, t_den=20)
+_NEARDUP_WORD_35 = _neardup_pairs_ctes(grams="word", t_num=3, t_den=5)
+
+#: Connected components over the verified pair graph — min-reachable-label
+#: closure. sym/edges MATERIALIZED so the recursive walk does not recompute
+#: the candidate pipeline per iteration (the pre-r6 budget killer).
+_NEARDUP_COMPONENTS_CTES = f"""{_NEARDUP_CHAR_85},
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)"""
+
+
 ORACLES: dict[str, str | None] = {
     "pack_ranges": f"""
 WITH {_pack_sql_cte('pr', _BLOCK_A)}
@@ -1823,44 +1944,15 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
 SELECT user_id AS statid,
        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id""",
-    "minhash_pairs": """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                      i -> text[i:i+4])) AS s
-  FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       len(list_intersect(a.s, b.s))
-         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s))
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85""",
-    "dedup_components": """
-WITH RECURSIVE sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                      i -> text[i:i+4])) AS s
-  FROM documents
-),
-edges AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
-),
-sym AS (
-  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-),
-reach AS (
-  SELECT u AS node, u AS label FROM sym
-  UNION
-  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
-)
+    "minhash_pairs": f"""
+WITH {_NEARDUP_CHAR_85}
+SELECT id_a, id_b, jaccard FROM pairs""",
+    "dedup_components": f"""
+WITH RECURSIVE {_NEARDUP_COMPONENTS_CTES}
 SELECT node AS doc_id, MIN(label) AS component
 FROM reach GROUP BY node ORDER BY doc_id""",
     "pack_sequences": """
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id, doc_id % 8 AS shard,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
            AS n_tokens,
@@ -3482,16 +3574,20 @@ def q_pagerank(spark, sf_dir):
 
 def _pagerank_oracle_sql(iters: int = 3) -> str:
     """Generated from the SAME recurrence constants as the Spark
-    implementation so the two cannot drift."""
+    implementation so the two cannot drift.  Every CTE referenced more
+    than once is MATERIALIZED: DuckDB otherwise re-inlines `pairs` (the
+    DISTINCT lineitem⋈orders edge build) into each of the ~2 references
+    per iteration, which is what blew the 45 s oracle budget at sf1
+    (r5 VERDICT next-round #4; measured 10 s at sf1 materialized)."""
     head = """
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-consts AS (
+e AS MATERIALIZED (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+consts AS MATERIALIZED (
   SELECT CAST(1000000 // count(*) AS BIGINT) AS r0,
          CAST((15 * (1000000 // count(*))) // 100 AS BIGINT) AS jump
   FROM nodes
@@ -3500,7 +3596,7 @@ pr0 AS (SELECT node, r0 AS rank FROM nodes, consts)"""
     its = []
     for k in range(1, iters + 1):
         its.append(f""",
-pr{k} AS (
+pr{k} AS MATERIALIZED (
   SELECT nd.node,
          (SELECT jump FROM consts) + (85 * COALESCE(s.contrib, 0)) // 100 AS rank
   FROM nodes nd LEFT JOIN (
@@ -3961,30 +4057,8 @@ FROM per_nation, total
 WHERE nation_bal * 22 > total_bal
 ORDER BY s_nationkey"""
 
-ORACLES["leakage_safe_split"] = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                      i -> text[i:i+4])) AS s
-  FROM documents
-),
-edges AS (
-  SELECT a.doc_id AS u, b.doc_id AS v
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s))
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
-),
-sym AS (
-  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-),
-reach AS (
-  SELECT u AS node, u AS label FROM sym
-  UNION
-  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
-),
-comp AS (
-  SELECT node, MIN(label) AS component FROM reach GROUP BY node
-),
+ORACLES["leakage_safe_split"] = f"""
+WITH RECURSIVE {_NEARDUP_COMPONENTS_CTES},
 clustered AS (
   SELECT d.doc_id,
          CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster
@@ -4055,24 +4129,10 @@ def q_setsim_pairs(spark, sf_dir):
     )
 
 
-ORACLES["setsim_pairs"] = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-sets AS (
-  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
-         i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
-  FROM toks
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
-       CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
-         AS union_size
-FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.s, b.s)) * 5
-        >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-ORDER BY doc_a, doc_b"""
+ORACLES["setsim_pairs"] = f"""
+WITH {_NEARDUP_WORD_35}
+SELECT id_a AS doc_a, id_b AS doc_b, inter_size, union_size
+FROM pairs ORDER BY doc_a, doc_b"""
 
 QUERIES["setsim_pairs"] = DriverQuery(q_setsim_pairs, ORACLES["setsim_pairs"])
 
@@ -4779,19 +4839,9 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
 
 
-ORACLES["incremental_minhash_dedup"] = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-                                      i -> text[i:i+4])) AS s
-  FROM documents
-)
-SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
-       len(list_intersect(a.s, b.s))
-         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-WHERE len(list_intersect(a.s, b.s))
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85"""
+ORACLES["incremental_minhash_dedup"] = f"""
+WITH {_NEARDUP_CHAR_85}
+SELECT id_a, id_b, jaccard FROM pairs WHERE (id_a + id_b) % 2 = 1"""
 
 QUERIES["incremental_minhash_dedup"] = DriverQuery(
     q_incremental_minhash_dedup, ORACLES["incremental_minhash_dedup"]
