@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Generate the sf10 DOCUMENTS spot-tier for the dedup-family scale
+rehearsal (r5 VERDICT next-round #7): 100x the sf0.1 corpus (500k docs)
+with PLANTED ground truth whose true near-dup pair set is exactly known.
+
+Construction (from /root/testdata/sf0.1/documents.parquet, 5k docs):
+
+- 100 replicas r = 0..99 of every base doc, doc_id' = doc_id + r*10_000_000.
+- Replicas are partitioned into 10 GROUPS of 10 (g = r // 10).  Every doc
+  gets a deterministic FILLER suffix of ~0.6x its word count, keyed by
+  (g, base doc_id): within a group the 10 replicas stay byte-identical
+  (planted clusters of exactly 10), while across groups / across base docs
+  the filler diverges enough to push every other pair BELOW both family
+  thresholds (word-5-gram J < 0.6 and char-5-shingle J < 0.85; margins
+  derived in scripts/rehearsal_sf10_dedup.py, re-verified there by
+  sampling).  Natural sf0.1 near-dup pairs (J in [0.85, 1)) are likewise
+  diluted below threshold, so ground truth is EXACTLY the within-cluster
+  pairs: 5_000 base docs x 10 groups = 50_000 clusters of 10 identical
+  docs -> 50_000 * C(10,2) = 2_250_000 pairs, every one at J = 1.0.
+- Plus ONE planted GIANT cluster: 600 identical copies of the min base doc
+  (doc_id 900_000_000+j, filler key 'x').  600 > the minhash/simhash
+  max_bucket_size default of 512, so the banded pipelines must CAP the
+  bucket and the oversize-bucket AUDIT must surface it -- the rehearsal
+  asserts both.
+
+Output: /root/repo/.scratch/sf10docs/documents.parquet (gitignored).
+Usage: PYTHONPATH=/root/repo python scripts/gen_sf10_docs.py
+"""
+
+from __future__ import annotations
+
+import os
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scratch/sf10docs"
+GIANT = 600
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.session import get_spark
+
+    spark = get_spark("gen-sf10-docs")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = spark.range(100).select(F.col("id").alias("r"))
+
+    def filler(gkey, base_id):
+        """~0.6x word-count filler: tokens z{g}w{id}q{g}t{i}v{g} — the group
+        key appears 3x per token so char-5-shingle overlap across groups
+        stays low; the base id keys fillers apart across base docs."""
+        n_tok = F.greatest(
+            F.lit(1),
+            F.ceil(
+                F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+                * 0.6
+            ).cast("int"),
+        )
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_tok),
+                lambda i: F.concat_ws(
+                    "",
+                    F.lit("z"), gkey, F.lit("w"), base_id,
+                    F.lit("q"), gkey, F.lit("t"), i.cast("string"),
+                    F.lit("v"), gkey,
+                ),
+            ),
+            " ",
+        )
+
+    g = (F.col("r") / 10).cast("int").cast("string")
+    out = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), filler(g, F.col("doc_id").cast("string")))
+                .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    base = docs.orderBy("doc_id").limit(1)
+    giant = (
+        base.crossJoin(spark.range(GIANT).select(F.col("id").alias("j")))
+        .select(
+            (F.lit(900_000_000) + F.col("j")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" "),
+                filler(F.lit("x"), F.col("doc_id").cast("string")),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    os.makedirs(DST, exist_ok=True)
+    out.unionByName(giant).repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+    n = spark.read.parquet(f"{DST}/documents.parquet").count()
+    print(f"wrote {n} docs to {DST}/documents.parquet")
+
+
+if __name__ == "__main__":
+    main()
