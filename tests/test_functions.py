@@ -77,6 +77,100 @@ def test_minhash_oversize_bucket_audit(spark):
     assert minhash_near_dup_pairs(cluster, max_bucket_size=16).count() == 0
 
 
+def test_dedup_first_pipeline_matches_raw(spark):
+    """near_dup_pairs_dedup_first must emit EXACTLY the raw-corpus
+    LSH+verify pipeline's pairs — on a corpus with clone groups (the case
+    it exists to accelerate), near-dups, and singletons.  Jaccard values
+    must agree too: within-group pairs are 1.0 by identical shingle sets,
+    cross-group pairs inherit the representative pair's exact value."""
+    from tsatool_app_spark.functions.dedup import (
+        near_dup_pairs_dedup_first,
+        ngram_jaccard_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep dark forest where nobody ever goes at night"
+    )
+    near = base.replace("lazy dog", "lazy cat")
+    other = (
+        "completely different content about spark dataframes and shuffle "
+        "partitioning strategies for large scale distributed analytics"
+    )
+    rows = (
+        [(i, base) for i in range(1, 6)]          # 5-clone group
+        + [(10 + i, near) for i in range(3)]      # 3-clone near-dup group
+        + [(100, other), (101, other + " extra")] # singleton-ish tail
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw_cands = minhash_near_dup_pairs(docs, num_hashes=64, bands=16).select(
+        "id_a", "id_b"
+    )
+    raw = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, raw_cands)
+        .where("jaccard >= 0.85")
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs_dedup_first(
+            docs, min_jaccard=0.85, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert fast == raw
+    # sanity: the clone groups are actually in there
+    assert (1, 2) in fast and fast[(1, 2)] == 1.0
+    assert (10, 11) in fast and fast[(10, 11)] == 1.0
+    assert all(j >= 0.85 for j in fast.values())
+
+
+def test_simhash_dedup_first_matches_raw(spark):
+    """simhash_pairs_dedup_first must emit EXACTLY the raw-corpus
+    sign-then-probe pipeline's (id_a, id_b, hamming) rows — clone groups
+    pair at hamming 0 (identical text ⇒ identical signature) and
+    cross-group pairs inherit the representative pair's distance."""
+    from tsatool_app_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_pairs_dedup_first,
+        simhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep dark forest where nobody ever goes at night"
+    )
+    near = base.replace("lazy dog", "lazy cat")
+    other = (
+        "completely different content about spark dataframes and shuffle "
+        "partitioning strategies for large scale distributed analytics"
+    )
+    rows = (
+        [(i, base) for i in range(1, 6)]
+        + [(10 + i, near) for i in range(3)]
+        + [(100, other), (101, other + " extra")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = simhash_signatures(docs, bits=56, shingle_k=3)
+    raw = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            sigs, bits=56, max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs_dedup_first(
+            docs, bits=56, shingle_k=3, max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    assert fast == raw
+    assert (1, 2) in fast and fast[(1, 2)] == 0
+    assert all(h <= 3 for h in fast.values())
+
+
 def test_ngram_jaccard(spark):
     docs = docs_with_dups(spark)
     cands = spark.createDataFrame(
@@ -86,6 +180,49 @@ def test_ngram_jaccard(spark):
     assert j[(1, 2)] == 1.0
     assert 0.5 < j[(1, 3)] < 1.0
     assert j[(1, 4)] < 0.1
+
+
+def test_pair_overlap_dedup_texts_matches_direct(spark):
+    """The dedup_texts rep-indirection in _pair_overlap_counts must be
+    output-invisible: on a clone-heavy corpus with duplicate/reversed/
+    self/zero-overlap candidate pairs, jaccard AND containment rows match
+    the direct (dedup_texts=False) path exactly, key for key."""
+    from tsatool_app_spark.functions.dedup import ngram_containment_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest where nobody ever goes at night"
+    )
+    other = "unrelated corpus text about columnar shuffles and partitions"
+    rows = (
+        [(i, base) for i in (1, 2, 3)]
+        + [(10, base.replace("dog", "cat")), (11, base.replace("dog", "cat"))]
+        + [(100, other)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = spark.createDataFrame(
+        # clone-clone, clone-near, reversed order, self-pair, zero overlap,
+        # and a doc_id absent from the corpus (must drop on both paths)
+        [(1, 2), (2, 3), (1, 10), (11, 3), (3, 3), (1, 100), (1, 999)],
+        "id_a long, id_b long",
+    )
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        direct = {
+            tuple(sorted((r.id_a, r.id_b))): r.asDict()
+            for r in fn(docs, cands, dedup_texts=False).collect()
+        }
+        fast = {
+            tuple(sorted((r.id_a, r.id_b))): r.asDict()
+            for r in fn(docs, cands, dedup_texts=True).collect()
+        }
+        assert fast == direct, fn.__name__
+    j = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, cands).collect()
+    }
+    assert j[(1, 2)] == 1.0 and j[(2, 3)] == 1.0
+    assert 0.5 < j[(1, 10)] < 1.0 and j[(1, 10)] == j[(11, 3)]
+    assert j[(1, 100)] < 0.1 and (1, 999) not in j
 
 
 def test_simhash_hamming(spark):

