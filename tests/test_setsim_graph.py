@@ -44,6 +44,33 @@ def test_setsim_matches_brute_force(spark):
     assert all(3 not in (a, b) for a, b, *_ in got)
 
 
+def test_setsim_dedup_first_matches_raw(spark):
+    """setsim_join_dedup_first must emit EXACTLY the raw join's rows on a
+    clone-heavy corpus: within-group pairs at (s, s), cross-group pairs
+    with the representative pair's exact (inter_size, union_size)."""
+    from tsatool_app_spark.functions.setsim import setsim_join_dedup_first
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with nothing shared at all here now ok"
+    rows = (
+        [(i, base) for i in (1, 2, 7)]
+        + [(3, near), (4, near)]
+        + [(5, far), (6, "tiny doc")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    raw = sorted(
+        tuple(r) for r in setsim_join(df, threshold_num=1, threshold_den=2).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in setsim_join_dedup_first(df, threshold_num=1, threshold_den=2).collect()
+    )
+    assert fast == raw == sorted(_brute_jaccard_pairs(rows, 0.5))
+    pairs = {(a, b) for a, b, *_ in fast}
+    assert {(1, 2), (2, 7), (1, 7), (3, 4)} <= pairs  # clone groups present
+
+
 def test_setsim_no_false_negatives_near_threshold(spark):
     # Pairs sitting exactly AT the threshold must be found (prefix lemma
     # is >=, not >): construct sets with jaccard exactly 1/2.

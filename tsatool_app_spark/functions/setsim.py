@@ -145,3 +145,85 @@ def setsim_join(
         .where(F.col("inter_size") * den >= F.lit(num) * F.col("union_size"))
     )
     return verified.orderBy("doc_a", "doc_b")
+
+
+def setsim_join_dedup_first(
+    docs: DataFrame,
+    *,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`setsim_join` with the dedup-first composition of
+    functions/dedup.near_dup_pairs_dedup_first: exact-dedup on md5(text),
+    run the prefix-filtered join over ONE representative per distinct
+    text, then expand rep-level pairs back to document level through the
+    md5 groups.  Output is identical to the raw-corpus join (pinned by
+    test_setsim_dedup_first_matches_raw): a word-gram set is a pure
+    function of the text, so within-group pairs are (s, s) at Jaccard 1
+    and cross-group pairs inherit the representative pair's exact
+    (inter_size, union_size).  The document-frequency ordering the prefix
+    lemma uses differs under dedup (df over distinct texts, not clones),
+    but ANY df-consistent total order satisfies the lemma, so only the
+    pruning — not the answer — changes.
+
+    Why dedup first: clone groups amplify every stage of the raw join —
+    the df table counts clones, the prefix explode carries each clone's
+    prefix, the candidate join emits all C(d,2) within-group pairs, and
+    the verify join intersects identical gram arrays d² times.  Over
+    representatives all of that is 1 row / 0 pairs, and the within-group
+    output comes straight from the md5 groups as an id self-join."""
+    groups = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    reps = rep.join(
+        docs.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
+    )
+    rep_pairs = setsim_join(
+        reps,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        k=k,
+        id_col="_rep",
+        text_col=text_col,
+    )
+    rep_of = rep.select("_h", "_rep")
+    cross = (
+        rep_pairs.join(
+            rep_of.select(F.col("_rep").alias("doc_a"), F.col("_h").alias("_ha")),
+            "doc_a",
+        )
+        .join(
+            rep_of.select(F.col("_rep").alias("doc_b"), F.col("_h").alias("_hb")),
+            "doc_b",
+        )
+        .join(groups.select(F.col("_h").alias("_ha"), F.col(id_col).alias("_ia")), "_ha")
+        .join(groups.select(F.col("_h").alias("_hb"), F.col(id_col).alias("_ib")), "_hb")
+        .select(
+            F.least("_ia", "_ib").alias("doc_a"),
+            F.greatest("_ia", "_ib").alias("doc_b"),
+            "inter_size",
+            "union_size",
+        )
+    )
+    sz = reps.select(
+        F.col("_h").alias("_hs"),
+        F.size(word_grams(F.col(text_col), k)).cast("long").alias("_s"),
+    )
+    within = (
+        groups.alias("ga")
+        .join(
+            groups.alias("gb"),
+            (F.col("ga._h") == F.col("gb._h"))
+            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+        )
+        .join(sz, F.col("ga._h") == F.col("_hs"))
+        .select(
+            F.col(f"ga.{id_col}").alias("doc_a"),
+            F.col(f"gb.{id_col}").alias("doc_b"),
+            F.col("_s").alias("inter_size"),
+            F.col("_s").alias("union_size"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")

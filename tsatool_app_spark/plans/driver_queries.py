@@ -4121,10 +4121,14 @@ def q_setsim_pairs(spark, sf_dir):
     (functions/setsim.py) — the deterministic twin of minhash_pairs: same
     question ("which documents are near-duplicates?"), exact answer, still
     sub-quadratic. Jaccard >= 3/5 on word 5-gram sets; integer
-    intersection/union sizes so the hash comparison is engine-exact."""
-    from tsatool_app_spark.functions.setsim import setsim_join
+    intersection/union sizes so the hash comparison is engine-exact.
+    Runs dedup-first (functions/setsim.setsim_join_dedup_first): the
+    prefix join covers one representative per distinct text and the md5
+    groups expand the answer — identical output (gram sets are pure
+    functions of the text, pinned by test), clone-proof cost."""
+    from tsatool_app_spark.functions.setsim import setsim_join_dedup_first
 
-    return setsim_join(
+    return setsim_join_dedup_first(
         load_table(spark, sf_dir, "documents"), threshold_num=3, threshold_den=5
     )
 
