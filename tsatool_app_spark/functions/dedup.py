@@ -399,9 +399,16 @@ def _pair_overlap_counts(
     ).join(ids, id_col, "leftsemi")
 
     if dedup_texts:
+        # docs feeds the md5 grouping AND the rep-restricted recursion;
+        # id2rep maps both pair sides — lazy checkpoints keep each to one
+        # computation (full-corpus re-scans otherwise; see
+        # _dedup_groups_reps).
+        docs = docs.localCheckpoint(eager=False)
         groups = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
         rep = groups.groupBy("_h").agg(F.min(id_col).alias("_r"))
-        id2rep = groups.join(rep, "_h").select(F.col(id_col), F.col("_r"))
+        id2rep = groups.join(rep, "_h").select(
+            F.col(id_col), F.col("_r")
+        ).localCheckpoint(eager=False)
         # Original pairs mapped to rep pairs (inner joins drop textless ids,
         # exactly as the sizes joins below do on the direct path).
         mapped = (
@@ -518,12 +525,21 @@ def ngram_containment_pairs(
 def _dedup_groups_reps(df, text_col, id_col):
     """Exact-dedup scaffolding shared by the dedup-first compositions:
     (groups, reps) where groups = (md5(text) _h, id) and reps = one
-    min-id representative row per distinct text, keyed ``_rep``."""
-    groups = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    min-id representative row per distinct text, keyed ``_rep``.
+
+    Both are lazily checkpointed: the callers reference groups twice
+    (expansion) and reps up to three times (LSH/signing, verify, rep→hash
+    map), and without the checkpoint each reference re-scans the corpus
+    and re-hashes every text — 6 redundant full-corpus passes at 100 TB
+    (measured at sf0.1 as ~2x on the whole dedup family)."""
+    groups = df.select(
+        F.md5(F.col(text_col)).alias("_h"), F.col(id_col)
+    ).localCheckpoint(eager=False)
     reps = (
         groups.groupBy("_h")
         .agg(F.min(id_col).alias("_rep"))
         .join(df.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep")
+        .localCheckpoint(eager=False)
     )
     return groups, reps
 

@@ -175,6 +175,13 @@ def setsim_join_dedup_first(
     the verify join intersects identical gram arrays d² times.  Over
     representatives all of that is 1 row / 0 pairs, and the within-group
     output comes straight from the md5 groups as an id self-join."""
+    # Deliberately NOT checkpointed (unlike functions/dedup's
+    # _dedup_groups_reps): setsim_join already persists its dominant
+    # subtree (the df-ordered gram lists), the md5 grouping is cheap to
+    # recompute, and an A/B at sf1 measured every checkpoint variant
+    # 4-6x SLOWER warm (none 2.0 s, groups-only 12.2 s, reps-only 8.1 s,
+    # both 7.3 s) — the checkpoint boundary blocks Catalyst from
+    # optimizing across the expansion joins.
     groups = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
     rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
     reps = rep.join(

@@ -59,12 +59,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce to the advisory partition size (64 MB) instead of keeping
-        # max parallelism: at cluster scale the advisory size still yields
-        # thousands of reducers, while small intermediate shuffles collapse
-        # to a handful of tasks (measured 25-40% off small-query latency on
-        # local[32] with zero effect on large-shuffle plans).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's default (true): byte-based
+        # coalescing (parallelismFirst=false, coalesce to the 64 MB
+        # advisory) collapses a ~150 MB hi-cardinality aggregation shuffle
+        # to 2-3 reducers and serializes the final hash agg — bytes
+        # underestimate CPU when cost is per-KEY, not per-byte.  Fresh-
+        # session A/B at sf1 (6 M lineitem): every data-bound TPC-H head
+        # 2.5-4x faster with the default (shipping_priority 4.72 -> 1.42 s,
+        # waiting_suppliers 5.58 -> 1.79 s, large_volume_orders
+        # 5.56 -> 2.05 s) and NO small-query penalty (nation_balance_share
+        # 0.79 vs 0.82 s) — the earlier-round claim that false bought
+        # 25-40% off small queries did not reproduce.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Every bucketed table here is bucketed DELIBERATELY (the
         # observation store on (statid, seid), the IVF index on cluster);
