@@ -237,6 +237,32 @@ def test_contamination_hits_semantics_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contamination_dedup_texts_matches_direct(spark):
+    """The dedup_texts rep-indirection must be output-invisible: clone
+    groups (incl. clones of a HIT text) get identical per-doc n_hits."""
+    from tsatool_app_spark.functions.corpus import contamination_hits
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),   # clone of a hit text
+        (5, "a b c d e f g h i j"),   # another clone
+        (3, "z z z z z z z z z"),
+        (4, "z z z z z z z z z"),     # clone of a miss text
+        (6, "x a b c d e f g h"),
+    ]
+    train = _docs(spark, rows)
+    bench = _docs(spark, [(100, "a b c d e f g h")])
+    direct = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(train, bench, n=8, dedup_texts=False).collect()
+    }
+    fast = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(train, bench, n=8, dedup_texts=True).collect()
+    }
+    assert fast == direct == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
 def test_top_terms_partial_agg_before_exchange(spark):
     # the groupBy must combine map-side: partial_count before the exchange
     df = top_terms(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

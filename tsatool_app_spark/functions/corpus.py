@@ -198,6 +198,7 @@ def contamination_hits(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dedup_texts: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: training documents sharing any word
     ``n``-gram with the benchmark set, with the number of shared-gram
@@ -208,8 +209,15 @@ def contamination_hits(
     check is a map-side hash probe on the training scan — no shuffle of
     training grams. Only the matched (id, gram) survivors are aggregated.
     Documents shorter than ``n`` words contribute no grams (and cannot be
-    flagged)."""
-    def grams(df: DataFrame, out: str) -> DataFrame:
+    flagged).
+
+    ``dedup_texts`` (default on): a document's hit count is a pure
+    function of its TEXT, so the gram explode + probe runs over one
+    min-id representative per distinct md5(text) and the per-rep counts
+    join back through the md5 groups — on clone-heavy corpora the probe
+    cost drops by the duplication factor with identical output (pinned by
+    test_contamination_dedup_texts_matches_direct)."""
+    def grams(df: DataFrame, out: str, idc: str) -> DataFrame:
         toks = _tokens(F.col(text_col))
         g = F.when(
             F.size(toks) >= n,
@@ -218,11 +226,32 @@ def contamination_hits(
                 lambda i: F.array_join(F.slice(toks, i, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return df.select(F.col(id_col), F.explode(g).alias(out))
+        return df.select(F.col(idc), F.explode(g).alias(out))
 
-    bench_grams = grams(benchmark, "g").select("g").distinct()
+    bench_grams = grams(benchmark, "g", id_col).select("g").distinct()
+
+    if dedup_texts:
+        groups = train.select(
+            F.md5(F.col(text_col)).alias("_h"), F.col(id_col)
+        ).localCheckpoint(eager=False)
+        rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+        reps = rep.join(
+            train.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
+        )
+        rep_hits = (
+            grams(reps, "g", "_rep")
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy("_rep")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        return (
+            groups.join(rep, "_h")
+            .join(rep_hits, "_rep")
+            .select(F.col(id_col), "n_hits")
+        )
+
     return (
-        grams(train, "g")
+        grams(train, "g", id_col)
         .join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hits"))
