@@ -706,7 +706,10 @@ def q_vocab_top_terms(spark, sf_dir):
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing an 8-word-gram with the
     deterministic 'benchmark' subset (doc_id % 97 == 0); benchmark grams
-    broadcast, no training-side shuffle before the match."""
+    broadcast, and the gram explode + probe runs over one representative
+    per distinct text (functions/corpus.contamination_hits dedup_texts)
+    so clone mass never reaches the explode — output identical, pinned
+    by test."""
     from tsatool_app_spark.functions.corpus import contamination_hits
 
     docs = load_table(spark, sf_dir, "documents")
