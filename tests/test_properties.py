@@ -349,3 +349,58 @@ def test_jpeg_truncation_raises_only_valueerror(seed, cut):
         decode_jpeg(data[:cut])
     except ValueError:
         pass  # the contract
+
+
+# ---------------------------------------------------------------------------
+# Dedup-first composition equivalence under random clone-heavy corpora
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_texts = st.lists(_words, min_size=6, max_size=18).map(" ".join)
+_corpora = st.lists(
+    st.tuples(_texts, st.integers(min_value=1, max_value=4)),  # (text, clones)
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpora)
+def test_dedup_first_equivalence_random(spark, corpus):
+    """Property form of the dedup-first equivalence pins: on ANY corpus —
+    random texts, random clone counts, near-dups arising by chance from
+    the tiny vocabulary — near_dup_pairs_dedup_first emits exactly the
+    raw LSH+verify pipeline's (id_a, id_b, jaccard) rows.  The fixed-case
+    tests cover the designed shapes; this covers the shapes nobody
+    designed."""
+    from tsatool_app_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_pairs_dedup_first,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    i = 0
+    for text, clones in corpus:
+        for _ in range(clones):
+            rows.append((i, text))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_near_dup_pairs(docs, num_hashes=32, bands=16).select(
+        "id_a", "id_b"
+    )
+    raw = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, cands)
+        .where("jaccard >= 0.8")
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in near_dup_pairs_dedup_first(
+            docs, min_jaccard=0.8, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert fast == raw
