@@ -765,6 +765,29 @@ def test_streaming_cms_counts_query_matches_batch(spark, tmp_path):
     assert est == exact
 
 
+def test_band_bucket_keys_dedup_texts_matches_direct(spark):
+    """The dedup_texts rep-indirection in band_bucket_keys must be
+    row-invisible: clones get the rep's exact (band, bucket) keys."""
+    from tsatool_app_spark.streaming.dedup_index import band_bucket_keys
+
+    text_a = " ".join(f"w{j}" for j in range(30))
+    text_b = " ".join(f"v{j}" for j in range(25))
+    rows = [(1, text_a), (2, text_a), (9, text_a), (3, text_b), (4, text_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = {
+        tuple(r) for r in band_bucket_keys(docs, dedup_texts=False).collect()
+    }
+    fast = {
+        tuple(r) for r in band_bucket_keys(docs, dedup_texts=True).collect()
+    }
+    assert fast == direct
+    # clones share all 8 band keys with their rep
+    keys = {}
+    for i, b, k in fast:
+        keys.setdefault(i, set()).add((b, k))
+    assert keys[1] == keys[2] == keys[9] and keys[3] == keys[4] != keys[1]
+
+
 def test_incremental_dedup_index_matches_batch_and_streams(spark, tmp_path):
     """Feeding the corpus through the incremental index in batches finds
     exactly the CROSS-batch + WITHIN-later-batch pairs the one-shot batch

@@ -38,10 +38,41 @@ def band_bucket_keys(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    dedup_texts: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) index rows for a document slice — MinHash
     signatures banded to bucket keys (the same construction the batch
-    self-join uses, so batch and incremental agree bucket-for-bucket)."""
+    self-join uses, so batch and incremental agree bucket-for-bucket).
+
+    ``dedup_texts``: run the shingle explode + 64-hash min-agg over one
+    min-id representative per distinct md5(text), fanning the rep's keys
+    back out through the md5 groups — identical rows (pinned by
+    test_band_bucket_keys_dedup_texts_matches_direct).  Default OFF: in
+    the probe-and-verify query the signature pass is not the bottleneck
+    (sf1 measured 6.3 -> 5.8 s on, and the extra joins cost ~2x on the
+    mostly-distinct sf0.1 tier); turn it on for pure INDEX-BUILD batches
+    over clone-heavy corpora, where signatures dominate."""
+    if dedup_texts:
+        groups = docs.select(
+            F.md5(F.col(text_col)).alias("_h"), F.col(id_col)
+        ).localCheckpoint(eager=False)
+        rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+        reps = rep.join(
+            docs.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
+        )
+        sig = minhash_signatures(
+            reps,
+            text_col=text_col,
+            id_col="_rep",
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+        )
+        rep_keys = _band_keys(sig, bands, num_hashes // bands, "_rep")
+        return (
+            groups.join(rep, "_h")
+            .join(rep_keys, "_rep")
+            .select(F.col(id_col), "band", "bucket")
+        )
     sig = minhash_signatures(
         docs,
         text_col=text_col,
