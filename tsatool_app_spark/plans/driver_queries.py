@@ -866,7 +866,17 @@ def _planted_ann_corpus(spark, sf_dir, id_base: int):
     hyperplane sign and the k-means argmin, so LSH/IVF retrieval of the
     clones is certain, making approximate == exact and therefore
     hash-checkable against a brute-force oracle (the recipe proven by
-    q_embedding_near_dups)."""
+    q_embedding_near_dups).
+
+    The corpus drops every EXACT COPY of the query vector, not just the
+    query's own row: a clone-replicated tier (scripts/gen_sf1.py stores
+    10 byte-identical copies of every embedding under shifted ids) would
+    otherwise keep 9 natural rows at cosine exactly 1.0 — ABOVE the
+    scaled clones' 1-1e-12 — and the "nearest natural < 0.41" premise
+    collapses into an engine-specific tie-break (found by the r6 full
+    sf1 value sweep: 148/150 green, these two red).  The float32→double
+    widening is exact in both engines, so copy-equality is bit-exact and
+    the oracle mirrors it."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").first()
     q = [float(x) for x in qrow.embedding]
@@ -877,7 +887,10 @@ def _planted_ann_corpus(spark, sf_dir, id_base: int):
         ],
         schema=emb.schema,
     )
-    corpus = emb.where(F.col("vec_id") != qrow.vec_id).unionByName(clones)
+    q_lit = F.array(*[F.lit(x) for x in q])
+    corpus = emb.where(
+        F.col("embedding").cast("array<double>") != q_lit
+    ).unionByName(clones)
     return corpus, q
 
 
@@ -2143,7 +2156,8 @@ clones AS (
 ),
 corpus AS (
   SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding
-  FROM embeddings e, q WHERE e.vec_id <> q.qid
+  FROM embeddings e, q
+  WHERE list_transform(e.embedding, x -> CAST(x AS DOUBLE)) <> q.qe
   UNION ALL
   SELECT vec_id, embedding FROM clones
 ),
@@ -2167,7 +2181,8 @@ clones AS (
 ),
 corpus AS (
   SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding
-  FROM embeddings e, q WHERE e.vec_id <> q.qid
+  FROM embeddings e, q
+  WHERE list_transform(e.embedding, x -> CAST(x AS DOUBLE)) <> q.qe
   UNION ALL
   SELECT vec_id, embedding FROM clones
 ),
