@@ -71,6 +71,45 @@ def test_setsim_dedup_first_matches_raw(spark):
     assert {(1, 2), (2, 7), (1, 7), (3, 4)} <= pairs  # clone groups present
 
 
+def test_setsim_dedup_first_checkpoint_placements_agree(spark):
+    """The checkpoint placement (r7 adjudication) is a pure performance
+    knob: pinned True and pinned False must emit identical rows, and the
+    DEFAULT must be the no-barrier plan — the measured winner at every
+    tier (see setsim_join_dedup_first's docstring)."""
+    from tsatool_app_spark.functions.setsim import setsim_join_dedup_first
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = (
+        [(i, base) for i in (1, 2, 7)]
+        + [(3, base.replace("today", "tomorrow"))]
+        + [(5, "completely different words with nothing shared at all here")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    outs = {
+        mode: sorted(
+            tuple(r)
+            for r in setsim_join_dedup_first(
+                df, threshold_num=1, threshold_den=2, checkpoint=mode
+            ).collect()
+        )
+        for mode in (True, False)
+    }
+    assert outs[True] == outs[False]
+    assert len(outs[True]) >= 4  # clone group C(3,2) + near pairs
+    # The checkpoint barrier truncates the md5-grouping subtree at each
+    # reference site, so the pinned-True analyzed plan carries FEWER
+    # Aggregate nodes (the groupBy is behind the LogicalRDD leaf); the
+    # default must match the pinned-False (no-barrier) plan shape.
+    def n_aggregates(**kw):
+        plan = setsim_join_dedup_first(
+            df, threshold_num=1, threshold_den=2, **kw
+        )._jdf.queryExecution().analyzed().toString()
+        return plan.count("Aggregate")
+
+    assert n_aggregates() == n_aggregates(checkpoint=False)  # default: no barrier
+    assert n_aggregates(checkpoint=True) < n_aggregates(checkpoint=False)
+
+
 def test_setsim_no_false_negatives_near_threshold(spark):
     # Pairs sitting exactly AT the threshold must be found (prefix lemma
     # is >=, not >): construct sets with jaccard exactly 1/2.

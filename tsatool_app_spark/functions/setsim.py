@@ -155,6 +155,7 @@ def setsim_join_dedup_first(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """:func:`setsim_join` with the dedup-first composition of
     functions/dedup.near_dup_pairs_dedup_first: exact-dedup on md5(text),
@@ -174,16 +175,32 @@ def setsim_join_dedup_first(
     prefix, the candidate join emits all C(d,2) within-group pairs, and
     the verify join intersects identical gram arrays d² times.  Over
     representatives all of that is 1 row / 0 pairs, and the within-group
-    output comes straight from the md5 groups as an id self-join."""
-    # Deliberately NOT checkpointed (unlike functions/dedup's
-    # _dedup_groups_reps): setsim_join already persists its dominant
-    # subtree (the df-ordered gram lists), the md5 grouping is cheap to
-    # recompute, and an A/B at sf1 measured every checkpoint variant
-    # 4-6x SLOWER warm (none 2.0 s, groups-only 12.2 s, reps-only 8.1 s,
-    # both 7.3 s) — the checkpoint boundary blocks Catalyst from
-    # optimizing across the expansion joins.
+    output comes straight from the md5 groups as an id self-join.
+
+    ``checkpoint`` controls whether the md5-grouping subtrees are
+    lineage-truncated (lazy ``localCheckpoint``) before the expansion
+    joins.  False — no barrier — is the measured winner at EVERY tier
+    (r7 adjudication, isolated idle sessions, best-of-3: sf1/5k reps
+    1.5 s vs 5.7 s; sf10/50k reps 4.6 s warm vs 38-55 s, cold tie 39.0
+    vs 38.2 s).  The r6 counter-signal (SCALING.md "r6 closing re-run":
+    65.8 vs 93.2 s favoring the barrier at sf10) was the cold-single-
+    run-inside-a-long-session measurement class, not a real scale
+    crossover.  Mechanism, verified on the AQE-final physical plan: the
+    md5 grouping is NOT recomputed per reference — Spark's exchange
+    reuse dedups the identical shuffle subtrees within the action (8
+    ReusedExchange nodes at sf10), so the barrier buys nothing and
+    costs the cross-subtree optimization (broadcast decisions, AQE
+    re-planning) plus per-run eager materialization.  The knob stays so
+    a caller on a real multi-executor cluster can re-run the A/B where
+    exchange reuse economics differ (executor-local checkpoint blocks
+    vs shuffle-service fetch), but False is correct everywhere we can
+    measure."""
     groups = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    if checkpoint:
+        groups = groups.localCheckpoint(eager=False)
     rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    if checkpoint:
+        rep = rep.localCheckpoint(eager=False)
     reps = rep.join(
         docs.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
     )
