@@ -8,27 +8,58 @@
 #      against the expected-green manifest scripts/ci_expected.txt so a
 #      red row (or a silently vanished query) fails loudly.
 #
-# Usage:  bash scripts/ci.sh            # from the repo root
-#         SPARK_GRAFT_SF_DIR=... bash scripts/ci.sh   # other oracle tier
+# Opt-in sf1 tier (r6 VERDICT next-round #7): the r6 one-off 150/150 sf1
+# value sweep, repeatable as a gate.  Runs the same selfcheck at
+# .scratch/sf1 (50k docs, 10x clones — the tier that exposed the r6
+# lsh_ann/ivf_ann planted-tie bug) and diffs against its own manifest
+# scripts/ci_expected_sf1.txt (row counts are tier-specific, so the two
+# manifests are separate).  pytest is tier-independent and only runs in
+# the default gate; `ci.sh && ci.sh --sf1` is the full net (~45 min).
 #
-# After REGISTERING a new driver query, regenerate the manifest with:
-#         bash scripts/ci.sh --regen
+# Usage:  bash scripts/ci.sh                  # pytest + sf0.01 selfcheck
+#         bash scripts/ci.sh --sf1            # sf1 selfcheck only
+#         bash scripts/ci.sh --regen [--sf1]  # rebuild a manifest
+#
+# --sf1 requires the generated tier: PYTHONPATH=. python scripts/gen_sf1.py
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
-EXPECTED=scripts/ci_expected.txt
+REGEN=0
+SF1=0
+for arg in "$@"; do
+  case "$arg" in
+    --regen) REGEN=1 ;;
+    --sf1) SF1=1 ;;
+    *) echo "unknown flag: $arg" >&2; exit 2 ;;
+  esac
+done
+
+if [[ "$SF1" == 1 ]]; then
+  EXPECTED=scripts/ci_expected_sf1.txt
+  export SPARK_GRAFT_SF_DIR="$PWD/.scratch/sf1"
+  if [[ ! -e .scratch/sf1 ]]; then
+    echo "CI: .scratch/sf1 tier missing — generate it first:" >&2
+    echo "  PYTHONPATH=$PWD python scripts/gen_sf1.py" >&2
+    exit 2
+  fi
+else
+  EXPECTED=scripts/ci_expected.txt
+fi
+
 ACTUAL=$(mktemp)
 trap 'rm -f "$ACTUAL"' EXIT
 
-if [[ "${1:-}" == "--regen" ]]; then
+if [[ "$REGEN" == 1 ]]; then
   python scripts/selfcheck.py | grep -E '^(ok|FAIL|rows-only)' | sort > "$EXPECTED"
   echo "regenerated $EXPECTED ($(wc -l < "$EXPECTED") rows)"
   exit 0
 fi
 
-echo "== pytest =="
-python -m pytest tests/ -q
+if [[ "$SF1" == 0 ]]; then
+  echo "== pytest =="
+  python -m pytest tests/ -q
+fi
 
 echo "== selfcheck vs $EXPECTED =="
 python scripts/selfcheck.py | grep -E '^(ok|FAIL|rows-only)' | sort > "$ACTUAL"
@@ -36,4 +67,4 @@ if ! diff -u "$EXPECTED" "$ACTUAL"; then
   echo "CI: selfcheck output drifted from the expected-green manifest" >&2
   exit 1
 fi
-echo "CI GREEN: pytest + $(wc -l < "$EXPECTED") selfcheck rows match the manifest"
+echo "CI GREEN: $(wc -l < "$EXPECTED") selfcheck rows match $EXPECTED"

@@ -98,6 +98,23 @@ def test_embedding_near_dup_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_recommended_band_bits_rule():
+    """The RHP-LSH geometry-scaling rule (r7 ANN rehearsal): smallest
+    width dividing n_planes with expected random occupancy n/2^b under
+    the target.  Pins the two rehearsal tiers and the monotone shape."""
+    from tsatool_app_spark.functions.similarity import recommended_band_bits
+
+    assert recommended_band_bits(2_000) == 8      # registry-tier corpora
+    assert recommended_band_bits(20_000) == 16    # sf1 tier
+    assert recommended_band_bits(200_000) == 16   # sf10 rehearsal tier
+    assert recommended_band_bits(10_000_000) == 32
+    assert recommended_band_bits(100) == 4
+    # must divide n_planes: with 24 planes the 16-bit step is skipped
+    assert recommended_band_bits(200_000, n_planes=24) == 8
+    vals = [recommended_band_bits(n) for n in (10, 1_000, 50_000, 10**7)]
+    assert vals == sorted(vals)
+
+
 def test_embedding_near_dups_driver_query_recall(spark):
     """The driver-visible query plants 5 deterministic clones (vec_id +
     1_000_000, scaled ×1.001) over the vec_id % 20 == 0 subset: all 5

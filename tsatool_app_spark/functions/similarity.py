@@ -209,6 +209,37 @@ def ivf_ann_topk(
     )
 
 
+def recommended_band_bits(
+    n_vectors: int, n_planes: int = 64, target_bucket: int = 16
+) -> int:
+    """Band width for RHP-LSH banding that keeps random-collision buckets
+    bounded as the corpus grows.
+
+    A band of ``b`` bits hashes unrelated vectors together with
+    probability ~1/2^b, so expected random bucket occupancy is
+    n/2^b and candidate volume per band ~ 2^b * C(n/2^b, 2) ≈ n²/2^(b+1)
+    — QUADRATIC with a constant that is only small while n ≲ 2^b.
+    The sf10 ANN rehearsal measured the failure concretely: at 200k
+    vectors the 8-bit default yields 756M candidate pairs (max bucket
+    3100), while 16-bit bands yield 6.0M (max bucket 100) with recall
+    on planted near-dups unaffected — identical vectors collide at any
+    band width (scripts/rehearsal_sf10_ann.py, SCALING.md "r7 ANN
+    rehearsal").  Rule: the smallest width dividing ``n_planes`` whose
+    expected random occupancy n/2^b stays under ``target_bucket``.
+    The 8-bit defaults on embedding_near_dup_pairs are sized for the
+    ≲10k-vector registry tiers; at scale, pass
+    ``band_bits=recommended_band_bits(corpus_size)``."""
+    best = None
+    for b in (4, 8, 16, 32):
+        if n_planes % b == 0:
+            best = b
+            if n_vectors / (1 << b) <= target_bucket:
+                return b
+    # No dividing width satisfies the target: the widest dividing band
+    # (fewest random collisions available at this plane count).
+    return best if best is not None else n_planes
+
+
 def rhp_signatures(
     embeddings: DataFrame,
     *,

@@ -129,6 +129,7 @@ def incremental_probe_and_update(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket_size: int | None = 512,
+    dedup_texts: bool = False,
 ) -> DataFrame:
     """Probe ``new_docs`` against the persisted index PLUS the batch
     itself, fold the batch's keys in, and return the candidate pairs.
@@ -147,6 +148,7 @@ def incremental_probe_and_update(
         num_hashes=num_hashes,
         bands=bands,
         shingle_k=shingle_k,
+        dedup_texts=dedup_texts,
     ).localCheckpoint(eager=True)  # computed once: probed AND folded in
     current = read_snapshot(spark, snapshot_path)
     combined = (
@@ -176,12 +178,19 @@ def streaming_minhash_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket_size: int | None = 512,
+    dedup_texts: bool = False,
 ):
     """foreachBatch driver: each micro-batch of documents is probed
     against the index-so-far, candidate pairs append to ``matches_path``
     (parquet), and the batch folds into the index.  Returns the
     StreamingQuery.  Batch-order determinism: a pair is emitted exactly
-    once, when its LATER document arrives."""
+    once, when its LATER document arrives.
+
+    ``dedup_texts`` forwards to band_bucket_keys: the signature pass runs
+    over one representative per distinct md5(text) and fans back out —
+    identical index rows, cheaper on clone-heavy batches (rehearsed at
+    volume with a mid-stream restart in
+    scripts/rehearsal_stream_dedup_index.py)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -196,6 +205,7 @@ def streaming_minhash_dedup(
             bands=bands,
             shingle_k=shingle_k,
             max_bucket_size=max_bucket_size,
+            dedup_texts=dedup_texts,
         )
         matches.write.mode("append").parquet(matches_path)
 
