@@ -50,8 +50,15 @@ def band_bucket_keys(
     test_band_bucket_keys_dedup_texts_matches_direct).  Default OFF: in
     the probe-and-verify query the signature pass is not the bottleneck
     (sf1 measured 6.3 -> 5.8 s on, and the extra joins cost ~2x on the
-    mostly-distinct sf0.1 tier); turn it on for pure INDEX-BUILD batches
-    over clone-heavy corpora, where signatures dominate."""
+    mostly-distinct sf0.1 tier).  Turn it on for clone-heavy STREAM
+    batches: the r7 volume rehearsal
+    (scripts/rehearsal_stream_dedup_index.py, 50k docs in 10:1-clone
+    micro-batches with a mid-stream restart) measured the full drain at
+    29.4 s vs 37.1 s off — a 1.26x win where each batch's rep set is
+    small — while a ONE-SHOT whole-corpus build at the same tier
+    measured 5.0 s vs 3.8 s off (the fan-out joins outgrow the
+    signature savings when the rep set is large relative to the batch).
+    The knob is per-call; index rows are identical either way."""
     if dedup_texts:
         groups = docs.select(
             F.md5(F.col(text_col)).alias("_h"), F.col(id_col)
