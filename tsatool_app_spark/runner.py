@@ -51,6 +51,12 @@ class ConditionResult:
     spec: ConditionSpec
     ranges: DataFrame | None = None  # (vfrom, vuntil, vdiff_s, <aliases...>, master)
     summary: DataFrame | None = None  # one-row validity rollup (A3)
+    # The whole level's cond_id-grouped rollup this condition's summary is
+    # a filter of — shared by every condition of the level so
+    # summaries_df can union one plan per LEVEL instead of one aggregate
+    # plan per condition (driver-side plan construction was ~1.1 s of the
+    # 10-condition sheet's warm wall before this).
+    tagged_summary: DataFrame | None = None
 
 
 @dataclass
@@ -321,10 +327,22 @@ class CondCollection:
                 # it. Lineage truncated for the same planning-cost reason
                 # as packed_all above.
                 multi = multi.localCheckpoint(eager=True)
+            # ONE cond_id-grouped rollup per level: every condition's
+            # summary is a cheap filter of it.  Building the A3 aggregate
+            # once per LEVEL instead of once per condition keeps driver-
+            # side plan construction flat in sheet size (profiled: the
+            # per-condition aggregates were ~1.1 s of the 10-condition
+            # sheet's ~6.8 s warm wall), and the union the driver query
+            # reads (summaries_df) becomes one plan per level whose
+            # aggregation runs once over the checkpointed runs.
+            lvl_summary = validity_summary(multi, group_cols=["cond_id"])
             for cid in cond_aliases:
                 ranges = condition_view(multi, cid, cond_aliases[cid])
                 results[cid].ranges = ranges
-                results[cid].summary = validity_summary(ranges)
+                results[cid].summary = lvl_summary.where(
+                    F.col("cond_id") == F.lit(cid)
+                ).drop("cond_id")
+                results[cid].tagged_summary = lvl_summary
         return results
 
     @staticmethod
@@ -333,14 +351,30 @@ class CondCollection:
         DataFrame (cond_id + A3 columns) so the whole sheet's rollups run
         as a single Spark job with concurrently-scheduled stages —
         collecting summaries one `.collect()` at a time serializes ~10
-        small jobs per condition instead."""
+        small jobs per condition instead.
+
+        Fast path: conditions executed by :meth:`run` share one
+        cond_id-grouped rollup per LEVEL (``tagged_summary``), so the
+        union is one branch per level — plan size and execution stay flat
+        in condition count.  Results built outside run() (no tagged frame)
+        fall back to the per-condition union."""
         from functools import reduce
 
+        levels: dict[int, tuple[DataFrame, list[str]]] = {}
+        fallback: list[DataFrame] = []
+        for cid, res in results.items():
+            if res.tagged_summary is not None:
+                levels.setdefault(id(res.tagged_summary), (res.tagged_summary, []))[
+                    1
+                ].append(cid)
+            elif res.summary is not None:
+                fallback.append(res.summary.select(F.lit(cid).alias("cond_id"), "*"))
+        # isin keeps the contract exact when the caller passes a SUBSET of
+        # a level's results; on the normal whole-sheet path it is a cheap
+        # always-true predicate on a per-level one-row-per-condition frame.
         parts = [
-            res.summary.select(F.lit(cid).alias("cond_id"), "*")
-            for cid, res in results.items()
-            if res.summary is not None
-        ]
+            df.where(F.col("cond_id").isin(cids)) for df, cids in levels.values()
+        ] + fallback
         if not parts:
             return None
         return reduce(DataFrame.unionByName, parts)
