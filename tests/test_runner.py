@@ -71,6 +71,36 @@ def test_secondary_chain_and_topo_order(spark):
     assert a.tottime_valid_s == b.tottime_valid_s == 900
 
 
+def test_summaries_df_level_sharing_and_subset(spark):
+    """r7: conditions of a level share one cond_id-grouped rollup;
+    summaries_df must emit one row per condition, values equal to the
+    per-condition summaries, and — the subset contract — only the passed
+    conditions when given a filtered results dict."""
+    coll = CondCollection.from_rows(
+        "sheet1",
+        T0,
+        T0,
+        [
+            ("x", "A1", "s1122#tie_1 < 3"),
+            ("x", "A2", "s1122#keli_1 = 8"),
+            ("x", "B1", "A1 AND A2"),
+        ],
+    )
+    res = coll.run(obs_fixture(spark), sensor_name_to_id=SENSORS)
+    # level 0 conditions share the tagged frame; B1 (level 1) has its own
+    assert res["x_a1"].tagged_summary is res["x_a2"].tagged_summary
+    assert res["x_b1"].tagged_summary is not res["x_a1"].tagged_summary
+    full = {r.cond_id: r for r in CondCollection.summaries_df(res).collect()}
+    assert set(full) == {"x_a1", "x_a2", "x_b1"}
+    assert full["x_a1"].tottime_valid_s == 900
+    # per-condition summary (filter of the rollup) agrees with the union
+    solo = res["x_a2"].summary.collect()[0]
+    assert solo.tottime_valid_s == full["x_a2"].tottime_valid_s
+    # subset call: only the requested conditions appear
+    part = CondCollection.summaries_df({"x_a1": res["x_a1"]}).collect()
+    assert [r.cond_id for r in part] == ["x_a1"]
+
+
 def test_undefined_secondary_reference(spark):
     coll = CondCollection.from_rows(
         "sheet1", T0, T0, [("x", "C1", "E2 AND s1122#tie_1 < 3")]
