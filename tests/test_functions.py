@@ -676,3 +676,65 @@ def test_simhash_default_widths_agree(spark):
     }
     assert default_pairs == explicit_pairs
     assert (1, 2) in default_pairs  # the planted exact dup survives
+
+
+def test_span_fingerprints_offset_independent(spark):
+    """Content-defined selection: the same 200-char span embedded at
+    DIFFERENT offsets in two documents selects identical fingerprints,
+    and a python md5 re-computation agrees exactly (the cross-engine
+    portability the DuckDB oracle relies on)."""
+    import hashlib
+
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        span_fingerprints,
+    )
+
+    span = " ".join(f"tok{i:03d}" for i in range(32))  # 223 chars, no repeats
+    d1 = "aaa bbb ccc " + span + " tail one"
+    d2 = "completely different very long prefix text here " + span
+    d3 = "nothing in common with the others at all whatsoever here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    fps = {
+        (r.doc_id, r.pos, r.fp) for r in span_fingerprints(df, window_len=40).collect()
+    }
+    # python reference for doc 1: every selected window's md5 agrees
+    want1 = set()
+    for p in range(1, len(d1) - 40 + 2):
+        h = hashlib.md5(d1[p - 1 : p + 39].encode()).hexdigest()
+        if h[31] < "2":
+            want1.add((1, p, h))
+    assert {t for t in fps if t[0] == 1} == want1 and want1
+    shared = {t[2] for t in fps if t[0] == 1} & {t[2] for t in fps if t[0] == 2}
+    assert shared, "shared span must select common fingerprints"
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in duplicated_span_pairs(df, window_len=40).collect()
+    }
+    assert pairs == {(1, 2): len(shared)}  # doc 3 pairs with nobody
+
+
+def test_duplicated_span_pairs_hot_cap(spark):
+    """Boilerplate shared by more documents than max_docs_per_fp is
+    excluded from the pair join and surfaced by the audit."""
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        hot_span_fingerprints,
+    )
+
+    boiler = "x" * 60  # one distinct 40-char window, trivially selected or not
+    # make selection certain: find a 60-char string whose windows select —
+    # use varied text instead so at least one window is selected
+    boiler = " ".join(f"common{i:02d}" for i in range(8))  # 70 chars shared
+    rows = [(i, f"{boiler} unique suffix number {i} padding padding padding")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = duplicated_span_pairs(df, window_len=40, max_docs_per_fp=None)
+    capped = duplicated_span_pairs(df, window_len=40, max_docs_per_fp=3)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == 15  # all C(6,2) pairs share the boilerplate span
+    assert n_cap < n_un  # the hot fingerprints are gone
+    audit = hot_span_fingerprints(df, window_len=40, max_docs_per_fp=3).collect()
+    assert audit and max(r.n_docs for r in audit) == 6

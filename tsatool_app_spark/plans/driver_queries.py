@@ -5582,6 +5582,68 @@ QUERIES["token_budget_mixture"] = DriverQuery(
 )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Content-defined duplicated-span pairs (functions/spans.py — the
+    MOSS/winnowing exact-substring family): every 40-char window whose
+    md5's last hex digit is < '2' is a fingerprint; documents sharing a
+    fingerprint share that exact substring, at ANY offset.  Two planted
+    composites pin the semantics: 9000001 is a full copy of the lowest-id
+    restricted doc (shares all its fingerprints) and 9000002 embeds a
+    160-char slice of it at a shifted offset behind a novel prefix — the
+    offset-independence grid sampling cannot give.  Corpus restricted to
+    doc_id % 10 == 0 (like embedding_near_dups) so the oracle's per-
+    position hashing stays inside the DuckDB budget at every tier.  The
+    md5-hex construction is byte-identical across engines (verified
+    against hashlib in test_span_fingerprints_offset_independent), so
+    the approximate-free output hash-matches the oracle exactly."""
+    from tsatool_app_spark.functions.spans import duplicated_span_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    base = docs.orderBy("doc_id").limit(1)
+    p1 = base.select(F.lit(9_000_001).cast("long").alias("doc_id"), F.col("text"))
+    p2 = base.select(
+        F.lit(9_000_002).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("Q "), F.substring("text", 11, 160), F.lit(" trailing-filler-xyz")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(p1).unionByName(p2)
+    return duplicated_span_pairs(corpus, window_len=40)
+
+
+ORACLES["dup_spans"] = """
+WITH base AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id LIMIT 1
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 9000001, text FROM base
+  UNION ALL SELECT 9000002,
+    'Q ' || substring(text, 11, 160) || ' trailing-filler-xyz' FROM base
+), fps AS (
+  SELECT DISTINCT doc_id, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM corpus) t
+), ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 256
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+QUERIES["dup_spans"] = DriverQuery(q_dup_spans, ORACLES["dup_spans"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
