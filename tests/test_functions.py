@@ -738,3 +738,50 @@ def test_duplicated_span_pairs_hot_cap(spark):
     assert n_cap < n_un  # the hot fingerprints are gone
     audit = hot_span_fingerprints(df, window_len=40, max_docs_per_fp=3).collect()
     assert audit and max(r.n_docs for r in audit) == 6
+
+
+def test_span_pairs_dedup_first_matches_raw(spark):
+    """The dedup-first span composition must emit EXACTLY the raw join's
+    rows on a clone-heavy corpus, including cap behavior (the cap counts
+    DOCUMENTS, so clones can push a fingerprint over it)."""
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        duplicated_span_pairs_dedup_first,
+    )
+
+    span = " ".join(f"tok{i:03d}" for i in range(32))
+    d1 = "aaa bbb ccc " + span + " tail one"
+    d2 = "completely different very long prefix text here " + span
+    rows = (
+        [(i, d1) for i in (1, 2, 7)]          # clone group of 3
+        + [(3, d2), (4, d2)]                   # clone group of 2
+        + [(5, "nothing shared with anyone here at all whatsoever okay")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (None, 256, 4):
+        raw = sorted(
+            tuple(r)
+            for r in duplicated_span_pairs(
+                df, window_len=40, max_docs_per_fp=cap
+            ).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in duplicated_span_pairs_dedup_first(
+                df, window_len=40, max_docs_per_fp=cap
+            ).collect()
+        )
+        assert fast == raw, f"cap={cap}"
+    # uncapped: clone groups pair within, and d1/d2 pair across via span
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in duplicated_span_pairs_dedup_first(df, max_docs_per_fp=None).collect()
+    }
+    assert {(1, 2), (2, 7), (1, 7), (3, 4), (1, 3)} <= pairs
+    # cap=4: the shared span's fingerprints live in 5 docs -> capped, so
+    # cross-group pairs vanish but within-group (full-text) pairs survive
+    capped = {
+        (r.id_a, r.id_b)
+        for r in duplicated_span_pairs_dedup_first(df, max_docs_per_fp=4).collect()
+    }
+    assert (1, 3) not in capped and (3, 4) in capped

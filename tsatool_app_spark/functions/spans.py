@@ -112,13 +112,19 @@ def duplicated_span_pairs(
     max_docs_per_fp: int | None = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Document pairs sharing at least one selected duplicated
     ``window_len``-char span: (id_a, id_b, n_shared) with id_a < id_b,
     n_shared = number of DISTINCT shared fingerprints (a span repeated
     inside one document counts once).  Deterministic, engine-portable
     (hash-checkable against a DuckDB oracle running the same
-    construction)."""
+    construction).
+
+    ``ordered=False`` skips the output sort — at bulk scale the global
+    sort is a full range-partition shuffle of the pair set (measured
+    ~x-minutes on 27M pairs at the sf10 rehearsal tier) that only
+    presentation/oracle-parity paths need."""
     fps = span_fingerprints(
         docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
         text_col=text_col, id_col=id_col,
@@ -133,10 +139,119 @@ def duplicated_span_pairs(
         fps = fps.join(ok, "fp", "left_semi")
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
+    out = (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if ordered else out
+
+
+def duplicated_span_pairs_dedup_first(
+    docs: DataFrame,
+    *,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    max_docs_per_fp: int | None = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ordered: bool = True,
+) -> DataFrame:
+    """:func:`duplicated_span_pairs` with the family's dedup-first
+    composition (functions/dedup.near_dup_pairs_dedup_first): hash the
+    windows of ONE representative per distinct md5(text), pair at the
+    representative level, expand back through the md5 groups with joins
+    only.  Output is IDENTICAL to the raw join (pinned by
+    test_span_pairs_dedup_first_matches_raw):
+
+    - the fingerprint set is a pure function of the text, so clones
+      share their representative's fingerprints exactly;
+    - the ``max_docs_per_fp`` cap counts DOCUMENTS, reconstructed as
+      the group-size sum over groups containing the fingerprint —
+      byte-identical cap behavior;
+    - within-group pairs (identical texts) share ALL the text's
+      surviving fingerprints (n_shared = that count, emitted only when
+      it is > 0 — a text whose every fingerprint is capped pairs with
+      nobody, exactly as in the raw join);
+    - cross-group pairs inherit the representative pair's n_shared.
+
+    Why it matters: on the clone-heavy sf10 rehearsal tier the raw join
+    expands every 100-clone base's shared fingerprint into C(100,2)
+    pre-aggregation rows (~700M); over representatives the same truth
+    costs C(10,2) per fingerprint (scripts/rehearsal_sf10_spans.py
+    records the measured gap)."""
+    groups = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+    sizes = groups.groupBy("_h").agg(F.count(F.lit(1)).alias("_sz"))
+    rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    reps = rep.join(
+        docs.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
+    )
+    rep_fps = (
+        span_fingerprints(
+            reps, window_len=window_len, rate_hex_lt=rate_hex_lt,
+            text_col=text_col, id_col="_rep",
+        )
+        .select(F.col("doc_id").alias("_rep"), "fp")
+        .distinct()
+        .join(rep.select("_h", "_rep"), "_rep")
+    )
+    if max_docs_per_fp is not None:
+        ok = (
+            rep_fps.join(sizes, "_h")
+            .groupBy("fp")
+            .agg(F.sum("_sz").alias("_nd"))
+            .where(F.col("_nd") <= max_docs_per_fp)
+            .select("fp")
+        )
+        rep_fps = rep_fps.join(ok, "fp", "left_semi")
+
+    # representative-level pairs
+    a = rep_fps.select(F.col("_rep").alias("_ra"), "fp")
+    b = rep_fps.select(F.col("_rep").alias("_rb"), "fp")
+    rep_pairs = (
+        a.join(b, "fp")
+        .where(F.col("_ra") < F.col("_rb"))
+        .groupBy("_ra", "_rb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+    # expand cross-group pairs through the md5 groups (joins only)
+    rep_of = rep.select("_h", "_rep")
+    cross = (
+        rep_pairs.join(
+            rep_of.select(F.col("_rep").alias("_ra"), F.col("_h").alias("_ha")), "_ra"
+        )
+        .join(
+            rep_of.select(F.col("_rep").alias("_rb"), F.col("_h").alias("_hb")), "_rb"
+        )
+        .join(groups.select(F.col("_h").alias("_ha"), F.col(id_col).alias("_ia")), "_ha")
+        .join(groups.select(F.col("_h").alias("_hb"), F.col(id_col).alias("_ib")), "_hb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "n_shared",
+        )
+    )
+    # within-group pairs: all surviving fingerprints of the text, > 0 only
+    own = (
+        rep_fps.groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nown"))
+        .withColumnRenamed("_h", "_ho")
+    )
+    within = (
+        groups.alias("ga")
+        .join(
+            groups.alias("gb"),
+            (F.col("ga._h") == F.col("gb._h"))
+            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+        )
+        .join(own, F.col("ga._h") == F.col("_ho"))
+        .select(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+            F.col("_nown").alias("n_shared"),
+        )
+    )
+    out = cross.unionByName(within)
+    return out.orderBy("id_a", "id_b") if ordered else out
