@@ -101,6 +101,35 @@ def test_summaries_df_level_sharing_and_subset(spark):
     assert [r.cond_id for r in part] == ["x_a1"]
 
 
+def test_no_data_condition_keeps_one_row_summary(spark):
+    """A condition whose blocks match ZERO observations must still get one
+    NULL-filled summary row (the ungrouped-rollup empty-input shape), not
+    vanish from the level's grouped rollup — reports.py:74,234 do
+    summary.collect()[0] and document the no-data case as supported."""
+    coll = CondCollection.from_rows(
+        "sheet1",
+        T0,
+        T0,
+        [
+            ("x", "A1", "s1122#tie_1 < 3"),     # has data
+            ("x", "A2", "s1115#tie_1 < 3"),     # valid station, no obs rows
+        ],
+    )
+    res = coll.run(obs_fixture(spark), sensor_name_to_id=SENSORS)
+    rows = res["x_a2"].summary.collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.data_from is None and s.data_until is None
+    assert s.tottime_s is None
+    assert s.tottime_valid_s == 0 and s.tottime_notvalid_s == 0
+    assert s.percentage_valid is None
+    # the sheet rollup includes the no-data condition too
+    full = {r.cond_id: r for r in CondCollection.summaries_df(res).collect()}
+    assert set(full) == {"x_a1", "x_a2"}
+    assert full["x_a2"].data_from is None
+    assert full["x_a1"].tottime_valid_s == 900
+
+
 def test_undefined_secondary_reference(spark):
     coll = CondCollection.from_rows(
         "sheet1", T0, T0, [("x", "C1", "E2 AND s1122#tie_1 < 3")]

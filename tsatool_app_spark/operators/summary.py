@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def validity_summary(cond_df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+def validity_summary(
+    cond_df: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    keys: DataFrame | None = None,
+) -> DataFrame:
     """A3 — per-condition valid/notvalid/nodata durations and percentages.
 
     Input: combine_blocks output (vfrom, vuntil, vdiff_s, ..., master).
@@ -25,14 +30,28 @@ def validity_summary(cond_df: DataFrame, group_cols: list[str] | None = None) ->
       tottime_nodata   = tottime - valid - notvalid
       percentages      = each / tottime
     Durations are exact whole seconds (long); percentages double.
+
+    ``keys`` (requires ``group_cols``): a one-row-per-expected-group frame
+    holding exactly the ``group_cols`` columns. It is left-joined onto the
+    grouped aggregate so a group with NO input rows still yields one row,
+    with the same shape the ungrouped rollup produces on empty input:
+    NULL data_from/data_until/tottime, zero valid/notvalid, NULL
+    percentages. This preserves the reference's one-row-per-condition
+    contract (condition.py:435-446 always emits a row) when many
+    conditions share one grouped rollup.
     """
     gcols = group_cols or []
+    if keys is not None and not gcols:
+        raise ValueError("keys requires group_cols")
     agg = cond_df.groupBy(*gcols).agg(
         F.min("vfrom").alias("data_from"),
         F.max("vuntil").alias("data_until"),
         F.sum(F.when(F.col("master") == True, F.col("vdiff_s"))).alias("_valid"),  # noqa: E712
         F.sum(F.when(F.col("master") == False, F.col("vdiff_s"))).alias("_notvalid"),  # noqa: E712
     )
+    if keys is not None:
+        # Broadcast: `keys` is one row per group (per condition) — tiny.
+        agg = F.broadcast(keys.select(*gcols)).join(agg, gcols, "left")
     tot = F.col("data_until").cast("long") - F.col("data_from").cast("long")
     valid = F.coalesce(F.col("_valid"), F.lit(0)).cast("long")
     notvalid = F.coalesce(F.col("_notvalid"), F.lit(0)).cast("long")

@@ -335,7 +335,18 @@ class CondCollection:
             # sheet's ~6.8 s warm wall), and the union the driver query
             # reads (summaries_df) becomes one plan per level whose
             # aggregation runs once over the checkpointed runs.
-            lvl_summary = validity_summary(multi, group_cols=["cond_id"])
+            # The keys frame restores the one-row-per-condition contract:
+            # a condition whose blocks matched ZERO observations has no
+            # rows in `multi`, and a grouped agg would silently drop it —
+            # downstream reporting (reports.py:74,234) relies on
+            # summary.collect()[0] existing, NULL-filled, for no-data
+            # conditions exactly as the ungrouped rollup produced.
+            cid_keys = obs.sparkSession.createDataFrame(
+                [(c,) for c in cond_aliases], "cond_id string"
+            )
+            lvl_summary = validity_summary(
+                multi, group_cols=["cond_id"], keys=cid_keys
+            )
             for cid in cond_aliases:
                 ranges = condition_view(multi, cid, cond_aliases[cid])
                 results[cid].ranges = ranges
