@@ -171,7 +171,37 @@ def run_tier(spark, name, path, results):
     )
     print(f"candidate-volume ratio default/scale: {ratio:.0f}x", flush=True)
 
-    # -- 1: exactness runs.  Scale geometry always; default only under cap --
+    # -- 1a: the DEFAULT path (r8): band_bits="auto" + 512 bucket cap.
+    # No manual geometry, no candidate-volume pre-check — this is the call
+    # a 100 TB pipeline makes, and it must be green unmodified at every
+    # tier.  The audit must be empty (planted replica sets are far below
+    # the cap), so the candidate set is complete and recall exact.
+    from tsatool_app_spark.functions.dedup import embedding_oversize_buckets
+    from tsatool_app_spark.functions.similarity import recommended_band_bits
+
+    auto_bits = recommended_band_bits(n)
+    t0 = time.time()
+    pairs = (
+        embedding_near_dup_pairs(emb, min_cosine=0.9, n_vectors=n)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    wall = round(time.time() - t0, 1)
+    miss = truth.join(pairs, ["id_a", "id_b"], "left_anti").count()
+    extra = pairs.join(truth, ["id_a", "id_b"], "left_anti").count()
+    n_dropped = embedding_oversize_buckets(emb, n_vectors=n).count()
+    tier["near_dups_auto_wall"] = wall
+    tier["near_dups_auto_band_bits"] = auto_bits
+    print(f"near_dups DEFAULT (auto->{auto_bits}-bit, cap 512): {n_pairs} "
+          f"pairs (expect {n_truth}), missing={miss}, extra={extra}, "
+          f"oversize_buckets={n_dropped}, wall={wall}s", flush=True)
+    assert miss == 0, "DEFAULT path: planted pair lost"
+    assert extra == 0, "DEFAULT path: non-planted pair above 0.9"
+    assert n_dropped == 0, "DEFAULT path: cap fired on the planted tier"
+
+    # -- 1b: explicit-geometry exactness runs (the r7 comparison that
+    # motivated auto-sizing).  Scale geometry always; 8-bit only under cap.
     for label, bits in (("scale_16bit", 16), ("default_8bit", 8)):
         vol = tier[f"buckets_{label}"]["candidate_volume"]
         if vol > FULL_RUN_CANDIDATE_CAP:
@@ -275,7 +305,7 @@ def main() -> None:
     run_tier(spark, "sf10emb", SF10, results)
 
     exponents = {}
-    for key in ("near_dups_scale_16bit_wall", "lsh_default_wall",
+    for key in ("near_dups_auto_wall", "near_dups_scale_16bit_wall", "lsh_default_wall",
                 "lsh_scale_wall", "ivf_16_wall", "ivf_64_wall"):
         w1, w10 = results["sf1"].get(key), results["sf10emb"].get(key)
         if w1 and w10:

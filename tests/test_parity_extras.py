@@ -98,6 +98,55 @@ def test_embedding_near_dup_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_embedding_auto_banding_and_hot_bucket_cap(spark):
+    """r8: the default band geometry is self-sizing (band_bits='auto' via
+    recommended_band_bits) and the banded self-join has the family-standard
+    hot-bucket cap + audit.  A planted near-constant cluster (identical
+    vectors land every copy in one (band, sig) bucket at ANY width) must be
+    dropped by the cap and SURFACED by embedding_oversize_buckets — never
+    silently exploded into O(d²) candidate pairs."""
+    from tsatool_app_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+        embedding_oversize_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = [float(x) for x in rng.standard_normal(16)]
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    rows = [(i, hot) for i in range(100)] + [
+        (1000, [float(x) for x in base]),
+        (1001, [float(x) for x in near]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cap below the hot-cluster size: its O(d²) pairs must NOT appear,
+    # the honest pair (1000, 1001) must survive
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, min_cosine=0.9, max_bucket_size=50
+        ).collect()
+    }
+    assert (1000, 1001) in pairs
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    # ... and the audit reports what was dropped (size-100 buckets, one
+    # per band), while a cap above the cluster reports nothing
+    audit = embedding_oversize_buckets(df, max_bucket_size=50).collect()
+    # ≥100: the honest vectors can land in a hot bucket by chance
+    assert audit and all(r.size >= 100 for r in audit)
+    assert embedding_oversize_buckets(df, max_bucket_size=512).count() == 0
+    # uncapped call still finds the hot cluster's pairs (completeness)
+    full = embedding_near_dup_pairs(df, min_cosine=0.9, max_bucket_size=None)
+    assert full.where("id_a < 100 AND id_b < 100").count() == 100 * 99 / 2
+    # auto-resolution: tiny corpus → narrowest dividing width (4);
+    # explicit n_vectors is honored without a count job
+    from tsatool_app_spark.functions.dedup import _resolve_band_bits
+
+    assert _resolve_band_bits("auto", df, 64, None, "vec_id") == 4
+    assert _resolve_band_bits("auto", df, 64, 200_000, "vec_id") == 16
+    assert _resolve_band_bits(8, df, 64, None, "vec_id") == 8
+
+
 def test_recommended_band_bits_rule():
     """The RHP-LSH geometry-scaling rule (r7 ANN rehearsal): smallest
     width dividing n_planes with expected random occupancy n/2^b under
@@ -109,8 +158,16 @@ def test_recommended_band_bits_rule():
     assert recommended_band_bits(200_000) == 16   # sf10 rehearsal tier
     assert recommended_band_bits(10_000_000) == 32
     assert recommended_band_bits(100) == 4
-    # must divide n_planes: with 24 planes the 16-bit step is skipped
-    assert recommended_band_bits(200_000, n_planes=24) == 8
+    # candidates are DIVISORS of n_planes (r8: not a fixed tuple): with 24
+    # planes the widths are 4/6/8/12; none meets the occupancy target at
+    # 200k vectors, so the widest amplifying divisor (12) is returned
+    assert recommended_band_bits(200_000, n_planes=24) == 12
+    # a single band of all planes is never proposed (no OR-amplification)
+    assert recommended_band_bits(10**9, n_planes=16) == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        recommended_band_bits(1_000, n_planes=6)  # no divisor in [4, 3]
     vals = [recommended_band_bits(n) for n in (10, 1_000, 50_000, 10**7)]
     assert vals == sorted(vals)
 

@@ -262,42 +262,33 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def embedding_near_dup_pairs(
+def _resolve_band_bits(
+    band_bits: int | str,
     embeddings: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 64,
-    band_bits: int = 8,
-    min_cosine: float = 0.9,
-    seed: int = 42,
+    n_planes: int,
+    n_vectors: int | None,
+    id_col: str,
+) -> int:
+    """``band_bits="auto"`` → recommended_band_bits(n) with n from
+    ``n_vectors`` if the caller knows it (free), else one cheap count of
+    the id column (one job over a 1-column projection — negligible next
+    to the banded join it sizes)."""
+    if band_bits != "auto":
+        return int(band_bits)
+    from tsatool_app_spark.functions.similarity import recommended_band_bits
+
+    n = n_vectors if n_vectors is not None else embeddings.select(id_col).count()
+    return recommended_band_bits(n, n_planes=n_planes)
+
+
+def _rhp_band_keys(
+    signed: DataFrame, n_planes: int, band_bits: int, id_col: str
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH bucket join + exact rerank.
-
-    Random-hyperplane signatures (similarity.rhp_signatures) are banded;
-    vectors sharing ≥1 band become candidates via an equi-self-join on
-    (band, band-signature); candidates are verified with exact cosine
-    (vectorized pandas-UDF kernel) and filtered at ``min_cosine``.
-
-    Defaults 64 planes / 8-bit bands: ≈93% recall at cosine 0.9 with a
-    random-pair candidate rate of ~(1/256)·8 ≈ 3% — the rerank, not the
-    bucket join, bounds cost, and it only sees candidates. Same plan family
-    as the MinHash text path: no all-pairs stage anywhere."""
-    from tsatool_app_spark.functions.similarity import (
-        cosine_pairs_pandas_udf,
-        rhp_signatures,
-    )
-
-    dim = len(embeddings.select(vec_col).first()[0])
-    signed = rhp_signatures(
-        embeddings, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
-    )
+    """(id, band, sig) relation from packed RHP signatures — the banding
+    shared by the pair join and its oversize-bucket audit."""
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
-    # Bucket join and pair dedup carry ONLY ids — the 64-dim vectors would
-    # otherwise ride through two shuffles; they are re-attached once, after
-    # the candidate set is small.
-    banded = signed.select(
+    return signed.select(
         id_col,
         F.explode(
             F.array(
@@ -313,6 +304,70 @@ def embedding_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.sig")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    band_bits: int | str = "auto",
+    min_cosine: float = 0.9,
+    seed: int = 42,
+    max_bucket_size: int | None = 512,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket join + exact rerank.
+
+    Random-hyperplane signatures (similarity.rhp_signatures) are banded;
+    vectors sharing ≥1 band become candidates via an equi-self-join on
+    (band, band-signature); candidates are verified with exact cosine
+    (vectorized pandas-UDF kernel) and filtered at ``min_cosine``.
+
+    ``band_bits="auto"`` (default) sizes the band geometry to the corpus
+    via :func:`similarity.recommended_band_bits` — the r7 sf10 rehearsal
+    measured why a static width cannot be the default: at 200k vectors
+    8-bit bands emit 756M candidate pairs (random collisions, quadratic in
+    n/2^b) where 16-bit bands emit 6M with recall on planted near-dups
+    unchanged.  ``n_vectors`` skips the sizing count when the caller
+    already knows the corpus size.
+
+    ``max_bucket_size`` guards the adversarial edge auto-sizing cannot: a
+    near-constant corpus (all vectors in one orthant) lands everything in
+    one (band, sig) bucket at ANY width, and the self-join emits O(d²)
+    pairs.  Buckets above the cap are dropped from the candidate join —
+    same window-count-on-the-join-key pattern as the MinHash/SimHash/span
+    caps (no extra exchange) — and surfaced by
+    :func:`embedding_oversize_buckets`; route such clusters through exact
+    dedup (identical vectors) instead.  Pass ``None`` to disable.
+
+    Cost shape: ≥93% recall at cosine 0.9 for 8 bands; the rerank, not the
+    bucket join, bounds cost, and it only sees candidates. Same plan family
+    as the MinHash text path: no all-pairs stage anywhere."""
+    from tsatool_app_spark.functions.similarity import (
+        cosine_pairs_pandas_udf,
+        rhp_signatures,
+    )
+
+    band_bits = _resolve_band_bits(
+        band_bits, embeddings, n_planes, n_vectors, id_col
+    )
+    dim = len(embeddings.select(vec_col).first()[0])
+    signed = rhp_signatures(
+        embeddings, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    # Bucket join and pair dedup carry ONLY ids — the 64-dim vectors would
+    # otherwise ride through two shuffles; they are re-attached once, after
+    # the candidate set is small.
+    banded = _rhp_band_keys(signed, n_planes, band_bits, id_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "sig")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cand_ids = (
         l.join(
@@ -344,6 +399,43 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine_pairs_pandas_udf()(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_oversize_buckets(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    band_bits: int | str = "auto",
+    seed: int = 42,
+    max_bucket_size: int = 512,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Audit companion to :func:`embedding_near_dup_pairs` (the
+    family-standard no-silent-caps contract — mirrors
+    :func:`minhash_oversize_buckets`): the (band, sig, size) buckets the
+    cap REMOVES from the candidate join.  Empty result ⇒ the cap did not
+    fire and the candidate set is complete.  Oversize buckets are, in
+    practice, clusters of (near-)identical vectors — route them through
+    exact dedup on the vector bytes rather than widening the cap.
+    Pass the same geometry arguments as the pair call so the audit sees
+    the same banding."""
+    from tsatool_app_spark.functions.similarity import rhp_signatures
+
+    band_bits = _resolve_band_bits(
+        band_bits, embeddings, n_planes, n_vectors, id_col
+    )
+    dim = len(embeddings.select(vec_col).first()[0])
+    signed = rhp_signatures(
+        embeddings, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        _rhp_band_keys(signed, n_planes, band_bits, id_col)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
     )
 
 

@@ -226,18 +226,31 @@ def recommended_band_bits(
     band width (scripts/rehearsal_sf10_ann.py, SCALING.md "r7 ANN
     rehearsal").  Rule: the smallest width dividing ``n_planes`` whose
     expected random occupancy n/2^b stays under ``target_bucket``.
-    The 8-bit defaults on embedding_near_dup_pairs are sized for the
-    ≲10k-vector registry tiers; at scale, pass
-    ``band_bits=recommended_band_bits(corpus_size)``."""
-    best = None
-    for b in (4, 8, 16, 32):
-        if n_planes % b == 0:
-            best = b
-            if n_vectors / (1 << b) <= target_bucket:
-                return b
-    # No dividing width satisfies the target: the widest dividing band
-    # (fewest random collisions available at this plane count).
-    return best if best is not None else n_planes
+
+    Candidate widths are the DIVISORS of ``n_planes`` with b ≥ 4 (narrower
+    bands collide a quarter of random vectors — useless) and n_planes/b ≥ 2
+    (at least two bands: a single band of all planes has no
+    OR-amplification and its recall geometry is a different operator).
+    When no candidate meets the occupancy target, the WIDEST candidate is
+    returned — the most collision-resistant geometry available at this
+    plane count that still amplifies; raise ``n_planes`` for more head
+    room.  ``n_planes`` with no valid candidate at all (< 8, or prime)
+    raises ValueError.  This is the resolver behind ``band_bits="auto"``
+    on :func:`tsatool_app_spark.functions.dedup.embedding_near_dup_pairs`
+    and :func:`lsh_ann_topk`."""
+    candidates = [
+        b for b in range(4, n_planes // 2 + 1) if n_planes % b == 0
+    ]
+    if not candidates:
+        raise ValueError(
+            f"n_planes={n_planes} has no band width b with 4 <= b <= "
+            "n_planes/2; choose a plane count with such a divisor (e.g. 16, "
+            "24, 32, 64)"
+        )
+    for b in candidates:
+        if n_vectors / (1 << b) <= target_bucket:
+            return b
+    return candidates[-1]
 
 
 def rhp_signatures(
@@ -287,10 +300,11 @@ def lsh_ann_topk(
     k: int = 10,
     *,
     n_planes: int = 16,
-    band_bits: int = 4,
+    band_bits: int | str = "auto",
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band with the query, then
     exact cosine rerank on candidates only.
@@ -298,9 +312,19 @@ def lsh_ann_topk(
     Bands of ``band_bits`` bits each → a vector is a candidate if ANY band
     matches the query's (classic OR-amplification). The candidate filter is
     a literal IN-list comparison per band (no join, no shuffle); rerank cost
-    is |candidates|, not |corpus|."""
+    is |candidates|, not |corpus|.
+
+    ``band_bits="auto"`` (default, r8) sizes the bands to the corpus via
+    :func:`recommended_band_bits` so the expected candidate volume — the
+    rerank cost, ~n_bands·n/2^b — stays bounded as n grows; ``n_vectors``
+    skips the sizing count when the caller knows the corpus size."""
     import numpy as np
 
+    from tsatool_app_spark.functions.dedup import _resolve_band_bits
+
+    band_bits = _resolve_band_bits(
+        band_bits, embeddings, n_planes, n_vectors, id_col
+    )
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
