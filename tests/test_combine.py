@@ -150,3 +150,18 @@ def test_interval_join_bucketed_keeps_duplicate_multiplicity(spark):
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
     # and the plan is dedup-free (no Deduplicate node above the join)
     assert "Deduplicate" not in bucketed._jdf.queryExecution().analyzed().toString()
+
+
+def test_combine_multi_quoted_cond_id(spark):
+    """combine_blocks_multi / combine_tagged are public APIs taking
+    arbitrary cond_id strings; a quote or backslash in the id must be
+    escaped Spark-style (backslash escapes, NOT SQL doubled quotes) in
+    the master CASE literal — r7 ADVICE."""
+    from tsatool_app_spark.operators.combine import combine_blocks_multi
+
+    a = mk_ranges(spark, [(0, 10, True), (10, 20, False)])
+    cid = "it's\\odd"
+    out = combine_blocks_multi({cid: {"a1": a}}, {cid: "a1"})
+    rows = collect(out)
+    assert [r["cond_id"] for r in rows] == [cid, cid]
+    assert [r["master"] for r in rows] == [True, False]

@@ -308,8 +308,14 @@ def combine_tagged(
     for cid, aliases in cond_aliases.items():
         expr_str = alias_conditions[cid]
         for a in sorted(aliases, key=len, reverse=True):
-            expr_str = re.sub(rf"\b{re.escape(a)}\b", f"`{ualias[(cid, a)]}`", expr_str)
-        cid_lit = cid.replace("'", "''")
+            # replacement via lambda: a literal, so backslashes in the
+            # cond_id (part of the ualias) aren't re-parsed as \-escapes
+            u = f"`{ualias[(cid, a)]}`"
+            expr_str = re.sub(rf"\b{re.escape(a)}\b", lambda _m, u=u: u, expr_str)
+        # Spark SQL string literals use BACKSLASH escapes (not the
+        # SQL-standard doubled quote): escape backslash first, then the
+        # quote, so arbitrary public-API cond_ids can't break the CASE.
+        cid_lit = cid.replace("\\", "\\\\").replace("'", "\\'")
         branches.append(f"WHEN cond_id = '{cid_lit}' THEN ({expr_str})")
     master = F.expr("CASE " + " ".join(branches) + " END")
     return decoded.withColumn("master", master)
