@@ -42,6 +42,7 @@ def main() -> None:
         duplicated_span_pairs,
         duplicated_span_pairs_dedup_first,
         hot_span_fingerprints,
+        span_doc_fingerprints,
         span_fingerprints,
     )
     from tsatool_app_spark.session import get_spark
@@ -52,9 +53,10 @@ def main() -> None:
     print(f"tier: {n_docs} docs", flush=True)
     walls: dict[str, float] = {}
 
-    # -- hashing pass ---------------------------------------------------------
+    # -- hashing pass (SHARED: r8 ask #3 — computed once, checkpointed,
+    # fed to the pair join AND the audit via fps=) ---------------------------
     t0 = time.time()
-    fps = span_fingerprints(docs).select("doc_id", "fp").distinct().localCheckpoint()
+    fps = span_doc_fingerprints(docs).localCheckpoint()
     n_fps = fps.count()
     walls["fingerprints"] = round(time.time() - t0, 1)
     docs_with_fp = fps.select("doc_id").distinct()
@@ -62,10 +64,22 @@ def main() -> None:
     print(f"fingerprints: {n_fps} distinct (doc, fp) rows over {n_with} docs "
           f"(selection rate 1/8), wall={walls['fingerprints']}s", flush=True)
 
-    # -- capped pair join -----------------------------------------------------
+    # -- production-rate selection variant (r8 ask #4): xxhash64 selects,
+    # md5 runs only on the ~1/8 survivors — measure the hashing-pass cut
+    t0 = time.time()
+    n_fps_xx = (
+        span_fingerprints(docs, selection="xxhash")
+        .select("doc_id", "fp").distinct().count()
+    )
+    walls["fingerprints_xxhash"] = round(time.time() - t0, 1)
+    print(f"xxhash-selection pass: {n_fps_xx} distinct (doc, fp) rows, "
+          f"wall={walls['fingerprints_xxhash']}s "
+          f"(md5-selection pass: {walls['fingerprints']}s)", flush=True)
+
+    # -- capped pair join (reads the shared checkpointed relation) -----------
     t0 = time.time()
     pairs = (
-        duplicated_span_pairs(docs, max_docs_per_fp=CAP, ordered=False)
+        duplicated_span_pairs(fps=fps, max_docs_per_fp=CAP, ordered=False)
         .localCheckpoint()
     )
     n_pairs = pairs.count()
@@ -77,14 +91,15 @@ def main() -> None:
           f"wall={walls['pairs']}s", flush=True)
     assert giant_pairs == 0, "600-copy giant must be excluded by the fp cap"
 
-    # -- audit ---------------------------------------------------------------
+    # -- audit (shares the SAME hashing pass — r7 measured 714.9 s when it
+    # re-derived the fingerprints from scratch) ------------------------------
     t0 = time.time()
-    audit = hot_span_fingerprints(docs, max_docs_per_fp=CAP)
+    audit = hot_span_fingerprints(fps=fps, max_docs_per_fp=CAP)
     n_hot = audit.count()
     max_hot = audit.agg(F.max("n_docs")).first()[0]
     walls["audit"] = round(time.time() - t0, 1)
     print(f"audit: {n_hot} capped fingerprints, max n_docs={max_hot}, "
-          f"wall={walls['audit']}s", flush=True)
+          f"wall={walls['audit']}s (r7 from-scratch: 714.9s)", flush=True)
     assert n_hot > 0 and max_hot >= 600, "giant's fingerprints must be surfaced"
 
     # -- planted completeness -------------------------------------------------

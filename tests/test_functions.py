@@ -785,3 +785,70 @@ def test_span_pairs_dedup_first_matches_raw(spark):
         for r in duplicated_span_pairs_dedup_first(df, max_docs_per_fp=4).collect()
     }
     assert (1, 3) not in capped and (3, 4) in capped
+
+
+def test_span_shared_fingerprint_pass(spark):
+    """r8 (VERDICT r7 ask #3): one span_doc_fingerprints pass feeds the
+    pair query AND the audit via fps= — results identical to the
+    from-docs path, so the corpus is hashed once per family, not once
+    per consumer."""
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        hot_span_fingerprints,
+        span_doc_fingerprints,
+    )
+
+    boiler = " ".join(f"common{i:02d}" for i in range(8))
+    rows = [(i, f"{boiler} unique suffix number {i} padding padding padding")
+            for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = span_doc_fingerprints(df, window_len=40).localCheckpoint()
+    for cap in (None, 3):
+        a = sorted(tuple(r) for r in duplicated_span_pairs(
+            df, window_len=40, max_docs_per_fp=cap).collect())
+        b = sorted(tuple(r) for r in duplicated_span_pairs(
+            fps=fps, max_docs_per_fp=cap).collect())
+        assert a == b, f"cap={cap}"
+    audit_docs = sorted(tuple(r) for r in hot_span_fingerprints(
+        df, window_len=40, max_docs_per_fp=3).collect())
+    audit_fps = sorted(tuple(r) for r in hot_span_fingerprints(
+        fps=fps, max_docs_per_fp=3).collect())
+    assert audit_docs == audit_fps and audit_docs
+    with pytest.raises(ValueError):
+        duplicated_span_pairs()  # neither docs nor fps
+
+
+def test_span_selection_modes_agree_on_shared_positions(spark):
+    """r8 (VERDICT r7 ask #4): the production xxhash selection emits
+    byte-identical (pos, fp) wherever its (content-defined) position set
+    overlaps the md5 rule's, keeps offset-independence (a span planted at
+    different offsets still pairs the documents), and its fingerprints
+    re-verify against hashlib md5."""
+    import hashlib
+
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        span_fingerprints,
+    )
+
+    span = " ".join(f"tok{i:03d}" for i in range(32))
+    d1 = "aaa bbb ccc " + span + " tail one"
+    d2 = "completely different very long prefix text here " + span
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    md5_sel = {(r.doc_id, r.pos): r.fp
+               for r in span_fingerprints(df, window_len=40).collect()}
+    xx_sel = {(r.doc_id, r.pos): r.fp
+              for r in span_fingerprints(
+                  df, window_len=40, selection="xxhash").collect()}
+    common = set(md5_sel) & set(xx_sel)
+    assert common  # rules overlap on ~1/64 of positions; spans are long
+    for key in common:
+        assert md5_sel[key] == xx_sel[key]
+    # every xxhash-mode fingerprint is the true md5 of its window
+    for (doc, pos), fp in xx_sel.items():
+        text = d1 if doc == 1 else d2
+        assert hashlib.md5(text[pos - 1 : pos + 39].encode()).hexdigest() == fp
+    # offset-independence → the planted span pairs the docs in xxhash mode
+    pairs = {(r.id_a, r.id_b) for r in duplicated_span_pairs(
+        df, window_len=40, selection="xxhash").collect()}
+    assert pairs == {(1, 2)}
