@@ -287,6 +287,25 @@ def run_tier(spark, name, path, results):
         d = ((cents - qv[None, :]) ** 2).sum(axis=1)
         probes = [int(c) for c in d.argsort()[:4]]
         n_probed = indexed.where(F.col("cluster").isin(probes)).count()
+        # r8 ask #6: the degenerate-clustering guard must FIRE on this
+        # deliberately isotropic tier (the quiet clustered case is pinned
+        # by test_ivf_probe_audit_detects_degenerate_clustering)
+        import warnings
+
+        from tsatool_app_spark.functions.similarity import ivf_probe_audit
+
+        with warnings.catch_warnings(record=True) as wrec:
+            warnings.simplefilter("always")
+            audit = ivf_probe_audit(indexed, cents, q, nprobe=4)
+        tier[f"{label}_probe_audit"] = {
+            "probed_fraction": round(audit["probed_fraction"], 4),
+            "degenerate": audit["degenerate"],
+            "warning_fired": any("degenerate" in str(x.message) for x in wrec),
+        }
+        print(f"{label} probe audit: fraction="
+              f"{audit['probed_fraction']:.2%} degenerate={audit['degenerate']} "
+              f"warning={'FIRED' if wrec else 'quiet'}", flush=True)
+        assert audit["probed_rows"] == n_probed
         tier[f"{label}_wall"] = wall
         tier[f"{label}_probed_rows"] = n_probed
         print(f"{label} (n_clusters={k_clusters}, nprobe=4): top10 "

@@ -209,6 +209,72 @@ def ivf_ann_topk(
     )
 
 
+def ivf_cluster_sizes(indexed: DataFrame) -> dict[int, int]:
+    """Per-cluster row counts of an IVF-indexed frame — one tiny
+    aggregation (|clusters| rows to the driver).  Compute once per index
+    and pass to :func:`ivf_probe_audit` so per-query audits are pure
+    driver arithmetic."""
+    return {
+        int(r["cluster"]): int(r["n"])
+        for r in indexed.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def ivf_probe_audit(
+    indexed: DataFrame,
+    centroids,
+    query_vec: list[float],
+    *,
+    nprobe: int = 4,
+    warn_fraction: float = 0.5,
+    cluster_sizes: dict[int, int] | None = None,
+) -> dict:
+    """Degenerate-clustering guard for :func:`ivf_ann_topk` (r7 VERDICT
+    ask #6): the fraction of the corpus a query's ``nprobe`` clusters
+    actually contain.  IVF's pruning premise is that nearby vectors
+    concentrate in few clusters; on an isotropic corpus the premise
+    fails SILENTLY — the r7 sf10emb rehearsal measured nprobe=4/16
+    probing 99.9 % of 200k vectors (recall exact, pruning gone).  This
+    makes the failure observable: returns ``{"nprobe", "probed_rows",
+    "total_rows", "probed_fraction", "degenerate"}`` and emits a
+    ``UserWarning`` when the fraction exceeds ``warn_fraction`` —
+    at that point brute force or LSH (:func:`lsh_ann_topk`, the
+    pipeline default for unknown corpora) is the honest plan.
+
+    ``cluster_sizes``: precomputed :func:`ivf_cluster_sizes`; when given,
+    the audit runs entirely on the driver (no Spark job), so production
+    query paths can audit every query for free."""
+    import warnings
+
+    import numpy as np
+
+    if cluster_sizes is None:
+        cluster_sizes = ivf_cluster_sizes(indexed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort()[:nprobe]]
+    total = sum(cluster_sizes.values())
+    probed = sum(cluster_sizes.get(c, 0) for c in probes)
+    frac = probed / total if total else 0.0
+    degenerate = frac > warn_fraction
+    if degenerate:
+        warnings.warn(
+            f"IVF probe covers {frac:.1%} of the corpus "
+            f"({probed}/{total} rows in {nprobe} clusters) — clustering is "
+            "degenerate for this query/corpus; pruning is not happening. "
+            "Consider lsh_ann_topk or brute force.",
+            UserWarning,
+            stacklevel=2,
+        )
+    return {
+        "nprobe": nprobe,
+        "probed_rows": probed,
+        "total_rows": total,
+        "probed_fraction": frac,
+        "degenerate": degenerate,
+    }
+
+
 def recommended_band_bits(
     n_vectors: int, n_planes: int = 64, target_bucket: int = 16
 ) -> int:
