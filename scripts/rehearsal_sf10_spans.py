@@ -43,7 +43,6 @@ def main() -> None:
         duplicated_span_pairs_dedup_first,
         hot_span_fingerprints,
         span_doc_fingerprints,
-        span_fingerprints,
     )
     from tsatool_app_spark.session import get_spark
 
@@ -64,17 +63,21 @@ def main() -> None:
     print(f"fingerprints: {n_fps} distinct (doc, fp) rows over {n_with} docs "
           f"(selection rate 1/8), wall={walls['fingerprints']}s", flush=True)
 
-    # -- production-rate selection variant (r8 ask #4): xxhash64 selects,
-    # md5 runs only on the ~1/8 survivors — measure the hashing-pass cut
+    # -- production-rate impl (r8 ask #4): the SAME md5 rule via
+    # mapInPandas/hashlib — measure the hashing-pass cut AND assert the
+    # relation is identical to the SQL path's (anti-join both ways)
     t0 = time.time()
-    n_fps_xx = (
-        span_fingerprints(docs, selection="xxhash")
-        .select("doc_id", "fp").distinct().count()
-    )
-    walls["fingerprints_xxhash"] = round(time.time() - t0, 1)
-    print(f"xxhash-selection pass: {n_fps_xx} distinct (doc, fp) rows, "
-          f"wall={walls['fingerprints_xxhash']}s "
-          f"(md5-selection pass: {walls['fingerprints']}s)", flush=True)
+    fps_arrow = span_doc_fingerprints(docs, impl="arrow").localCheckpoint()
+    n_fps_ar = fps_arrow.count()
+    walls["fingerprints_arrow"] = round(time.time() - t0, 1)
+    extra = fps_arrow.join(fps, ["doc_id", "fp"], "left_anti").count()
+    missing = fps.join(fps_arrow, ["doc_id", "fp"], "left_anti").count()
+    print(f"arrow-impl pass: {n_fps_ar} distinct (doc, fp) rows, "
+          f"wall={walls['fingerprints_arrow']}s "
+          f"(sql-impl pass: {walls['fingerprints']}s); "
+          f"vs sql: extra={extra} missing={missing}", flush=True)
+    assert n_fps_ar == n_fps and extra == 0 and missing == 0
+    fps_arrow.unpersist()
 
     # -- capped pair join (reads the shared checkpointed relation) -----------
     t0 = time.time()

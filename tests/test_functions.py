@@ -818,37 +818,51 @@ def test_span_shared_fingerprint_pass(spark):
         duplicated_span_pairs()  # neither docs nor fps
 
 
-def test_span_selection_modes_agree_on_shared_positions(spark):
-    """r8 (VERDICT r7 ask #4): the production xxhash selection emits
-    byte-identical (pos, fp) wherever its (content-defined) position set
-    overlaps the md5 rule's, keeps offset-independence (a span planted at
-    different offsets still pairs the documents), and its fingerprints
-    re-verify against hashlib md5."""
-    import hashlib
-
+def test_span_fingerprints_impls_identical(spark):
+    """r8 (VERDICT r7 ask #4): the arrow (mapInPandas/hashlib) path is
+    BYTE-IDENTICAL to the SQL expression path — same selection rule, so
+    it stays oracle-comparable — across ASCII, multibyte (2- and 3-byte
+    UTF-8, where char positions != byte positions), short (< window),
+    empty, and NULL documents; and the downstream pair query agrees."""
     from tsatool_app_spark.functions.spans import (
         duplicated_span_pairs,
         span_fingerprints,
     )
 
     span = " ".join(f"tok{i:03d}" for i in range(32))
-    d1 = "aaa bbb ccc " + span + " tail one"
-    d2 = "completely different very long prefix text here " + span
-    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
-    md5_sel = {(r.doc_id, r.pos): r.fp
-               for r in span_fingerprints(df, window_len=40).collect()}
-    xx_sel = {(r.doc_id, r.pos): r.fp
-              for r in span_fingerprints(
-                  df, window_len=40, selection="xxhash").collect()}
-    common = set(md5_sel) & set(xx_sel)
-    assert common  # rules overlap on ~1/64 of positions; spans are long
-    for key in common:
-        assert md5_sel[key] == xx_sel[key]
-    # every xxhash-mode fingerprint is the true md5 of its window
-    for (doc, pos), fp in xx_sel.items():
-        text = d1 if doc == 1 else d2
-        assert hashlib.md5(text[pos - 1 : pos + 39].encode()).hexdigest() == fp
-    # offset-independence → the planted span pairs the docs in xxhash mode
-    pairs = {(r.id_a, r.id_b) for r in duplicated_span_pairs(
-        df, window_len=40, selection="xxhash").collect()}
-    assert pairs == {(1, 2)}
+    mb_span = "ääkköset ja €urot " * 8  # multibyte, shared across 4/5
+    rows = [
+        (1, "aaa bbb ccc " + span + " tail one"),
+        (2, "completely different very long prefix text here " + span),
+        (3, "prefix häntä " + mb_span + " suffix"),
+        (4, mb_span + " eri häntä tässä dokumentissa kokonaan"),
+        (5, "short"),
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sql_rows = sorted(
+        tuple(r) for r in span_fingerprints(df, window_len=40).collect()
+    )
+    arrow_rows = sorted(
+        tuple(r)
+        for r in span_fingerprints(df, window_len=40, impl="arrow").collect()
+    )
+    assert arrow_rows == sql_rows and sql_rows
+    assert any(t[0] in (3, 4) for t in sql_rows)  # multibyte docs selected
+    # schema parity (names and types; nullability flags may differ)
+    assert [
+        (f.name, f.dataType) for f in span_fingerprints(df, impl="arrow").schema
+    ] == [(f.name, f.dataType) for f in span_fingerprints(df).schema]
+    pairs_sql = sorted(
+        tuple(r) for r in duplicated_span_pairs(df, window_len=40).collect()
+    )
+    pairs_arrow = sorted(
+        tuple(r)
+        for r in duplicated_span_pairs(df, window_len=40, impl="arrow").collect()
+    )
+    assert pairs_arrow == pairs_sql and {(3, 4)} <= {
+        (a, b) for a, b, _ in pairs_sql
+    }
+    with pytest.raises(ValueError):
+        span_fingerprints(df, impl="rdd")

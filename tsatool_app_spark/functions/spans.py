@@ -26,7 +26,12 @@ compute byte-identical results:
 Scale shape: the hashing pass is O(chars x window_len) work but
 embarrassingly parallel with NO shuffle — only the selected 1/8 of
 (doc_id, fp) rows ever reach an exchange, and the pair join dedups to
-distinct (doc, fp) first.  Hot fingerprints (boilerplate shared by
+distinct (doc, fp) first.  Two implementations of the SAME selection
+rule: ``impl="sql"`` (pure Column expressions, what the DuckDB oracle
+mirrors literally) and ``impl="arrow"`` (hashlib via mapInPandas,
+byte-identical output, ~11x faster: 9.4 s vs 104.5 s for the raw pass
+over 300M chars at the sf10 tier — the SQL wall is Catalyst's
+interpreted lambda evaluation, not md5; measured in SCALING.md r8).  Hot fingerprints (boilerplate shared by
 thousands of documents) are the same quadratic hazard as hot LSH
 buckets and get the same treatment: ``max_docs_per_fp`` excludes them
 from the pair join (route such boilerplate through exact-dedup /
@@ -57,9 +62,8 @@ def _sel_expr(text_col: str, window_len: int, rate_hex_lt: str) -> str:
     documents to ≲1 MB (pre-chunk longer ones with
     functions.corpus.chunk_documents — fingerprints are content-defined,
     so spans still match across chunk boundaries up to one lost window
-    per boundary), or use ``selection="xxhash"``
-    (:func:`span_fingerprints`), whose per-row peak is the selected
-    ~1/8 subset only."""
+    per boundary), or use ``impl="arrow"`` (:func:`span_fingerprints`),
+    which streams positions without materializing the array."""
     if len(rate_hex_lt) != 1 or rate_hex_lt not in "0123456789abcdef":
         raise ValueError("rate_hex_lt must be one hex digit")
     return (
@@ -71,35 +75,78 @@ def _sel_expr(text_col: str, window_len: int, rate_hex_lt: str) -> str:
     )
 
 
-def _sel_expr_xxhash(text_col: str, window_len: int, rate_mod: int) -> str:
-    """Production-rate selection (r8, VERDICT r7 ask #4): positions are
-    SELECTED by a cheap JVM hash (xxhash64 of the window, ~1/``rate_mod``
-    of positions), and the md5 fingerprint is computed ONLY for selected
-    windows — the winnowing-family shape (cheap rolling selection, strong
-    hash on survivors).  Selection is still a pure function of window
-    CONTENT, so offset-independence — the property that makes unaligned
-    copies match — is preserved; the selected POSITION SET simply differs
-    from the md5-digit rule, so this mode is not oracle-comparable to
-    ``selection="md5"`` (use it for bulk runs, keep md5 for
-    certification).  Wherever both rules select the same position the
-    emitted fingerprint is byte-identical (pinned by
-    test_span_selection_modes_agree_on_shared_positions).
+def _span_fingerprints_arrow(
+    docs: DataFrame, window_len: int, rate_hex_lt: str, text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow/``mapInPandas`` implementation of the SAME md5 selection
+    rule as :func:`_sel_expr` — byte-identical output (pinned by
+    test_span_fingerprints_impls_identical), so oracle comparability is
+    preserved.  Exists because the SQL path's cost is NOT md5 but
+    Catalyst's per-element interpreted evaluation of the higher-order
+    ``transform``/``filter`` lambdas (~14 µs/position measured at the
+    sf10 tier, 104.5 s over 300M chars on 32 cores); hashlib md5 over
+    the same windows runs the raw pass in 9.4 s (a cheaper xxhash64
+    pre-selection was tried first and measured SLOWER than md5 — 142.6
+    vs 125.6 s — because the lambda interpretation dominates, see
+    SCALING.md r8).  Streaming the positions row-by-row also removes the
+    SQL path's per-document full struct-array peak, so multi-megabyte
+    documents are safe here.
 
-    Cost: every position pays substring+xxhash64 (no hex string, no
-    allocation-heavy crypto); only the ~1/rate_mod survivors pay md5.
-    Peak per-row array is the SELECTED subset (~9 bytes × len/rate_mod)
-    — the filter runs before any md5 struct exists — so multi-megabyte
-    documents are safe in this mode."""
-    if rate_mod < 1:
-        raise ValueError("rate_mod must be >= 1")
-    return (
-        f"transform(filter(sequence(1, greatest(length({text_col}) - "
-        f"{window_len} + 1, 1)), p -> p <= length({text_col}) - "
-        f"{window_len} + 1 AND pmod(xxhash64(substring({text_col}, p, "
-        f"{window_len})), {rate_mod}) = 0), "
-        f"p -> struct(p AS pos, md5(substring({text_col}, p, "
-        f"{window_len})) AS fp))"
+    Multibyte exactness: Spark's substring/length count CHARACTERS and
+    md5 hashes the window's UTF-8 BYTES; the non-ASCII branch builds the
+    char→byte offset table from UTF-8 lead bytes so windows are sliced
+    on the same boundaries."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    th = int(rate_hex_lt, 16)
+    w = window_len
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("pos", IntegerType()),
+            StructField("fp", StringType()),
+        ]
     )
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, poss, fpss = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text) - w + 1
+                if n <= 0:
+                    continue
+                b = text.encode("utf-8")
+                if len(b) == len(text):  # ASCII: byte pos == char pos
+                    for p in range(n):
+                        dig = md5(b[p : p + w]).digest()
+                        if dig[15] & 0x0F < th:
+                            ids.append(doc_id)
+                            poss.append(p + 1)
+                            fpss.append(dig.hex())
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    starts = np.flatnonzero((arr & 0xC0) != 0x80)
+                    starts = np.append(starts, len(b))
+                    for p in range(n):
+                        dig = md5(b[starts[p] : starts[p + w]]).digest()
+                        if dig[15] & 0x0F < th:
+                            ids.append(doc_id)
+                            poss.append(p + 1)
+                            fpss.append(dig.hex())
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": pd.Series(poss, dtype="int32"),
+                 "fp": fpss}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
 def span_fingerprints(
@@ -109,25 +156,27 @@ def span_fingerprints(
     rate_hex_lt: str = "2",
     text_col: str = "text",
     id_col: str = "doc_id",
-    selection: str = "md5",
-    rate_mod: int = 8,
+    impl: str = "sql",
 ) -> DataFrame:
     """(doc_id, pos, fp) content-defined fingerprints — the selected
     windows of every document.  ``pos`` is the 1-based character
     position, kept so callers can localize a shared span.
 
-    ``selection="md5"`` (default): oracle-certified rule — md5 every
-    window, keep those whose last hex digit is < ``rate_hex_lt``.
-    ``selection="xxhash"``: production rule — select ~1/``rate_mod`` of
-    positions by xxhash64 (cheap, JVM-side), md5 only the selected
-    windows; same fingerprint VALUES, different (still content-defined)
-    selection set.  See :func:`_sel_expr_xxhash`."""
-    if selection == "md5":
-        expr = _sel_expr(text_col, window_len, rate_hex_lt)
-    elif selection == "xxhash":
-        expr = _sel_expr_xxhash(text_col, window_len, rate_mod)
-    else:
-        raise ValueError("selection must be 'md5' or 'xxhash'")
+    Selection rule (both impls, byte-identical): md5 every window, keep
+    those whose last hex digit is < ``rate_hex_lt``.
+    ``impl="sql"``: pure Column-expression path — the form the DuckDB
+    oracle mirrors literally.  ``impl="arrow"``: ``mapInPandas``/hashlib
+    path computing the SAME rule ~11× faster (the SQL path's wall is
+    interpreted higher-order-lambda evaluation, not md5 — see
+    :func:`_span_fingerprints_arrow`); use it for bulk runs and for
+    multi-megabyte documents (no per-row array peak)."""
+    if impl == "arrow":
+        return _span_fingerprints_arrow(
+            docs, window_len, rate_hex_lt, text_col, id_col
+        )
+    if impl != "sql":
+        raise ValueError("impl must be 'sql' or 'arrow'")
+    expr = _sel_expr(text_col, window_len, rate_hex_lt)
     sel = docs.selectExpr(f"{id_col} AS doc_id", expr + " AS _sel")
     return sel.select(
         "doc_id", F.explode("_sel").alias("_w")
@@ -141,21 +190,19 @@ def span_doc_fingerprints(
     rate_hex_lt: str = "2",
     text_col: str = "text",
     id_col: str = "doc_id",
-    selection: str = "md5",
-    rate_mod: int = 8,
+    impl: str = "sql",
 ) -> DataFrame:
     """The distinct (doc_id, fp) relation the whole span family consumes.
 
     Compute ONCE per corpus, ``localCheckpoint()`` it, and pass it to
     :func:`duplicated_span_pairs` and :func:`hot_span_fingerprints` via
     their ``fps=`` parameter — the hashing pass (the dominant scan cost:
-    measured 112 s over 500k docs at the sf10 tier, and 714.9 s for an
-    audit that re-derived it from scratch, r7 VERDICT #2) then runs once
-    instead of once per consumer."""
+    measured 104.5 s SQL / 9.4 s arrow over 500k docs at the sf10 tier,
+    and 714.9 s for an audit that re-derived it from scratch, r7 VERDICT
+    #2) then runs once instead of once per consumer."""
     return span_fingerprints(
         docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
-        text_col=text_col, id_col=id_col, selection=selection,
-        rate_mod=rate_mod,
+        text_col=text_col, id_col=id_col, impl=impl,
     ).select("doc_id", "fp").distinct()
 
 
@@ -168,8 +215,7 @@ def hot_span_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     fps: DataFrame | None = None,
-    selection: str = "md5",
-    rate_mod: int = 8,
+    impl: str = "sql",
 ) -> DataFrame:
     """Audit companion of :func:`duplicated_span_pairs`: the fingerprints
     the cap excludes, with their document counts — boilerplate spans
@@ -184,8 +230,7 @@ def hot_span_fingerprints(
             raise ValueError("pass docs or a precomputed fps relation")
         fps = span_doc_fingerprints(
             docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
-            text_col=text_col, id_col=id_col, selection=selection,
-            rate_mod=rate_mod,
+            text_col=text_col, id_col=id_col, impl=impl,
         )
     return (
         fps.groupBy("fp")
@@ -205,8 +250,7 @@ def duplicated_span_pairs(
     id_col: str = "doc_id",
     ordered: bool = True,
     fps: DataFrame | None = None,
-    selection: str = "md5",
-    rate_mod: int = 8,
+    impl: str = "sql",
 ) -> DataFrame:
     """Document pairs sharing at least one selected duplicated
     ``window_len``-char span: (id_a, id_b, n_shared) with id_a < id_b,
@@ -222,16 +266,15 @@ def duplicated_span_pairs(
 
     ``fps``: precomputed (checkpointed) :func:`span_doc_fingerprints`
     relation — share one hashing pass between this query, its cap, and
-    :func:`hot_span_fingerprints`.  ``selection="xxhash"`` switches to
-    the production-rate selection for bulk runs (not oracle-comparable
-    to the md5 rule; see :func:`_sel_expr_xxhash`)."""
+    :func:`hot_span_fingerprints`.  ``impl="arrow"`` switches the
+    hashing pass to the hashlib path (same rule, byte-identical output,
+    ~11× faster — see :func:`_span_fingerprints_arrow`)."""
     if fps is None:
         if docs is None:
             raise ValueError("pass docs or a precomputed fps relation")
         fps = span_doc_fingerprints(
             docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
-            text_col=text_col, id_col=id_col, selection=selection,
-            rate_mod=rate_mod,
+            text_col=text_col, id_col=id_col, impl=impl,
         )
     if max_docs_per_fp is not None:
         ok = (
@@ -261,8 +304,7 @@ def duplicated_span_pairs_dedup_first(
     text_col: str = "text",
     id_col: str = "doc_id",
     ordered: bool = True,
-    selection: str = "md5",
-    rate_mod: int = 8,
+    impl: str = "sql",
 ) -> DataFrame:
     """:func:`duplicated_span_pairs` with the family's dedup-first
     composition (functions/dedup.near_dup_pairs_dedup_first): hash the
@@ -296,8 +338,7 @@ def duplicated_span_pairs_dedup_first(
     rep_fps = (
         span_fingerprints(
             reps, window_len=window_len, rate_hex_lt=rate_hex_lt,
-            text_col=text_col, id_col="_rep", selection=selection,
-            rate_mod=rate_mod,
+            text_col=text_col, id_col="_rep", impl=impl,
         )
         .select(F.col("doc_id").alias("_rep"), "fp")
         .distinct()

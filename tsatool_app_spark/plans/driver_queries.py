@@ -5644,6 +5644,39 @@ ORDER BY 1, 2"""
 QUERIES["dup_spans"] = DriverQuery(q_dup_spans, ORACLES["dup_spans"])
 
 
+def q_dup_spans_arrow(spark, sf_dir):
+    """The SAME duplicated-span query as q_dup_spans but through the
+    production ``impl="arrow"`` path (mapInPandas/hashlib instead of
+    Column expressions — functions/spans.py:_span_fingerprints_arrow).
+    Both impls compute the identical md5 selection rule, so this shares
+    q_dup_spans' DuckDB oracle verbatim: a green row here is driver-level
+    certification that the 11×-faster bulk path is byte-identical to the
+    certified one (unit pin:
+    tests/test_functions.py::test_span_fingerprints_impls_identical;
+    sf10-scale pin: scripts/rehearsal_sf10_spans.py anti-join 0/0 over
+    35M (doc, fp) rows)."""
+    from tsatool_app_spark.functions.spans import duplicated_span_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    base = docs.orderBy("doc_id").limit(1)
+    p1 = base.select(F.lit(9_000_001).cast("long").alias("doc_id"), F.col("text"))
+    p2 = base.select(
+        F.lit(9_000_002).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("Q "), F.substring("text", 11, 160), F.lit(" trailing-filler-xyz")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(p1).unionByName(p2)
+    return duplicated_span_pairs(corpus, window_len=40, impl="arrow")
+
+
+QUERIES["dup_spans_arrow"] = DriverQuery(q_dup_spans_arrow, ORACLES["dup_spans"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #

@@ -246,6 +246,22 @@ class CondCollection:
         levels: dict[int, list[str]] = {}
         for cid in order:
             levels.setdefault(level_of[cid], []).append(cid)
+        # Levels whose ranges a LATER level's secondary blocks read: these
+        # are materialized EAGERLY (their partitions feed multiple
+        # downstream plan branches — an unmaterialized cache would be
+        # recomputed concurrently inside the fan-out job).  Every other
+        # level — in particular the ONLY level of a secondary-free sheet,
+        # the common case — checkpoints lazily: the logical plan is
+        # truncated immediately, but materialization folds into the first
+        # consuming job (normally the sheet-summary job), removing one
+        # serialized job barrier per level (profiled r8: the eager chain
+        # was the residual sheet_workload floor).
+        eager_levels = {
+            level_of[b.source_condition_id]
+            for spec in self.conditions.values()
+            for b in spec.blocks.values()
+            if b.secondary and b.source_condition_id in level_of
+        }
 
         for lvl in sorted(levels):
             # Per level, assemble the tagged ranges relation for
@@ -325,8 +341,9 @@ class CondCollection:
                 # it holds RUNS (small), and every downstream read —
                 # summaries, secondary references, reports — derives from
                 # it. Lineage truncated for the same planning-cost reason
-                # as packed_all above.
-                multi = multi.localCheckpoint(eager=True)
+                # as packed_all above; eager only when a later level will
+                # fan out over it (see eager_levels above).
+                multi = multi.localCheckpoint(eager=lvl in eager_levels)
             # ONE cond_id-grouped rollup per level: every condition's
             # summary is a cheap filter of it.  Building the A3 aggregate
             # once per LEVEL instead of once per condition keeps driver-
