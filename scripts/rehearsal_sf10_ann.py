@@ -297,14 +297,15 @@ def run_tier(spark, name, path, results):
         with warnings.catch_warnings(record=True) as wrec:
             warnings.simplefilter("always")
             audit = ivf_probe_audit(indexed, cents, q, nprobe=4)
+        fired = any("degenerate" in str(x.message) for x in wrec)
         tier[f"{label}_probe_audit"] = {
             "probed_fraction": round(audit["probed_fraction"], 4),
             "degenerate": audit["degenerate"],
-            "warning_fired": any("degenerate" in str(x.message) for x in wrec),
+            "warning_fired": fired,
         }
         print(f"{label} probe audit: fraction="
               f"{audit['probed_fraction']:.2%} degenerate={audit['degenerate']} "
-              f"warning={'FIRED' if wrec else 'quiet'}", flush=True)
+              f"warning={'FIRED' if fired else 'quiet'}", flush=True)
         assert audit["probed_rows"] == n_probed
         tier[f"{label}_wall"] = wall
         tier[f"{label}_probed_rows"] = n_probed
