@@ -866,3 +866,42 @@ def test_span_fingerprints_impls_identical(spark):
     }
     with pytest.raises(ValueError):
         span_fingerprints(df, impl="rdd")
+
+
+def test_duplicated_span_sites_localization(spark):
+    """r8: duplicated_span_sites returns the exact co-occurrence
+    positions — a span planted at different offsets yields sites with a
+    constant pos delta equal to the offset shift; sites agree with a
+    hashlib recomputation; the fps_pos= shared pass and the pair query's
+    fingerprint counts are consistent."""
+    import hashlib
+
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        duplicated_span_sites,
+        span_fingerprints,
+    )
+
+    span = " ".join(f"loc{i:03d}" for i in range(32))  # 223 chars
+    d1 = "aaa bbb ccc " + span + " tail one"          # span at char 13
+    d2 = "a much longer and different prefix here " + span  # span at 41
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    sites = duplicated_span_sites(df, window_len=40).collect()
+    assert sites
+    deltas = {r.pos_b - r.pos_a for r in sites}
+    assert deltas == {41 - 13}  # constant shift, every shared site
+    for r in sites:
+        w1 = d1[r.pos_a - 1 : r.pos_a + 39]
+        w2 = d2[r.pos_b - 1 : r.pos_b + 39]
+        assert w1 == w2 and hashlib.md5(w1.encode()).hexdigest() == r.fp
+    # site count equals the pair's n_shared here (no within-doc repeats)
+    n_shared = duplicated_span_pairs(df, window_len=40).collect()[0].n_shared
+    assert len(sites) == n_shared
+    # shared hashing pass: identical output through fps_pos=
+    fps_pos = span_fingerprints(df, window_len=40).localCheckpoint()
+    via_fps = sorted(
+        tuple(r) for r in duplicated_span_sites(fps_pos=fps_pos).collect()
+    )
+    assert via_fps == sorted(tuple(r) for r in sites)
+    with pytest.raises(ValueError):
+        duplicated_span_sites()

@@ -1029,3 +1029,89 @@ def test_snapshot_store_time_travel_retention(spark, tmp_path):
     assert read_snapshot_version(spark, root, "v-2").count() == 12
     with _pytest.raises(FileNotFoundError):
         read_snapshot_version(spark, root, "v-0")
+
+
+def test_incremental_span_index_matches_batch_and_streams(spark, tmp_path):
+    """r8 new capability: feeding the corpus through the incremental span
+    index in batches emits exactly the CROSS-batch + WITHIN-later-batch
+    pairs the one-shot batch detector finds — pair set AND n_shared —
+    each pair once (when its later doc arrives); the foreachBatch
+    wrapper reproduces it through a real stream with a restart between
+    batches; the cap excludes a boilerplate fingerprint observable via
+    the shared audit over the final index."""
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_pairs,
+        hot_span_fingerprints,
+    )
+    from tsatool_app_spark.streaming.snapshot_store import read_snapshot
+    from tsatool_app_spark.streaming.span_index import (
+        incremental_span_probe_and_update,
+        streaming_span_dedup,
+    )
+
+    span = " ".join(f"sp{i:03d}" for i in range(40))  # 239 chars, shared
+    base = [
+        (i, f"doc {i} " + " ".join(f"t{i}q{j}" for j in range(30)))
+        for i in range(10)
+    ]
+    # cross-batch copy of doc 3's text, an embedded slice of the span at a
+    # different offset, and a within-batch-2 clone pair
+    b1 = base + [(20, "prefix one " + span + " suffix")]
+    b2 = [
+        (100, base[3][1]),
+        (101, "completely different lead-in text " + span + " done"),
+        (102, "another unrelated framing " + span),
+    ]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+
+    snap = str(tmp_path / "spanidx")
+    m1 = incremental_span_probe_and_update(spark, snap, df1)
+    assert m1.count() == 0  # batch 1 shares nothing internally
+    m2 = incremental_span_probe_and_update(spark, snap, df2)
+    got = sorted(tuple(r) for r in m2.collect())
+
+    batch = duplicated_span_pairs(df1.unionByName(df2), window_len=40)
+    want = sorted(
+        tuple(r) for r in batch.collect() if r["id_b"] >= 100
+    )  # pairs whose later doc is in batch 2
+    assert got == want and len(got) >= 4
+    pairs_only = {(a, b) for a, b, _ in got}
+    assert (20, 101) in pairs_only and (101, 102) in pairs_only
+    assert (3, 100) in pairs_only  # exact cross-batch copy
+
+    # accumulated index IS the batch fingerprint relation: the shared
+    # audit runs on it directly (the span's interior fingerprints live in
+    # docs 20/101/102 — 3 docs, over a cap of 2)
+    idx = read_snapshot(spark, snap)
+    audit = hot_span_fingerprints(fps=idx, max_docs_per_fp=2).collect()
+    assert audit and max(r.n_docs for r in audit) == 3
+    # cap at probe time: with cap=2 the 3-doc span fingerprints are
+    # excluded — only the exact-copy pair (2 docs) survives
+    snap_c = str(tmp_path / "spanidx_c")
+    incremental_span_probe_and_update(spark, snap_c, df1, max_docs_per_fp=2)
+    mc = incremental_span_probe_and_update(spark, snap_c, df2, max_docs_per_fp=2)
+    assert {(r.id_a, r.id_b) for r in mc.collect()} == {(3, 100)}
+
+    # real stream with a restart between the two batches
+    src = str(tmp_path / "spansrc")
+    df1.coalesce(1).write.mode("overwrite").parquet(src + "/b=1")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    snap2 = str(tmp_path / "spanidx2")
+    matches_path = str(tmp_path / "spanmatches")
+    q = streaming_span_dedup(
+        stream, snap2, matches_path, checkpoint=str(tmp_path / "spanck")
+    )
+    q.awaitTermination(120)
+    df2.coalesce(1).write.mode("overwrite").parquet(src + "/b=2")
+    q = streaming_span_dedup(
+        stream, snap2, matches_path, checkpoint=str(tmp_path / "spanck")
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(matches_path)
+        .select("id_a", "id_b", "n_shared")
+        .collect()
+    )
+    assert streamed == want

@@ -403,3 +403,54 @@ def duplicated_span_pairs_dedup_first(
     )
     out = cross.unionByName(within)
     return out.orderBy("id_a", "id_b") if ordered else out
+
+
+def duplicated_span_sites(
+    docs: DataFrame | None = None,
+    *,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    max_docs_per_fp: int | None = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ordered: bool = True,
+    fps_pos: DataFrame | None = None,
+    impl: str = "sql",
+) -> DataFrame:
+    """WHERE the contamination sits: every co-occurrence site of a shared
+    fingerprint — (id_a, id_b, pos_a, pos_b, fp) with id_a < id_b, one
+    row per (document pair, position pair) whose ``window_len``-char
+    windows are byte-identical.  :func:`duplicated_span_pairs` answers
+    WHICH pairs share a span; this is the drill-down that lets a
+    pipeline excise or review the exact spans (consecutive selected
+    sites of one pair with pos deltas equal on both sides reconstruct
+    the full shared span).  A span repeated INSIDE one document yields
+    one row per position pair — unlike the pair count, sites are not
+    deduplicated to distinct fingerprints, because position is the
+    payload here.
+
+    ``fps_pos``: precomputed :func:`span_fingerprints` output (doc_id,
+    pos, fp — NOT the distinct doc-level relation) to share the hashing
+    pass; ``max_docs_per_fp`` counts DISTINCT documents per fingerprint,
+    byte-compatible with the pair query's cap."""
+    if fps_pos is None:
+        if docs is None:
+            raise ValueError("pass docs or a precomputed fps_pos relation")
+        fps_pos = span_fingerprints(
+            docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
+            text_col=text_col, id_col=id_col, impl=impl,
+        )
+    if max_docs_per_fp is not None:
+        ok = (
+            fps_pos.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("_n"))
+            .where(F.col("_n") <= max_docs_per_fp)
+            .select("fp")
+        )
+        fps_pos = fps_pos.join(ok, "fp", "left_semi")
+    a = fps_pos.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "fp")
+    b = fps_pos.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "fp")
+    out = a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b", "fp"
+    )
+    return out.orderBy("id_a", "id_b", "pos_a", "pos_b") if ordered else out

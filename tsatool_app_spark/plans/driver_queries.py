@@ -5677,6 +5677,64 @@ def q_dup_spans_arrow(spark, sf_dir):
 QUERIES["dup_spans_arrow"] = DriverQuery(q_dup_spans_arrow, ORACLES["dup_spans"])
 
 
+def q_dup_span_sites(spark, sf_dir):
+    """Span-contamination LOCALIZATION (functions/spans.py
+    duplicated_span_sites): the exact (pos_a, pos_b) window positions at
+    which document pairs share a byte-identical 40-char span — the
+    drill-down of dup_spans (WHICH pairs → WHERE in each text).  Same
+    planted composites as dup_spans: 9000001 duplicates the lowest-id
+    restricted doc at offset 0 (sites with pos_a == pos_b), 9000002
+    embeds a 160-char slice at a SHIFTED offset (sites with a constant
+    nonzero pos delta — the offset-independence payoff made visible).
+    Corpus restricted to doc_id % 50 == 0: sites are per-position rows,
+    so the oracle's output volume is kept tier-bounded."""
+    from tsatool_app_spark.functions.spans import duplicated_span_sites
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    base = docs.orderBy("doc_id").limit(1)
+    p1 = base.select(F.lit(9_000_001).cast("long").alias("doc_id"), F.col("text"))
+    p2 = base.select(
+        F.lit(9_000_002).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("Q "), F.substring("text", 11, 160), F.lit(" trailing-filler-xyz")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(p1).unionByName(p2)
+    return duplicated_span_sites(corpus, window_len=40)
+
+
+ORACLES["dup_span_sites"] = """
+WITH base AS (
+  SELECT text FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id LIMIT 1
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL SELECT 9000001, text FROM base
+  UNION ALL SELECT 9000002,
+    'Q ' || substring(text, 11, 160) || ' trailing-filler-xyz' FROM base
+), fps AS (
+  SELECT doc_id, w.pos AS pos, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM corpus) t
+), ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 256
+), kept AS (
+  SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN ok USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.pos AS pos_a, b.pos AS pos_b, a.fp AS fp
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+ORDER BY 1, 2, 3, 4"""
+
+QUERIES["dup_span_sites"] = DriverQuery(q_dup_span_sites, ORACLES["dup_span_sites"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
