@@ -905,3 +905,41 @@ def test_duplicated_span_sites_localization(spark):
     assert via_fps == sorted(tuple(r) for r in sites)
     with pytest.raises(ValueError):
         duplicated_span_sites()
+
+
+def test_span_contamination_hits(spark):
+    """r8: span-level decontamination — a train doc embedding a slice of
+    a benchmark doc at a shifted offset is flagged with the exact count
+    of shared selected windows; clean docs are absent; the benchmark
+    side is broadcast (plan-asserted); sql/arrow impls agree exactly."""
+    from tsatool_app_spark.functions.spans import (
+        span_contamination_hits,
+        span_doc_fingerprints,
+    )
+
+    secret = " ".join(f"bm{i:03d}" for i in range(40))  # 239-char benchmark span
+    bench = spark.createDataFrame(
+        [(900, "eval question: " + secret + " answer: yes")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally clean document " + " ".join(f"c{j}" for j in range(40))),
+            (2, "a long and different prefix here " + secret + " trailing"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared for r in span_contamination_hits(train, bench).collect()}
+    assert set(hits) == {2}
+    # exact count: distinct train-doc fps ∩ benchmark fp set
+    bfps = {r.fp for r in span_doc_fingerprints(bench).collect()}
+    tfps = {r.fp for r in span_doc_fingerprints(
+        train.where("doc_id = 2")).collect()}
+    assert hits[2] == len(bfps & tfps) > 0
+    # arrow impl: identical rows
+    arrow = {r.doc_id: r.n_shared
+             for r in span_contamination_hits(train, bench, impl="arrow").collect()}
+    assert arrow == hits
+    # benchmark fingerprints are the broadcast side
+    plan = span_contamination_hits(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

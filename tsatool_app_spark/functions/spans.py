@@ -454,3 +454,49 @@ def duplicated_span_sites(
         "id_a", "id_b", "pos_a", "pos_b", "fp"
     )
     return out.orderBy("id_a", "id_b", "pos_a", "pos_b") if ordered else out
+
+
+def span_contamination_hits(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "sql",
+) -> DataFrame:
+    """Span-level benchmark decontamination: training documents sharing
+    any selected ``window_len``-char window with the benchmark set, as
+    (doc_id, n_shared) with n_shared = number of DISTINCT benchmark
+    fingerprints the document carries.  The exact-substring complement of
+    functions/corpus.contamination_hits (word n-grams): token overlap
+    misses verbatim reuse across tokenization changes (punctuation,
+    casing inside the window keep character identity), and a 160-char
+    verbatim span is missed by the 1/8 selection with probability
+    ~(7/8)^120 ≈ 1e-7 (module docstring).
+
+    Plan shape (the same asymmetry as the n-gram filter): the benchmark's
+    distinct fingerprints are BROADCAST — eval sets are thousands of
+    docs; the corpus is the big side — so the probe is a map-side hash
+    semi-probe on the training scan's fingerprint stream, no shuffle of
+    corpus fingerprints except the matched survivors into the per-doc
+    count.  Use ``impl="arrow"`` for bulk corpus scans (byte-identical
+    selection, ~11× the SQL path)."""
+    bench_fps = (
+        span_doc_fingerprints(
+            benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
+            text_col=text_col, id_col=id_col, impl=impl,
+        )
+        .select("fp")
+        .distinct()
+    )
+    train_fps = span_doc_fingerprints(
+        train, window_len=window_len, rate_hex_lt=rate_hex_lt,
+        text_col=text_col, id_col=id_col, impl=impl,
+    )
+    return (
+        train_fps.join(F.broadcast(bench_fps), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

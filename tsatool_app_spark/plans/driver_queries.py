@@ -5735,6 +5735,67 @@ ORDER BY 1, 2, 3, 4"""
 QUERIES["dup_span_sites"] = DriverQuery(q_dup_span_sites, ORACLES["dup_span_sites"])
 
 
+def q_span_decontaminate(spark, sf_dir):
+    """Span-level benchmark decontamination (functions/spans.py
+    span_contamination_hits): training docs carrying any selected 40-char
+    window of the benchmark set — the exact-substring complement of the
+    word-n-gram `decontaminate` query (verbatim reuse survives
+    tokenization changes that break n-gram overlap).  Benchmark fps are
+    BROADCAST (small side); train restricted to doc_id % 10 == 0 like
+    dup_spans so the oracle's per-position hashing stays tier-bounded.
+    Planted composite 9000003 embeds a 160-char slice of the lowest-id
+    benchmark doc at a shifted offset behind a novel prefix — a
+    guaranteed cross-set hit that n-gram-aligned sampling could miss;
+    doc 0 sits in BOTH sets (0 % 10 = 0 % 97 = 0), pinning the self-hit
+    semantics."""
+    from tsatool_app_spark.functions.spans import span_contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    lowest = bench.orderBy("doc_id").limit(1)
+    planted = lowest.select(
+        F.lit(9_000_003).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("Z "), F.substring("text", 11, 160), F.lit(" novel-tail-abc")
+        ).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") % 10 == 0).unionByName(planted)
+    return span_contamination_hits(train, bench).orderBy("doc_id")
+
+
+ORACLES["span_decontaminate"] = """
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), lowest AS (
+  SELECT text FROM bench ORDER BY doc_id LIMIT 1
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 9000003,
+    'Z ' || substring(text, 11, 160) || ' novel-tail-abc' FROM lowest
+), bfps AS (
+  SELECT DISTINCT w.fp AS fp FROM (
+    SELECT unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM bench) t
+), tfps AS (
+  SELECT DISTINCT doc_id, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM train) t
+)
+SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tfps t JOIN bfps b ON t.fp = b.fp
+GROUP BY 1 ORDER BY 1"""
+
+QUERIES["span_decontaminate"] = DriverQuery(
+    q_span_decontaminate, ORACLES["span_decontaminate"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
