@@ -943,6 +943,15 @@ def test_span_contamination_hits(spark):
     # benchmark fingerprints are the broadcast side
     plan = span_contamination_hits(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # dedup-first composition: identical rows on a clone-heavy corpus
+    rows = [(r.doc_id, r.text) for r in train.collect()]
+    clone_rows = rows + [(21, rows[1][1]), (22, rows[1][1]), (31, rows[0][1])]
+    clones = spark.createDataFrame(clone_rows, "doc_id long, text string")
+    direct = {r.doc_id: r.n_shared
+              for r in span_contamination_hits(clones, bench).collect()}
+    fast = {r.doc_id: r.n_shared
+            for r in span_contamination_hits(clones, bench, dedup_texts=True).collect()}
+    assert fast == direct and set(direct) == {2, 21, 22}
 
 
 def test_span_fingerprints_arrow_multi_megabyte_doc(spark):

@@ -465,6 +465,7 @@ def span_contamination_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     impl: str = "sql",
+    dedup_texts: bool = False,
 ) -> DataFrame:
     """Span-level benchmark decontamination: training documents sharing
     any selected ``window_len``-char window with the benchmark set, as
@@ -482,7 +483,16 @@ def span_contamination_hits(
     semi-probe on the training scan's fingerprint stream, no shuffle of
     corpus fingerprints except the matched survivors into the per-doc
     count.  Use ``impl="arrow"`` for bulk corpus scans (byte-identical
-    selection, ~11× the SQL path)."""
+    selection, ~11× the SQL path).
+
+    ``dedup_texts``: a document's hit count is a pure function of its
+    TEXT, so the hashing pass + probe run over one min-id representative
+    per distinct md5(text) and the per-rep counts join back through the
+    md5 groups — the family's dedup-first composition
+    (corpus.contamination_hits, dedup.near_dup_pairs_dedup_first): on
+    clone-heavy corpora the fingerprint scan drops by the duplication
+    factor with identical output (pinned by
+    test_span_contamination_hits)."""
     bench_fps = (
         span_doc_fingerprints(
             benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
@@ -491,6 +501,27 @@ def span_contamination_hits(
         .select("fp")
         .distinct()
     )
+    if dedup_texts:
+        groups = train.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
+        rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+        reps = rep.join(
+            train.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep"
+        )
+        rep_hits = (
+            span_doc_fingerprints(
+                reps, window_len=window_len, rate_hex_lt=rate_hex_lt,
+                text_col=text_col, id_col="_rep", impl=impl,
+            )
+            .join(F.broadcast(bench_fps), "fp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .withColumnRenamed("doc_id", "_rep")
+        )
+        return (
+            rep.join(rep_hits, "_rep")
+            .join(groups, "_h")
+            .select(F.col(id_col).alias("doc_id"), "n_shared")
+        )
     train_fps = span_doc_fingerprints(
         train, window_len=window_len, rate_hex_lt=rate_hex_lt,
         text_col=text_col, id_col=id_col, impl=impl,
