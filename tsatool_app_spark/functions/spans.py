@@ -47,6 +47,7 @@ pipelines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def _sel_expr(text_col: str, window_len: int, rate_hex_lt: str) -> str:
@@ -411,6 +412,7 @@ def duplicated_span_sites(
     window_len: int = 40,
     rate_hex_lt: str = "2",
     max_docs_per_fp: int | None = 256,
+    max_sites_per_doc_fp: int | None = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
     ordered: bool = True,
@@ -432,7 +434,19 @@ def duplicated_span_sites(
     ``fps_pos``: precomputed :func:`span_fingerprints` output (doc_id,
     pos, fp — NOT the distinct doc-level relation) to share the hashing
     pass; ``max_docs_per_fp`` counts DISTINCT documents per fingerprint,
-    byte-compatible with the pair query's cap."""
+    byte-compatible with the pair query's cap.
+
+    ``max_sites_per_doc_fp`` bounds the POSITION fan-out the doc-level
+    cap cannot see: selection is content-defined, so periodic text
+    (whitespace runs, ASCII art, repeated boilerplate headers) makes one
+    fingerprint select at ~doc_length positions — two such documents are
+    |pos_a|x|pos_b| rows for a single (pair, fp) while staying under any
+    document-count cap.  Only the FIRST ``max_sites_per_doc_fp``
+    positions (ascending pos) of each (doc, fp) survive, so one (pair,
+    fp) emits at most cap^2 rows; for span-reconstruction the leading
+    sites are the informative ones (consecutive deltas).  Audit the
+    clipped fingerprints with :func:`oversize_span_sites`.  ``None``
+    disables (pre-cap behavior)."""
     if fps_pos is None:
         if docs is None:
             raise ValueError("pass docs or a precomputed fps_pos relation")
@@ -448,12 +462,60 @@ def duplicated_span_sites(
             .select("fp")
         )
         fps_pos = fps_pos.join(ok, "fp", "left_semi")
+    if max_sites_per_doc_fp is not None:
+        # One shuffle keyed by (doc_id, fp) — fine-grained, skew-free
+        # (the degenerate entity is exactly what gets clipped, and even a
+        # 100k-position (doc, fp) is one in-memory task partition).
+        w = Window.partitionBy("doc_id", "fp").orderBy("pos")
+        fps_pos = (
+            fps_pos.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_sites_per_doc_fp)
+            .drop("_rn")
+        )
     a = fps_pos.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "fp")
     b = fps_pos.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "fp")
     out = a.join(b, "fp").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "pos_a", "pos_b", "fp"
     )
     return out.orderBy("id_a", "id_b", "pos_a", "pos_b") if ordered else out
+
+
+def oversize_span_sites(
+    docs: DataFrame | None = None,
+    *,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    max_sites_per_doc_fp: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fps_pos: DataFrame | None = None,
+    impl: str = "sql",
+) -> DataFrame:
+    """Audit companion of :func:`duplicated_span_sites`'s position cap:
+    the (doc_id, fp, n_sites) entries whose per-document position count
+    exceeds ``max_sites_per_doc_fp`` — the degenerate repetitive-text
+    fingerprints whose sites the drill-down clipped to the first
+    ``max_sites_per_doc_fp`` positions.  Mirrors
+    :func:`hot_span_fingerprints` (the doc-count cap's audit): caps are
+    observable, never silent.  Route flagged documents through
+    repetition analysis (functions/text.repetition_signals) or excise the
+    degenerate region before re-running localization uncapped.
+
+    ``fps_pos``: the same precomputed :func:`span_fingerprints` relation
+    the sites query used, so the corpus is hashed once for query + audit."""
+    if fps_pos is None:
+        if docs is None:
+            raise ValueError("pass docs or a precomputed fps_pos relation")
+        fps_pos = span_fingerprints(
+            docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
+            text_col=text_col, id_col=id_col, impl=impl,
+        )
+    return (
+        fps_pos.groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .where(F.col("n_sites") > max_sites_per_doc_fp)
+        .orderBy(F.desc("n_sites"), "doc_id", "fp")
+    )
 
 
 def span_contamination_hits(

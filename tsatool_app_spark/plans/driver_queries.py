@@ -5687,7 +5687,11 @@ def q_dup_span_sites(spark, sf_dir):
     embeds a 160-char slice at a SHIFTED offset (sites with a constant
     nonzero pos delta — the offset-independence payoff made visible).
     Corpus restricted to doc_id % 50 == 0: sites are per-position rows,
-    so the oracle's output volume is kept tier-bounded."""
+    so the oracle's output volume is kept tier-bounded.  The r9 position
+    cap (max_sites_per_doc_fp=64, the function default; oracle QUALIFY
+    row_number <= 64) bounds the periodic-text fan-out edge — inert on
+    this corpus (no (doc, fp) nears 64 sites), exercised by the planted
+    periodic-text test in tests/test_spans.py."""
     from tsatool_app_spark.functions.spans import duplicated_span_sites
 
     docs = (
@@ -5726,6 +5730,7 @@ WITH base AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 256
 ), kept AS (
   SELECT f.doc_id, f.pos, f.fp FROM fps f JOIN ok USING (fp)
+  QUALIFY row_number() OVER (PARTITION BY f.doc_id, f.fp ORDER BY f.pos) <= 64
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        a.pos AS pos_a, b.pos AS pos_b, a.fp AS fp
