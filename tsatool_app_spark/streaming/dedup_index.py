@@ -20,12 +20,15 @@ pairs only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsatool_app_spark.functions.dedup import _band_keys, minhash_signatures
 from tsatool_app_spark.streaming.snapshot_store import (
     append_snapshot_segment,
+    folded_batches,
     read_snapshot,
 )
 
@@ -103,12 +106,15 @@ def probe_index(
     ``max_bucket_size`` guards the same quadratic hot-bucket edge as the
     batch join — index buckets above the cap are excluded (route those
     clusters through exact dedup; the audit companion is
-    functions/dedup.minhash_oversize_buckets)."""
+    functions/dedup.minhash_oversize_buckets).  Bucket size counts
+    DISTINCT doc_ids — identical to the row count on a well-formed index
+    (one row per doc per band), but robust to a duplicated segment
+    (defense-in-depth behind snapshot_store's batch ledger)."""
     idx = index.select(F.col(id_col).alias("_idx_id"), "band", "bucket")
     if max_bucket_size is not None:
         ok = (
             idx.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.countDistinct("_idx_id").alias("sz"))
             .where(F.col("sz") <= max_bucket_size)
             .select("band", "bucket")
         )
@@ -137,6 +143,7 @@ def incremental_probe_and_update(
     shingle_k: int = 5,
     max_bucket_size: int | None = 512,
     dedup_texts: bool = False,
+    batch_id: str | int | None = None,
 ) -> DataFrame:
     """Probe ``new_docs`` against the persisted index PLUS the batch
     itself, fold the batch's keys in, and return the candidate pairs.
@@ -144,6 +151,13 @@ def incremental_probe_and_update(
     are still caught (the id_a < id_b dedup in probe_index collapses the
     symmetric double-find), so every near-dup pair in the corpus is
     emitted exactly once — when its later document arrives.
+
+    ``batch_id`` (the streaming path always passes one) makes the fold
+    idempotent: an already-folded id skips the append — the snapshot
+    store's batch ledger remembers across crashes — and the probe runs
+    against the index AS IS (it already holds this batch's keys), so a
+    replayed batch recomputes exactly the same candidates without
+    double-folding.
 
     The returned candidates are UNVERIFIED (LSH bucket collisions);
     verify with functions/dedup.ngram_jaccard_pairs over the union corpus
@@ -157,10 +171,16 @@ def incremental_probe_and_update(
         shingle_k=shingle_k,
         dedup_texts=dedup_texts,
     ).localCheckpoint(eager=True)  # computed once: probed AND folded in
-    current = read_snapshot(spark, snapshot_path)
-    combined = (
-        current.unionByName(new_keys) if current is not None else new_keys
+    already = batch_id is not None and str(batch_id) in folded_batches(
+        snapshot_path
     )
+    current = read_snapshot(spark, snapshot_path)
+    if already:
+        combined = current  # replay: the index already holds this batch
+    else:
+        combined = (
+            current.unionByName(new_keys) if current is not None else new_keys
+        )
     matches = probe_index(
         combined, new_keys, id_col=id_col, max_bucket_size=max_bucket_size
     ).localCheckpoint(eager=True)  # computed before the index swaps versions
@@ -169,8 +189,50 @@ def incremental_probe_and_update(
     # batch (measured 6.5 s/25 k-doc batch at the 10x rehearsal, most of
     # it rewriting history). Long-runners compact via
     # snapshot_store.compact_segments.
-    append_snapshot_segment(new_keys, snapshot_path)
+    if not already:
+        append_snapshot_segment(new_keys, snapshot_path, batch_id=batch_id)
     return matches
+
+
+def process_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    matches_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
+    dedup_texts: bool = False,
+) -> None:
+    """The foreachBatch body of :func:`streaming_minhash_dedup`, exposed
+    at module level so crash-replay is directly testable: calling it
+    twice with the same ``batch_id`` (what a crash between the matches
+    write and the streaming-checkpoint commit does) leaves the index and
+    the match sink byte-identical — the fold is skipped via the snapshot
+    store's batch ledger, and the matches land in a ``batch_id=N``
+    partition the replay OVERWRITES instead of appending to."""
+    if batch_df.isEmpty():
+        return
+    matches = incremental_probe_and_update(
+        batch_df.sparkSession,
+        snapshot_path,
+        batch_df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+        dedup_texts=dedup_texts,
+        batch_id=batch_id,
+    )
+    matches.write.mode("overwrite").parquet(
+        os.path.join(matches_path, f"batch_id={batch_id}")
+    )
 
 
 def streaming_minhash_dedup(
@@ -188,10 +250,19 @@ def streaming_minhash_dedup(
     dedup_texts: bool = False,
 ):
     """foreachBatch driver: each micro-batch of documents is probed
-    against the index-so-far, candidate pairs append to ``matches_path``
-    (parquet), and the batch folds into the index.  Returns the
-    StreamingQuery.  Batch-order determinism: a pair is emitted exactly
-    once, when its LATER document arrives.
+    against the index-so-far, candidate pairs land under
+    ``matches_path/batch_id=N`` (read the root path: batch_id surfaces
+    as a partition column), and the batch folds into the index.  Returns
+    the StreamingQuery.  Batch-order determinism: a pair is emitted
+    exactly once, when its LATER document arrives.
+
+    Exactly-once under BOTH restart classes: a graceful restart resumes
+    from the streaming checkpoint; a crash anywhere inside the batch
+    body replays it, where (a) the fold is skipped via the snapshot
+    store's batch ledger and (b) the matches write overwrites its own
+    ``batch_id=N`` partition — neither the index nor the match sink ever
+    carries a batch twice (pinned by
+    test_dedup_index_crash_replay_idempotent).
 
     ``dedup_texts`` forwards to band_bucket_keys: the signature pass runs
     over one representative per distinct md5(text) and fans back out —
@@ -200,12 +271,11 @@ def streaming_minhash_dedup(
     scripts/rehearsal_stream_dedup_index.py)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        matches = incremental_probe_and_update(
-            batch_df.sparkSession,
-            snapshot_path,
+        process_dedup_batch(
             batch_df,
+            batch_id,
+            snapshot_path,
+            matches_path,
             text_col=text_col,
             id_col=id_col,
             num_hashes=num_hashes,
@@ -214,7 +284,6 @@ def streaming_minhash_dedup(
             max_bucket_size=max_bucket_size,
             dedup_texts=dedup_texts,
         )
-        matches.write.mode("append").parquet(matches_path)
 
     return (
         stream_docs.writeStream.foreachBatch(process)

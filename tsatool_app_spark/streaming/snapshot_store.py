@@ -47,6 +47,7 @@ def current_version(root: str) -> str | None:
 
 
 _SEG_MANIFEST = "_segments"
+_BATCH_MANIFEST = "_batches"
 
 
 def _manifest_segments(root: str, name: str) -> list[str] | None:
@@ -57,6 +58,22 @@ def _manifest_segments(root: str, name: str) -> list[str] | None:
             return [ln.strip() for ln in f if ln.strip()]
     except FileNotFoundError:
         return None
+
+
+def folded_batches(root: str) -> set[str]:
+    """Batch ids already folded into the committed snapshot (the ids
+    passed as ``batch_id`` to :func:`append_snapshot_segment`).  Empty
+    for plain-version stores, never-written stores, and folds that did
+    not declare a batch id.  This is the replay ledger: a foreachBatch
+    body re-run after a crash consults it to skip the duplicate fold."""
+    name = current_version(root)
+    if name is None:
+        return set()
+    try:
+        with open(os.path.join(root, name, _BATCH_MANIFEST)) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+    except FileNotFoundError:
+        return set()
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
@@ -94,9 +111,12 @@ def publish_snapshot(df: DataFrame, root: str) -> str:
     return name
 
 
-def _publish_manifest(root: str, segs: list[str]) -> str:
-    """Write a manifest version listing ``segs`` and point CURRENT at it;
-    prune superseded versions and unreferenced segments."""
+def _publish_manifest(
+    root: str, segs: list[str], batches: set[str] | None = None
+) -> str:
+    """Write a manifest version listing ``segs`` (and the folded
+    ``batches`` ledger) and point CURRENT at it; prune superseded
+    versions and unreferenced segments."""
     prev = current_version(root)
     seq = 0 if prev is None else int(prev.rsplit("-", 1)[1]) + 1
     name = f"v-{seq}"
@@ -106,6 +126,11 @@ def _publish_manifest(root: str, segs: list[str]) -> str:
         f.write("\n".join(segs))
         f.flush()
         os.fsync(f.fileno())
+    if batches:
+        with open(os.path.join(vdir, _BATCH_MANIFEST), "w") as f:
+            f.write("\n".join(sorted(batches)))
+            f.flush()
+            os.fsync(f.fileno())
     tmp = _pointer_path(root) + ".tmp"
     with open(tmp, "w") as f:
         f.write(name)
@@ -121,7 +146,9 @@ def _publish_manifest(root: str, segs: list[str]) -> str:
     return name
 
 
-def append_snapshot_segment(df: DataFrame, root: str) -> str:
+def append_snapshot_segment(
+    df: DataFrame, root: str, *, batch_id: str | int | None = None
+) -> str:
     """Append ``df`` as a new immutable segment — write cost is the BATCH,
     not the accumulated state (contrast publish_snapshot, which rewrites;
     right for key-bounded partial aggregates, wrong for monotonically
@@ -129,11 +156,26 @@ def append_snapshot_segment(df: DataFrame, root: str) -> str:
     pointer protocol: the segment lands fully before the manifest version
     publishes; a crash in between leaves an unreferenced segment that the
     next successful publish prunes.  Returns the published version name.
+
+    ``batch_id`` makes the fold IDEMPOTENT under foreachBatch's
+    at-least-once replay: the id is recorded in the committed manifest's
+    batch ledger, and a second call carrying an already-folded id is a
+    no-op (a crash between this publish and the streaming-checkpoint
+    commit replays the batch; without the ledger the replay folds the
+    same rows twice, permanently inflating per-key counts downstream).
+    The ledger survives :func:`compact_segments`; a full
+    :func:`publish_snapshot` rewrite supersedes it (the caller is
+    declaring new state wholesale).
     """
     os.makedirs(root, exist_ok=True)
     prev = current_version(root)
+    bid = None if batch_id is None else str(batch_id)
     segs: list[str] = []
+    batches: set[str] = set()
     if prev is not None:
+        batches = folded_batches(root)
+        if bid is not None and bid in batches:
+            return prev  # replay of an already-folded batch: no-op
         prev_segs = _manifest_segments(root, prev)
         if prev_segs is None:
             # migrate a plain version into segment form (one-time rewrite)
@@ -148,7 +190,9 @@ def append_snapshot_segment(df: DataFrame, root: str) -> str:
     nums = [int(s.rsplit("-", 1)[1]) for s in segs] or [-1]
     seg = f"seg-{max(nums) + 1}"
     df.write.mode("overwrite").parquet(os.path.join(root, seg))
-    return _publish_manifest(root, segs + [seg])
+    if bid is not None:
+        batches = batches | {bid}
+    return _publish_manifest(root, segs + [seg], batches)
 
 
 def compact_segments(spark: SparkSession, root: str) -> str | None:
@@ -164,7 +208,9 @@ def compact_segments(spark: SparkSession, root: str) -> str | None:
     nums = [int(s.rsplit("-", 1)[1]) for s in segs]
     seg = f"seg-{max(nums) + 1}"
     df.write.mode("overwrite").parquet(os.path.join(root, seg))
-    return _publish_manifest(root, [seg])
+    # the batch ledger survives compaction — replay protection must not
+    # lapse just because maintenance ran between a crash and its replay
+    return _publish_manifest(root, [seg], folded_batches(root))
 
 
 def list_versions(root: str) -> list[str]:

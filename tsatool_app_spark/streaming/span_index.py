@@ -37,12 +37,15 @@ expression path, byte-identical).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsatool_app_spark.functions.spans import span_doc_fingerprints
 from tsatool_app_spark.streaming.snapshot_store import (
     append_snapshot_segment,
+    folded_batches,
     read_snapshot,
 )
 
@@ -88,12 +91,17 @@ def probe_span_index(
     ``max_docs_per_fp`` guards the same quadratic boilerplate edge as the
     batch join — fingerprints held by more documents than the cap
     (counted over the index, i.e. the corpus so far) are excluded; audit
-    with functions/spans.hot_span_fingerprints(fps=index)."""
+    with functions/spans.hot_span_fingerprints(fps=index).  The cap
+    counts DISTINCT doc_ids, the batch query's exact semantics — so a
+    duplicated index segment (a replay that slipped past the fold
+    ledger, or a hand-assembled index) cannot inflate the count and
+    spuriously suppress a fingerprint (defense-in-depth behind
+    snapshot_store's batch ledger)."""
     idx = index.select(F.col("doc_id").alias("_idx_id"), "fp")
     if max_docs_per_fp is not None:
         ok = (
             idx.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.countDistinct("_idx_id").alias("_n"))
             .where(F.col("_n") <= max_docs_per_fp)
             .select("fp")
         )
@@ -125,12 +133,20 @@ def incremental_span_probe_and_update(
     id_col: str = "doc_id",
     max_docs_per_fp: int | None = 256,
     impl: str = "arrow",
+    batch_id: str | int | None = None,
 ) -> DataFrame:
     """Probe ``new_docs`` against the persisted index PLUS the batch
     itself, fold the batch's fingerprints in, and return the span matches
     (id_a, id_b, n_shared) — each pair emitted exactly once, when its
     later document arrives, with its FINAL n_shared (fingerprint sets
-    are immutable per document)."""
+    are immutable per document).
+
+    ``batch_id`` (the streaming path always passes one) makes the fold
+    idempotent: an already-folded id skips the append — the snapshot
+    store's batch ledger remembers across crashes — and the probe runs
+    against the index AS IS (it already contains this batch's keys), so
+    a replayed batch recomputes exactly the same matches without
+    double-folding."""
     new_keys = span_index_keys(
         new_docs,
         window_len=window_len,
@@ -142,13 +158,61 @@ def incremental_span_probe_and_update(
     if id_col != "doc_id":
         new_keys = new_keys.withColumnRenamed(id_col, "doc_id")
     new_keys = new_keys.localCheckpoint(eager=True)  # probed AND folded in
+    already = batch_id is not None and str(batch_id) in folded_batches(
+        snapshot_path
+    )
     current = read_snapshot(spark, snapshot_path)
-    combined = current.unionByName(new_keys) if current is not None else new_keys
+    if already:
+        combined = current  # replay: the index already holds this batch
+    else:
+        combined = (
+            current.unionByName(new_keys) if current is not None else new_keys
+        )
     matches = probe_span_index(
         combined, new_keys, max_docs_per_fp=max_docs_per_fp
     ).localCheckpoint(eager=True)  # computed before the index swaps versions
-    append_snapshot_segment(new_keys, snapshot_path)
+    if not already:
+        append_snapshot_segment(new_keys, snapshot_path, batch_id=batch_id)
     return matches
+
+
+def process_span_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    matches_path: str,
+    *,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_fp: int | None = 256,
+    impl: str = "arrow",
+) -> None:
+    """The foreachBatch body of :func:`streaming_span_dedup`, exposed at
+    module level so crash-replay is directly testable: calling it twice
+    with the same ``batch_id`` (what a crash between the matches write
+    and the streaming-checkpoint commit does) leaves the index and the
+    match sink byte-identical — the fold is skipped via the snapshot
+    store's batch ledger, and the matches land in a ``batch_id=N``
+    partition that the replay OVERWRITES instead of appending to."""
+    if batch_df.isEmpty():
+        return
+    matches = incremental_span_probe_and_update(
+        batch_df.sparkSession,
+        snapshot_path,
+        batch_df,
+        window_len=window_len,
+        rate_hex_lt=rate_hex_lt,
+        text_col=text_col,
+        id_col=id_col,
+        max_docs_per_fp=max_docs_per_fp,
+        impl=impl,
+        batch_id=batch_id,
+    )
+    matches.write.mode("overwrite").parquet(
+        os.path.join(matches_path, f"batch_id={batch_id}")
+    )
 
 
 def streaming_span_dedup(
@@ -165,20 +229,25 @@ def streaming_span_dedup(
     impl: str = "arrow",
 ):
     """foreachBatch driver: each micro-batch of documents is probed
-    against the span index-so-far, matches append to ``matches_path``
-    (parquet), and the batch folds into the index.  Returns the
-    StreamingQuery.  Restart-safe: the snapshot store publishes
-    atomically, so a crash between the probe and the fold replays the
-    batch against the PREVIOUS index version and re-emits the same
-    rows."""
+    against the span index-so-far, matches land under
+    ``matches_path/batch_id=N`` (read the root path: batch_id surfaces
+    as a partition column), and the batch folds into the index.  Returns
+    the StreamingQuery.
+
+    Exactly-once under BOTH restart classes: a graceful restart resumes
+    from the streaming checkpoint; a crash anywhere inside the batch
+    body replays it, where (a) the fold is skipped via the snapshot
+    store's batch ledger and (b) the matches write overwrites its own
+    ``batch_id=N`` partition — so neither the index nor the match sink
+    ever carries a batch twice (pinned by
+    test_span_index_crash_replay_idempotent)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        matches = incremental_span_probe_and_update(
-            batch_df.sparkSession,
-            snapshot_path,
+        process_span_batch(
             batch_df,
+            batch_id,
+            snapshot_path,
+            matches_path,
             window_len=window_len,
             rate_hex_lt=rate_hex_lt,
             text_col=text_col,
@@ -186,7 +255,6 @@ def streaming_span_dedup(
             max_docs_per_fp=max_docs_per_fp,
             impl=impl,
         )
-        matches.write.mode("append").parquet(matches_path)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
