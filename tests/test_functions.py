@@ -921,6 +921,30 @@ def test_span_fingerprints_impls_identical(spark):
         span_fingerprints(df, impl="rdd")
 
 
+def test_span_fingerprints_arrow_flush_identical(spark):
+    """r9 (ADVICE r8 medium): the arrow pass flushes its accumulators
+    every ``flush_rows`` rows so a batch of many large documents cannot
+    pile total_chars/8 rows into task memory before the first yield.
+    Flushing mid-batch (and mid-document-stream) must only re-batch the
+    output — rows identical to the unflushed sql path."""
+    from tsatool_app_spark.functions.spans import (
+        _span_fingerprints_arrow,
+        span_fingerprints,
+    )
+
+    span = " ".join(f"fl{i:03d}" for i in range(40))
+    rows = [(i, f"doc {i} prefix " + span + f" suffix {i}") for i in range(8)]
+    rows.append((99, "ääkköset ja €urot " * 12))  # multibyte crosses flushes
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    want = sorted(tuple(r) for r in span_fingerprints(df, window_len=40).collect())
+    got = sorted(
+        tuple(r)
+        for r in _span_fingerprints_arrow(df, 40, "2", "text", "doc_id",
+                                          flush_rows=3).collect()
+    )
+    assert got == want and len(want) > 20  # several flushes actually fired
+
+
 def test_duplicated_span_sites_localization(spark):
     """r8: duplicated_span_sites returns the exact co-occurrence
     positions — a span planted at different offsets yields sites with a

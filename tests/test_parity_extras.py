@@ -145,6 +145,14 @@ def test_embedding_auto_banding_and_hot_bucket_cap(spark):
     assert _resolve_band_bits("auto", df, 64, None, "vec_id") == 4
     assert _resolve_band_bits("auto", df, 64, 200_000, "vec_id") == 16
     assert _resolve_band_bits(8, df, 64, None, "vec_id") == 8
+    # r9 (ADVICE r8 low): the sizing count is memoized on the frame —
+    # repeated auto-resolution against the same DataFrame consults the
+    # cache instead of re-running the count job (preseed a sentinel size
+    # and observe it drive the geometry)
+    assert df._tsa_sizing_counts["vec_id"] > 0
+    df._tsa_sizing_counts["vec_id"] = 200_000
+    assert _resolve_band_bits("auto", df, 64, None, "vec_id") == 16
+    del df._tsa_sizing_counts["vec_id"]
 
 
 def test_recommended_band_bits_rule():

@@ -272,12 +272,25 @@ def _resolve_band_bits(
     """``band_bits="auto"`` → recommended_band_bits(n) with n from
     ``n_vectors`` if the caller knows it (free), else one cheap count of
     the id column (one job over a 1-column projection — negligible next
-    to the banded join it sizes)."""
+    to the banded join it sizes, but NOT next to a per-query top-k probe:
+    query-serving callers should pass ``n_vectors``).  The count is
+    memoized on the DataFrame object, so repeated queries against the
+    same corpus frame pay it once."""
     if band_bits != "auto":
         return int(band_bits)
     from tsatool_app_spark.functions.similarity import recommended_band_bits
 
-    n = n_vectors if n_vectors is not None else embeddings.select(id_col).count()
+    if n_vectors is not None:
+        n = n_vectors
+    else:
+        cache = getattr(embeddings, "_tsa_sizing_counts", None)
+        if cache is None:
+            cache = {}
+            embeddings._tsa_sizing_counts = cache
+        n = cache.get(id_col)
+        if n is None:
+            n = embeddings.select(id_col).count()
+            cache[id_col] = n
     return recommended_band_bits(n, n_planes=n_planes)
 
 

@@ -382,8 +382,16 @@ def lsh_ann_topk(
 
     ``band_bits="auto"`` (default, r8) sizes the bands to the corpus via
     :func:`recommended_band_bits` so the expected candidate volume — the
-    rerank cost, ~n_bands·n/2^b — stays bounded as n grows; ``n_vectors``
-    skips the sizing count when the caller knows the corpus size."""
+    rerank cost, ~n_bands·n/2^b — stays bounded as n grows.
+
+    **Query-serving paths: pass ``n_vectors``.**  Without it, "auto" runs
+    one count() job over the id column the first time a corpus frame is
+    seen — fine amortized over a batch pipeline, a real regression on a
+    per-query serving path whose candidate filter is otherwise
+    shuffle-free.  The count is memoized on the DataFrame object, so
+    repeated queries against the SAME frame pay it once; a fresh frame
+    per query (e.g. re-read from parquet) pays it per query unless
+    ``n_vectors`` (or an explicit ``band_bits``) is given."""
     import numpy as np
 
     from tsatool_app_spark.functions.dedup import _resolve_band_bits

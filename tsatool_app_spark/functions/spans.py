@@ -76,9 +76,12 @@ def _sel_expr(text_col: str, window_len: int, rate_hex_lt: str) -> str:
     )
 
 
+_ARROW_FLUSH_ROWS = 1 << 20  # ~90 MB of (id, pos, fp) rows per yielded frame
+
+
 def _span_fingerprints_arrow(
     docs: DataFrame, window_len: int, rate_hex_lt: str, text_col: str,
-    id_col: str,
+    id_col: str, flush_rows: int = _ARROW_FLUSH_ROWS,
 ) -> DataFrame:
     """Arrow/``mapInPandas`` implementation of the SAME md5 selection
     rule as :func:`_sel_expr` — byte-identical output (pinned by
@@ -97,7 +100,17 @@ def _span_fingerprints_arrow(
     Multibyte exactness: Spark's substring/length count CHARACTERS and
     md5 hashes the window's UTF-8 BYTES; the non-ASCII branch builds the
     char→byte offset table from UTF-8 lead bytes so windows are sliced
-    on the same boundaries."""
+    on the same boundaries.
+
+    Peak memory is bounded per TASK, not just per document: the selected
+    rows flush as a frame whenever the accumulators exceed
+    ``flush_rows`` (~90 MB at the default 2^20), so a batch of MANY
+    large documents (Arrow feeds up to maxRecordsPerBatch=10k docs per
+    input frame — the advertised bulk-corpus case) cannot pile
+    total_chars/8 rows into Python lists before the first yield.
+    Flushing mid-batch only splits the output across more Arrow record
+    batches; row content is unchanged (pinned by
+    test_span_fingerprints_arrow_flush_identical)."""
     import hashlib
 
     import numpy as np
@@ -142,10 +155,17 @@ def _span_fingerprints_arrow(
                             ids.append(doc_id)
                             poss.append(p + 1)
                             fpss.append(dig.hex())
-            yield pd.DataFrame(
-                {"doc_id": ids, "pos": pd.Series(poss, dtype="int32"),
-                 "fp": fpss}
-            )
+                if len(ids) >= flush_rows:
+                    yield pd.DataFrame(
+                        {"doc_id": ids,
+                         "pos": pd.Series(poss, dtype="int32"), "fp": fpss}
+                    )
+                    ids, poss, fpss = [], [], []
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "pos": pd.Series(poss, dtype="int32"),
+                     "fp": fpss}
+                )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 

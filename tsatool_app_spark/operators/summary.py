@@ -50,8 +50,11 @@ def validity_summary(
         F.sum(F.when(F.col("master") == False, F.col("vdiff_s"))).alias("_notvalid"),  # noqa: E712
     )
     if keys is not None:
-        # Broadcast: `keys` is one row per group (per condition) — tiny.
-        agg = F.broadcast(keys.select(*gcols)).join(agg, gcols, "left")
+        # Broadcast the BUILD side: `agg` is one row per group — tiny —
+        # and a left-outer BroadcastHashJoin can only build from the
+        # non-preserved (right) side; a hint on the preserved `keys` side
+        # would be silently unusable (r9, ADVICE r8).
+        agg = keys.select(*gcols).join(F.broadcast(agg), gcols, "left")
     tot = F.col("data_until").cast("long") - F.col("data_from").cast("long")
     valid = F.coalesce(F.col("_valid"), F.lit(0)).cast("long")
     notvalid = F.coalesce(F.col("_notvalid"), F.lit(0)).cast("long")
