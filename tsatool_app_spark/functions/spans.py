@@ -220,7 +220,13 @@ def span_doc_fingerprints(
     their ``fps=`` parameter — the hashing pass (the dominant scan cost:
     measured 104.5 s SQL / 9.4 s arrow over 500k docs at the sf10 tier,
     and 714.9 s for an audit that re-derived it from scratch, r7 VERDICT
-    #2) then runs once instead of once per consumer."""
+    #2) then runs once instead of once per consumer.
+
+    Bulk runs: pass ``impl="arrow"`` — the default ``"sql"`` is the
+    oracle-mirrored form kept for engine-portable comparison; the arrow
+    path computes the identical rows ~11× faster and without the
+    per-document array peak (:func:`_span_fingerprints_arrow`).  This
+    holds for every ``impl=`` entry point in the family."""
     return span_fingerprints(
         docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
         text_col=text_col, id_col=id_col, impl=impl,
@@ -245,7 +251,8 @@ def hot_span_fingerprints(
     ``fps``: precomputed :func:`span_doc_fingerprints` relation (distinct
     (doc_id, fp)).  Pass the SAME (ideally checkpointed) frame the pair
     query used so the corpus is hashed once for the whole family; when
-    omitted, it is derived from ``docs`` here."""
+    omitted, it is derived from ``docs`` here (bulk runs:
+    ``impl="arrow"`` — see :func:`span_doc_fingerprints`)."""
     if fps is None:
         if docs is None:
             raise ValueError("pass docs or a precomputed fps relation")
@@ -349,7 +356,8 @@ def duplicated_span_pairs_dedup_first(
     expands every 100-clone base's shared fingerprint into C(100,2)
     pre-aggregation rows (~700M); over representatives the same truth
     costs C(10,2) per fingerprint (scripts/rehearsal_sf10_spans.py
-    records the measured gap)."""
+    records the measured gap).  Bulk runs: ``impl="arrow"`` for the
+    representative hashing pass — see :func:`span_doc_fingerprints`."""
     groups = docs.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col))
     sizes = groups.groupBy("_h").agg(F.count(F.lit(1)).alias("_sz"))
     rep = groups.groupBy("_h").agg(F.min(id_col).alias("_rep"))
@@ -466,7 +474,9 @@ def duplicated_span_sites(
     fp) emits at most cap^2 rows; for span-reconstruction the leading
     sites are the informative ones (consecutive deltas).  Audit the
     clipped fingerprints with :func:`oversize_span_sites`.  ``None``
-    disables (pre-cap behavior)."""
+    disables (pre-cap behavior).  Bulk runs: ``impl="arrow"`` — see
+    :func:`span_doc_fingerprints` (measured 136 → 6.7 s at the 100k
+    degenerate tier, SCALING.md r9)."""
     if fps_pos is None:
         if docs is None:
             raise ValueError("pass docs or a precomputed fps_pos relation")
