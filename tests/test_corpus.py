@@ -359,3 +359,77 @@ def test_corpus_datacard_values(spark):
     assert 0 <= card["exact_dup_rate"] < 1
     assert card["chars_p50"] <= card["chars_p95"]
     assert 0 <= card["quality_pass_rate"] <= 1
+
+
+def test_pretraining_mix_seams(spark):
+    """r9 (VERDICT r8 ask #7): the composed pipeline drops each planted
+    document at exactly the stage built to catch it, carries the
+    id/schema contract between stages, and the checkpoint knob is
+    output-inert."""
+    from tsatool_app_spark.functions.corpus import pretraining_mix
+
+    # a base corpus of good-quality english docs in two sources; bodies
+    # are per-doc distinct token streams so the docs are NOT near-dups
+    # of one another (only the planted clones are)
+    rows = []
+    for i in range(12):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append(
+            (
+                i,
+                f"the document {i} says {body} and then a tidy end. "
+                "the closing line keeps a period.",
+                "srcA" if i % 2 == 0 else "srcB",
+            )
+        )
+    bench_text = (
+        "benchmarks carry the holdout answer keys and the exact wording "
+        "of every evaluation question in a long and very specific order "
+        "that training text must never contain verbatim at all."
+    )
+    clone = rows[0][1]                       # exact dup of doc 0
+    near = rows[2][1] + "!"                  # J ~ 0.99 near-dup of doc 2
+    contaminated = (
+        "a fresh preface sentence for padding. " + bench_text + " a tail."
+    )
+    rows += [
+        (100, clone, "srcA"),
+        (101, near, "srcA"),
+        (102, contaminated, "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    out = pretraining_mix(
+        docs, bench, {"srcA": 10_000, "srcB": 10_000}, n_shards=2
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert 100 not in got  # exact clone: min-id survivor is doc 0
+    assert 101 not in got  # near-dup cluster: min-id survivor is doc 2
+    assert 102 not in got  # contaminated: n-gram and span filters
+    assert 0 in got and 2 in got  # the survivors their clones lost to
+    assert set(got) == set(range(12))
+    r0 = got[0]
+    assert r0.source == "srcA" and r0.rate_q == 10_000  # loose budget
+    assert r0.shard == 0 and r0.n_tokens > 0
+    # binding budget: rate_q < 10000 and only the low-bucket srcB docs
+    # survive (md5 buckets for ids 1,3,5,7,9,11 are 378, 619, 8586,
+    # 6628, 7860, 5874 — a ~10% budget keeps exactly {1, 3})
+    tight = pretraining_mix(
+        docs, bench, {"srcA": 10_000, "srcB": 140}, n_shards=2
+    ).collect()
+    b_rows = [r for r in tight if r.source == "srcB"]
+    assert {r.doc_id for r in b_rows} == {1, 3}
+    assert all(r.rate_q < 10_000 for r in b_rows)
+    # the checkpoint knob changes materialization, never values
+    plain = pretraining_mix(
+        docs, bench, {"srcA": 10_000, "srcB": 10_000}, n_shards=2,
+        checkpoint=False,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, out.collect())
+    )

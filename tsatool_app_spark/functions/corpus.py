@@ -569,3 +569,95 @@ def corpus_datacard(docs: DataFrame, *, text_col: str = "text") -> dict:
         if dup["n_docs"]
         else None,
     }
+
+
+def pretraining_mix(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    budgets: dict[str, int],
+    *,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    min_jaccard: float = 0.85,
+    ngram_n: int = 8,
+    window_len: int = 40,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    pack_budget: int = 256,
+    n_shards: int = 8,
+    impl: str = "sql",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The WHOLE pretraining-data pipeline as one certified composition:
+
+    clean (lang + quality + exact-dedup survivors)
+      → near-dup survivorship (MinHash-LSH + exact verify + connected
+        components; the min-id doc of each duplicate cluster survives)
+      → benchmark decontamination (word ``ngram_n``-grams AND
+        ``window_len``-char content-defined spans — a doc flagged by
+        EITHER filter is dropped)
+      → token-budget mixture over ``budgets`` (sources not budgeted are
+        dropped; kept docs carry ``rate_q``)
+      → greedy sequence packing into ``pack_budget``-token bins.
+
+    Output: (doc_id, source, rate_q, shard, bin_id, n_tokens), one row
+    per document that survives every stage, ordered by the packing
+    contract (shard = doc_id % n_shards, bins greedy in id order).
+
+    Every stage exists — and is oracle-certified — as a standalone
+    operator (clean_corpus, near_dup_pairs_dedup_first +
+    connected_components, contamination_hits, span_contamination_hits,
+    token_budget_mixture, pack_sequences); what THIS function certifies
+    is the seams: the id/schema contracts between stages, which the
+    per-operator oracles cannot see (r8 VERDICT ask #7).
+
+    Plan shape at 100 TB: the composition adds only left-semi/left-anti
+    joins on doc_id between stages — id-only shuffles; text rides only
+    the stages that hash it (near-dup shingles over one representative
+    per distinct text, decontamination probes against BROADCAST
+    benchmark keys).  ``impl="arrow"`` switches the span hashing to the
+    mapInPandas bulk path (byte-identical; ~11×).  ``checkpoint``
+    (default on) materializes the two frames consumed by multiple
+    downstream stages (the near-dup survivor set and the decontaminated
+    set) via lazy localCheckpoint so the LSH pipeline is not recomputed
+    per consumer; output is identical either way (the registry oracle
+    runs with the default).
+    """
+    from tsatool_app_spark.functions.dedup import (
+        connected_components,
+        near_dup_pairs_dedup_first,
+    )
+    from tsatool_app_spark.functions.sampling import token_budget_mixture
+    from tsatool_app_spark.functions.spans import span_contamination_hits
+
+    clean = clean_corpus(docs, lang=lang, min_quality=min_quality)
+    surv = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+
+    edges = near_dup_pairs_dedup_first(surv, min_jaccard=min_jaccard).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = surv.join(losers, "doc_id", "left_anti")
+    if checkpoint:
+        kept = kept.localCheckpoint(eager=False)
+
+    ng_hits = contamination_hits(kept, benchmark, n=ngram_n).select("doc_id")
+    sp_hits = span_contamination_hits(
+        kept, benchmark, window_len=window_len, impl=impl
+    ).select("doc_id")
+    decon = kept.join(
+        ng_hits.unionByName(sp_hits).distinct(), "doc_id", "left_anti"
+    )
+    if checkpoint:
+        decon = decon.localCheckpoint(eager=False)
+
+    mix = token_budget_mixture(
+        decon, budgets, source_col=source_col, token_col=token_col
+    )
+    packed = pack_sequences(mix, budget=pack_budget, n_shards=n_shards)
+    return packed.join(
+        mix.select("doc_id", source_col, "rate_q"), "doc_id"
+    ).select("doc_id", source_col, "rate_q", "shard", "bin_id", "n_tokens")

@@ -1596,9 +1596,10 @@ def q_gapfill(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(source: str = "documents") -> str:
     """Generated from the SAME marker table as the Spark implementation, so
-    the two can't drift."""
+    the two can't drift.  ``source``: the relation supplying (doc_id,
+    text) — r9: lets the pretraining_mix oracle score a staged corpus."""
     def cnt(expr: str, m: str) -> str:
         return (
             f"CAST((length({expr}) - length(replace({expr}, '{m}', ''))) / {len(m)} AS BIGINT)"
@@ -1619,7 +1620,7 @@ WITH scored AS (
   SELECT doc_id, text, {score_cols},
          CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS nonascii_ratio
-  FROM documents
+  FROM {source}
 ), ranked AS (
   SELECT *, {best} AS best FROM scored
 )
@@ -1631,7 +1632,33 @@ SELECT doc_id,
 FROM ranked"""
 
 
-def _neardup_pairs_ctes(*, grams: str, t_num: int, t_den: int, c: int = 20) -> str:
+def _quality_sql(source: str = "documents") -> str:
+    """The quality_score oracle, parameterized on the corpus relation
+    (r9: shared between the standalone query and pretraining_mix)."""
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) AS n_spaces,
+         CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS n_periods
+  FROM {source}
+)
+SELECT doc_id,
+       CAST(
+         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1 ELSE 0 END) * 0.4
+         + (CASE WHEN n_periods > 0 THEN 1 ELSE 0 END) * 0.2
+         + (CASE WHEN n_chars / (n_spaces + 1) >= 2.0
+                  AND n_chars / (n_spaces + 1) <= 12.0 THEN 1 ELSE 0 END) * 0.2
+         + (CASE WHEN n_spaces / greatest(n_chars, 1) >= 0.05
+                  AND n_spaces / greatest(n_chars, 1) <= 0.35 THEN 1 ELSE 0 END) * 0.2
+       AS DOUBLE) AS quality
+FROM s"""
+
+
+def _neardup_pairs_ctes(
+    *, grams: str, t_num: int, t_den: int, c: int = 20,
+    source: str = "documents",
+) -> str:
     """CTE body (no leading WITH) defining ``pairs(id_a, id_b, jaccard,
     inter_size, union_size)``: ALL document pairs with shingle-set Jaccard
     >= t_num/t_den — exactly the brute-force all-pairs answer, computed
@@ -1663,7 +1690,10 @@ def _neardup_pairs_ctes(*, grams: str, t_num: int, t_den: int, c: int = 20) -> s
        so accepted values are bit-identical.
 
     grams='char': 5-char shingles txt[i:i+4] (minhash/leakage family);
-    grams='word': word 5-grams (setsim family).
+    grams='word': word 5-grams (setsim family).  ``source``: the relation
+    (table or earlier CTE) supplying (doc_id, text) — r9: lets the
+    pretraining_mix oracle run the same construction over a staged
+    corpus instead of the raw table.
     """
     if grams == "char":
         toks = ""
@@ -1685,7 +1715,7 @@ def _neardup_pairs_ctes(*, grams: str, t_num: int, t_den: int, c: int = 20) -> s
     thr = f"{t_num / t_den!r}"
     return f"""grp AS MATERIALIZED (
   SELECT md5(text) AS h, any_value(text) AS txt, list(doc_id) AS ids
-  FROM documents GROUP BY md5(text)
+  FROM {source} GROUP BY md5(text)
 ),
 {toks}sh AS MATERIALIZED (SELECT h, {shingles} AS s FROM {src}),
 ex AS MATERIALIZED (SELECT h, unnest(s) AS g, len(s) AS n FROM sh),
@@ -1870,24 +1900,7 @@ SELECT e.vec_id,
             i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
                  CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS dotq
 FROM embeddings e, q""",
-    "quality_score": """
-WITH s AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         CAST((length(text) - length(replace(text, ' ', ''))) / 1 AS BIGINT) AS n_spaces,
-         CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS n_periods
-  FROM documents
-)
-SELECT doc_id,
-       CAST(
-         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 1 ELSE 0 END) * 0.4
-         + (CASE WHEN n_periods > 0 THEN 1 ELSE 0 END) * 0.2
-         + (CASE WHEN n_chars / (n_spaces + 1) >= 2.0
-                  AND n_chars / (n_spaces + 1) <= 12.0 THEN 1 ELSE 0 END) * 0.2
-         + (CASE WHEN n_spaces / greatest(n_chars, 1) >= 0.05
-                  AND n_spaces / greatest(n_chars, 1) <= 0.35 THEN 1 ELSE 0 END) * 0.2
-       AS DOUBLE) AS quality
-FROM s""",
+    "quality_score": _quality_sql(),
     "doc_fingerprint": """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
@@ -5798,6 +5811,208 @@ GROUP BY 1 ORDER BY 1"""
 
 QUERIES["span_decontaminate"] = DriverQuery(
     q_span_decontaminate, ORACLES["span_decontaminate"]
+)
+
+
+def q_pretraining_mix(spark, sf_dir):
+    """The WHOLE pretraining pipeline as ONE certified artifact (r8
+    VERDICT ask #7, functions/corpus.pretraining_mix): clean →
+    exact-dedup → near-dup survivorship → n-gram + span benchmark
+    decontamination → token-budget mixture → sequence packing.  Every
+    stage is separately oracle-certified; this row certifies the SEAMS —
+    the id/schema contracts between stages.
+
+    Corpus: doc_id % 10 == 0 (keeps the oracle's span hashing and
+    near-dup candidate search tier-bounded, the span_decontaminate
+    convention) plus four planted composites that force each early stage
+    to DROP something: 9000010 = exact clone of the seed doc (lowest-id
+    non-benchmark corpus doc — dies at exact-dedup), 9000020 = seed text
+    + '!' (char-5-gram J ≈ 0.98 near-dup of the seed — dies at near-dup
+    survivorship), 9000030 = a 24-word slice of the lowest benchmark doc
+    (shares word 8-grams — dies at decontamination), 9000040 = a
+    160-char slice of the same at a shifted offset (guaranteed span hit
+    — dies at decontamination).  Benchmark = doc_id % 97 == 0 over the
+    FULL table.  The %10 corpus carries exactly two sources (source is
+    keyed off doc_id), so the budgets cover both with src0 BINDING
+    (rate_q < 10000) and src10 loose (rate_q = 10000); packing uses 4
+    shards so the small-tier bins actually fill past 0."""
+    from tsatool_app_spark.functions.corpus import pretraining_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "source", "n_chars"]
+    base = docs.where(F.col("doc_id") % 10 == 0).select(*cols)
+    seed = (
+        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 97 != 0))
+        .orderBy("doc_id")
+        .limit(1)
+        .select("text")
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    blow = bench.orderBy("doc_id").limit(1).select("text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+
+    def planted(src, doc_id, text_expr):
+        return src.select(text_expr.alias("text")).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            "text",
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    p1 = planted(seed, 9_000_010, F.col("text"))
+    p2 = planted(seed, 9_000_020, F.concat(F.col("text"), F.lit("!")))
+    p3 = planted(
+        blow,
+        9_000_030,
+        F.concat(
+            F.lit("N3 "), F.array_join(F.slice(toks, 3, 24), " "), F.lit(" tail3")
+        ),
+    )
+    p4 = planted(
+        blow,
+        9_000_040,
+        F.concat(F.lit("Q4 "), F.substring("text", 21, 160), F.lit(" tail4")),
+    )
+    corpus = base.unionByName(p1).unionByName(p2).unionByName(p3).unionByName(p4)
+    return pretraining_mix(
+        corpus,
+        bench,
+        {"src0": 2_000, "src10": 50_000},
+        n_shards=4,
+    ).orderBy("doc_id")
+
+
+_PRETRAIN_NEARDUP = _neardup_pairs_ctes(
+    grams="char", t_num=17, t_den=20, source="clean"
+)
+
+ORACLES["pretraining_mix"] = f"""
+WITH RECURSIVE seedt AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0
+  ORDER BY doc_id LIMIT 1
+), blow AS (
+  SELECT text FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 1
+), corpus AS MATERIALIZED (
+  SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 9000010, text, 'src0', length(text) FROM seedt
+  UNION ALL SELECT 9000020, text || '!', 'src0', length(text) + 1 FROM seedt
+  UNION ALL SELECT 9000030, t3, 'src0', length(t3) FROM (
+    SELECT 'N3 ' || array_to_string(list_slice(
+             list_filter(string_split(text, ' '), x -> x <> ''), 3, 26), ' ')
+           || ' tail3' AS t3 FROM blow)
+  UNION ALL SELECT 9000040, t4, 'src0', length(t4) FROM (
+    SELECT 'Q4 ' || substring(text, 21, 160) || ' tail4' AS t4 FROM blow)
+), ls AS ({_lang_id_sql("corpus")}
+), qs AS ({_quality_sql("corpus")}
+), xsurv AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+), clean AS MATERIALIZED (
+  SELECT c.doc_id, c.text, c.source, c.n_chars
+  FROM corpus c
+  JOIN xsurv USING (doc_id) JOIN ls USING (doc_id) JOIN qs USING (doc_id)
+  WHERE ls.lang_pred = 'en' AND qs.quality >= 0.6
+), {_PRETRAIN_NEARDUP},
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v AS node, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+compc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+ndkept AS MATERIALIZED (
+  SELECT c.* FROM clean c LEFT JOIN compc ON compc.node = c.doc_id
+  WHERE compc.node IS NULL OR compc.component = c.doc_id
+),
+bench AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+btoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM bench
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS g
+  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM btoks)
+),
+ttoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM ndkept
+),
+tgrams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        FROM ttoks)
+),
+ng_hit AS (SELECT DISTINCT doc_id FROM tgrams JOIN bgrams USING (g)),
+bfps AS (
+  SELECT DISTINCT w.fp AS fp FROM (
+    SELECT unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM bench) t
+),
+tfps AS (
+  SELECT DISTINCT doc_id, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM ndkept) t
+),
+sp_hit AS (SELECT DISTINCT doc_id FROM tfps JOIN bfps USING (fp)),
+decon AS MATERIALIZED (
+  SELECT * FROM ndkept
+  WHERE doc_id NOT IN (SELECT doc_id FROM ng_hit
+                       UNION SELECT doc_id FROM sp_hit)
+),
+avail AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a FROM decon GROUP BY source
+),
+rates AS (
+  SELECT source,
+         LEAST(10000, (CASE source
+                         WHEN 'src0' THEN 2000
+                         WHEN 'src10' THEN 50000
+                       END) * 10000 // a) AS rate_q
+  FROM avail
+  WHERE source IN ('src0', 'src10')
+),
+mix AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.text, r.rate_q
+  FROM decon d JOIN rates r USING (source)
+  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 10000
+        < r.rate_q
+),
+pt AS MATERIALIZED (
+  SELECT doc_id, doc_id % 4 AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM mix
+),
+pp AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         n_tokens AS fill, CAST(0 AS BIGINT) AS bin_id
+  FROM pt WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.shard, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+              ELSE p.fill + t.n_tokens END,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN p.bin_id + 1
+              ELSE p.bin_id END
+  FROM pp p JOIN pt t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT p.doc_id, m.source, m.rate_q, CAST(p.shard AS BIGINT) AS shard,
+       p.bin_id, p.n_tokens
+FROM pp p JOIN mix m USING (doc_id) ORDER BY p.doc_id"""
+
+QUERIES["pretraining_mix"] = DriverQuery(
+    q_pretraining_mix, ORACLES["pretraining_mix"]
 )
 
 
