@@ -760,7 +760,16 @@ def q_sheet_workload(spark, sf_dir):
     runner — one-pass packing, level-wise multi-condition combine,
     summaries. Oracle: _sheet_workload_sql() regenerates the whole sheet
     (including the secondary chain) as portable SQL from the same sheet
-    definition."""
+    definition.
+
+    ``cache_results=False`` (r9): this query consumes ONLY the sheet
+    summaries — one action — so the per-level checkpoint materialization
+    that protects report-style fan-out (many reads per condition) is pure
+    overhead here.  Interleaved A/B in one warm session at sf0.1:
+    checkpointed 5.19 s / all-lazy 5.55 s / none 4.01 s best-of-3
+    (SCALING.md r9); output is identical (the level relations are
+    deterministic), and the runner default stays True for consumers that
+    re-read per-condition ranges."""
     from datetime import datetime
 
     from tsatool_app_spark.runner import CondCollection
@@ -768,7 +777,7 @@ def q_sheet_workload(spark, sf_dir):
     coll = CondCollection.from_rows(
         "bench", datetime(2024, 1, 1), datetime(2024, 12, 31), sheet_workload_rows()
     )
-    res = coll.run(_obs(spark, sf_dir))
+    res = coll.run(_obs(spark, sf_dir), cache_results=False)
     return CondCollection.summaries_df(res)
 
 

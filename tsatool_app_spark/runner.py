@@ -164,6 +164,17 @@ class CondCollection:
         ``obs``: observations in the obs_main shape. The collection's time
         window (P1) is applied here once; with date-partitioned storage the
         filter prunes partitions before any shuffle.
+
+        ``cache_results``: with True (default) each level's combined runs
+        relation is localCheckpoint-ed — the right trade when results are
+        read MANY times (reports, per-condition exports, deep secondary
+        chains: lineage truncation keeps driver-side re-analysis flat in
+        sheet size).  For a summaries-only run (ONE action over
+        summaries_df) the checkpoint materialization is pure overhead —
+        measured r9 at sf0.1, warm interleaved best-of-3: default 5.19 s,
+        all-lazy checkpoints 5.55 s, cache_results=False 4.01 s — so
+        summaries-only callers should pass False; outputs are identical
+        (every level relation is deterministic, recomputes included).
         """
         windowed = obs.where(
             F.col(time_col).between(F.lit(self.time_from), F.lit(self.time_until))
