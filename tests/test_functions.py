@@ -793,6 +793,100 @@ def test_duplicated_span_sites_position_cap(spark):
     assert oversize_span_sites(nd, window_len=40).count() == 0
 
 
+def test_excise_spans_matches_python_reference(spark):
+    """r9 new capability: surgical span excision — the detected verbatim
+    benchmark windows are spliced OUT of each document.  Pinned against a
+    hashlib + manual interval-merge reference, covering: hit at position
+    1, whole-doc excision, multiple islands, multibyte text, clean
+    pass-through, and the pad= margin option."""
+    import hashlib
+
+    from tsatool_app_spark.functions.spans import excise_spans
+
+    W = 40
+    leak1 = " ".join(f"lk{i:03d}" for i in range(20))  # 119 chars
+    leak2 = "ääkköset ja €urot vuotavat tänne nyt " * 3  # multibyte leak
+    bench_text = "bench prefix " + leak1 + " middle " + leak2 + " bench end"
+    docs_rows = [
+        (1, leak1 + " then novel tail text following the leak here"),  # pos 1
+        (2, "novel head text comes first here and then " + leak1),
+        (3, leak1),                                      # whole-doc (~all)
+        (4, "two leaks: " + leak1 + " novel middle gap text " + leak2),
+        (5, "completely novel text with no shared windows at all here"),
+        (6, None),
+        (7, "short"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    def sel_fps(text):
+        out = {}
+        if not text or len(text) < W:
+            return out
+        for p in range(len(text) - W + 1):
+            h = hashlib.md5(text[p : p + W].encode()).hexdigest()
+            if h[31] < "2":
+                out.setdefault(h, []).append(p + 1)
+        return out
+
+    bfps = set(sel_fps(bench_text))
+
+    def reference(text, pad=0):
+        if text is None:
+            return (None, 0, 0)
+        hits = sorted(
+            p for fp, ps in sel_fps(text).items() if fp in bfps for p in ps
+        )
+        ivs = []
+        for p in hits:
+            s, e = max(p - pad, 1), p + W + pad
+            if ivs and s <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], e)
+            else:
+                ivs.append([s, e])
+        kept, cur = [], 1
+        for s, e in ivs:
+            kept.append(text[cur - 1 : s - 1])
+            cur = e
+        kept.append(text[cur - 1 :])
+        n_exc = sum(min(e, len(text) + 1) - s for s, e in ivs)
+        return ("".join(kept), len(ivs), n_exc)
+
+    for pad in (0, W):
+        got = {
+            r.doc_id: (r.clean_text, r.n_spans_excised, r.n_excised_chars)
+            for r in excise_spans(docs, bench, window_len=W, pad=pad).collect()
+        }
+        want = {i: reference(t, pad) for i, t in docs_rows}
+        assert got == want, f"pad={pad}"
+    # the excision did real work: doc 1 lost its leading leak, doc 5
+    # untouched, doc 3 mostly emptied
+    base = {r.doc_id: r for r in excise_spans(docs, bench, window_len=W).collect()}
+    assert base[5].clean_text == docs_rows[4][1] and base[5].n_spans_excised == 0
+    # pad=0 removes the detected windows; the leak's first chars can
+    # survive up to the first selected window (documented edge behavior)
+    assert base[1].n_excised_chars > len(leak1) // 2
+    assert len(base[1].clean_text) < len(docs_rows[0][1])
+    assert base[3].n_excised_chars > len(leak1) // 2
+    # with pad=W the whole contiguous leak goes, edges included
+    padded = {r.doc_id: r for r in excise_spans(docs, bench, window_len=W, pad=W).collect()}
+    assert "lk" not in padded[2].clean_text and "lk" not in padded[1].clean_text
+    # fps_pos sharing and arrow impl produce identical rows
+    from tsatool_app_spark.functions.spans import span_fingerprints
+
+    fp_shared = span_fingerprints(docs, window_len=W, impl="arrow")
+    shared = {
+        r.doc_id: (r.clean_text, r.n_spans_excised, r.n_excised_chars)
+        for r in excise_spans(
+            docs, bench, window_len=W, fps_pos=fp_shared
+        ).collect()
+    }
+    assert shared == {
+        r.doc_id: (r.clean_text, r.n_spans_excised, r.n_excised_chars)
+        for r in excise_spans(docs, bench, window_len=W).collect()
+    }
+
+
 def test_span_pairs_dedup_first_matches_raw(spark):
     """The dedup-first span composition must emit EXACTLY the raw join's
     rows on a clone-heavy corpus, including cap behavior (the cap counts

@@ -548,6 +548,119 @@ def oversize_span_sites(
     )
 
 
+def excise_spans(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    bench_fps: DataFrame | None = None,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    pad: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fps_pos: DataFrame | None = None,
+    impl: str = "sql",
+) -> DataFrame:
+    """Surgical span-level decontamination: REMOVE the detected verbatim
+    benchmark windows from each training document instead of dropping the
+    whole document — (doc_id, clean_text, n_spans_excised,
+    n_excised_chars), one row per input doc (clean docs pass through with
+    0/0 and their text untouched).  Completes the family's pipeline:
+    :func:`span_contamination_hits` detects, :func:`duplicated_span_sites`
+    localizes, this excises.
+
+    Contract: every SELECTED window of the document whose md5 matches a
+    selected benchmark fingerprint contributes the character interval
+    [pos − pad, pos + window_len + pad); overlapping/adjacent intervals
+    merge (n_spans_excised counts the merged islands) and the survivors
+    are spliced back together in order.  Being selection-based, this
+    removes the DETECTED windows, not the abstract "maximal shared
+    span": with the default 1/8 rate an interior character of a long
+    shared span is uncovered with probability (7/8)^40 ≈ 0.5 %, but the
+    span's EDGES survive up to the first selected window (~8 chars
+    expected) — pass ``pad=window_len`` to also cover those margins, or
+    drop the whole document (:func:`span_contamination_hits`) when any
+    residue is unacceptable.
+
+    Plan shape: benchmark fingerprints are BROADCAST (the small side);
+    the hit probe is map-side on the corpus fingerprint stream; interval
+    merging is the classic islands pattern — one window pass keyed by
+    (doc_id), shuffling only (doc_id, pos) hit rows, never text; the
+    splice is a pure Column ``aggregate`` over the per-doc merged
+    interval array (at most |hits| entries), evaluated on the one
+    documents scan.  ``fps_pos``: share the corpus hashing pass
+    (:func:`span_fingerprints` output); ``impl="arrow"`` for bulk scans."""
+    if bench_fps is None:
+        if benchmark is None:
+            raise ValueError("pass benchmark or a precomputed bench_fps")
+        bench_fps = (
+            span_doc_fingerprints(
+                benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
+                text_col=text_col, id_col=id_col, impl=impl,
+            )
+            .select("fp")
+            .distinct()
+        )
+    if fps_pos is None:
+        fps_pos = span_fingerprints(
+            docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
+            text_col=text_col, id_col=id_col, impl=impl,
+        )
+    hits = (
+        fps_pos.join(F.broadcast(bench_fps), "fp")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    iv = hits.select(
+        "doc_id",
+        F.greatest(F.col("pos") - pad, F.lit(1)).cast("long").alias("s"),
+        (F.col("pos") + window_len + pad).cast("long").alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_isl = F.when(
+        prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = iv.withColumn("ni", new_isl).withColumn(
+        "isl", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_excised"),
+    )
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        per_doc, "doc_id", "left"
+    )
+    # Splice: fold the interval array left-to-right, carrying (next kept
+    # start, accumulated text); intervals never exceed length+1, so the
+    # tail substring needs no clamp.  e is EXCLUSIVE (chars s..e-1 go).
+    clean = F.expr(
+        f"CASE WHEN _ivs IS NULL THEN {text_col} ELSE "
+        f"aggregate(_ivs, struct(CAST(1 AS LONG) AS p, CAST('' AS STRING) AS acc), "
+        f"(a, x) -> struct(x.e AS p, "
+        f"concat(a.acc, substring({text_col}, CAST(a.p AS INT), CAST(x.s - a.p AS INT))) AS acc), "
+        f"a -> concat(a.acc, substring({text_col}, CAST(a.p AS INT)))) END"
+    )
+    # chars actually removed: interval length with the end clamped at the
+    # text end (pad can overshoot past the last character)
+    n_exc = F.expr(
+        f"CASE WHEN _ivs IS NULL THEN CAST(0 AS LONG) ELSE "
+        f"aggregate(_ivs, CAST(0 AS LONG), "
+        f"(a, x) -> a + least(x.e, length({text_col}) + 1) - x.s) END"
+    )
+    return out.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.coalesce("n_spans_excised", F.lit(0)).cast("long").alias(
+            "n_spans_excised"
+        ),
+        n_exc.alias("n_excised_chars"),
+    )
+
+
 def span_contamination_hits(
     train: DataFrame,
     benchmark: DataFrame,

@@ -6025,6 +6025,107 @@ QUERIES["pretraining_mix"] = DriverQuery(
 )
 
 
+def q_span_excise(spark, sf_dir):
+    """Surgical span-level decontamination (functions/spans.excise_spans):
+    splice the detected verbatim benchmark windows OUT of each training
+    document instead of dropping it — the excision stage completing the
+    span family (detect = span_decontaminate, localize = dup_span_sites).
+    Corpus doc_id % 10 == 0 (tier-bounded hashing, the family convention)
+    plus planted composite 9000050 embedding a 200-char slice of the
+    lowest benchmark doc at a shifted offset — a guaranteed multi-window
+    excision; doc 0 sits in both sets, so its text self-hits and is
+    near-fully excised (the whole-doc edge).  Clean docs pass through
+    untouched with 0/0 counters — the oracle checks the splice, the
+    island merge, the clamp arithmetic, AND the pass-through."""
+    from tsatool_app_spark.functions.spans import excise_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    blow = bench.orderBy("doc_id").limit(1).select("text")
+    planted = blow.select(
+        F.lit(9_000_050).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("E5 "), F.substring("text", 31, 200), F.lit(" tail5")
+        ).alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") % 10 == 0).unionByName(planted)
+    return excise_spans(corpus, bench, window_len=40).orderBy("doc_id")
+
+
+ORACLES["span_excise"] = """
+WITH blow AS (
+  SELECT text FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id LIMIT 1
+), corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 9000050, 'E5 ' || substring(text, 31, 200) || ' tail5'
+  FROM blow
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), bfps AS (
+  SELECT DISTINCT w.fp AS fp FROM (
+    SELECT unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM bench) t
+), tw AS (
+  SELECT doc_id, w.pos AS pos, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM corpus) t
+), hits AS (
+  SELECT DISTINCT t.doc_id, t.pos FROM tw t JOIN bfps b ON t.fp = b.fp
+), iv AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 40 AS BIGINT) AS e
+  FROM hits
+), iv2 AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), iv3 AS (
+  SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM iv2
+), iv4 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS isl
+  FROM iv3
+), merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM iv4 GROUP BY 1, 2
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT doc_id, max(e), NULL FROM merged GROUP BY doc_id
+), rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(CASE WHEN g.ge IS NULL
+                         THEN substring(c.text, CAST(g.gs AS INT))
+                         ELSE substring(c.text, CAST(g.gs AS INT),
+                                        CAST(g.ge - g.gs AS INT)) END,
+                    '' ORDER BY g.gs) AS clean_text
+  FROM gaps g JOIN corpus c USING (doc_id) GROUP BY g.doc_id
+), stats AS (
+  SELECT m.doc_id, CAST(count(*) AS BIGINT) AS n_spans_excised,
+         CAST(SUM(LEAST(m.e, length(c.text) + 1) - m.s) AS BIGINT)
+           AS n_excised_chars
+  FROM merged m JOIN corpus c USING (doc_id) GROUP BY m.doc_id
+)
+SELECT c.doc_id,
+       coalesce(r.clean_text, c.text) AS clean_text,
+       coalesce(s.n_spans_excised, CAST(0 AS BIGINT)) AS n_spans_excised,
+       coalesce(s.n_excised_chars, CAST(0 AS BIGINT)) AS n_excised_chars
+FROM corpus c
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN stats s USING (doc_id)
+ORDER BY c.doc_id"""
+
+QUERIES["span_excise"] = DriverQuery(q_span_excise, ORACLES["span_excise"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
