@@ -632,6 +632,14 @@ def pretraining_mix(
 
     clean = clean_corpus(docs, lang=lang, min_quality=min_quality)
     surv = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    if checkpoint:
+        # The clean-survivor relation feeds THREE downstream derivations
+        # (the near-dup edge pipeline — eagerly materialized inside
+        # connected_components — plus kept and, through it, both
+        # decontamination probes); without truncation the clean scan +
+        # md5 agg re-runs inside each (measured r9: the composed plan was
+        # 2.5x the staged sum at sf1 before these checkpoints).
+        surv = surv.localCheckpoint(eager=False)
 
     edges = near_dup_pairs_dedup_first(surv, min_jaccard=min_jaccard).select(
         "id_a", "id_b"
@@ -640,7 +648,9 @@ def pretraining_mix(
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    kept = surv.join(losers, "doc_id", "left_anti")
+    # the drop set is tiny relative to the corpus (near_dedup_survivors
+    # rationale): broadcast it so the corpus side is filter-only
+    kept = surv.join(F.broadcast(losers), "doc_id", "left_anti")
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
 
@@ -657,6 +667,9 @@ def pretraining_mix(
     mix = token_budget_mixture(
         decon, budgets, source_col=source_col, token_col=token_col
     )
+    if checkpoint:
+        # consumed twice: the packing scan and the final rate_q join-back
+        mix = mix.localCheckpoint(eager=False)
     packed = pack_sequences(mix, budget=pack_budget, n_shards=n_shards)
     return packed.join(
         mix.select("doc_id", source_col, "rate_q"), "doc_id"
