@@ -164,7 +164,10 @@ def main() -> None:
     n_truth = truth.count()
     for label, mpath in (("dedup_texts=True", matches_on),
                          ("dedup_texts=False", matches_off)):
-        m = spark.read.parquet(mpath)
+        # project to the pair columns: the r9 sink partitions by batch_id,
+        # and a whole-row distinct would hide a pair re-emitted in a
+        # DIFFERENT batch (the exact failure this assert exists to catch)
+        m = spark.read.parquet(mpath).select("id_a", "id_b")
         n_m, n_md = m.count(), m.distinct().count()
         missing = truth.join(m, ["id_a", "id_b"], "left_anti").count()
         print(f"matches ({label}): {n_m} rows ({n_md} distinct), "

@@ -576,11 +576,16 @@ def excise_spans(
     are spliced back together in order.  Being selection-based, this
     removes the DETECTED windows, not the abstract "maximal shared
     span": with the default 1/8 rate an interior character of a long
-    shared span is uncovered with probability (7/8)^40 ≈ 0.5 %, but the
+    shared span is uncovered with probability (7/8)^40 ≈ 0.5 %, and the
     span's EDGES survive up to the first selected window (~8 chars
-    expected) — pass ``pad=window_len`` to also cover those margins, or
-    drop the whole document (:func:`span_contamination_hits`) when any
-    residue is unacceptable.
+    expected).  ``pad`` widens each detected window by that many chars
+    on both sides, shrinking an edge's survival probability to
+    (7/8)^(pad+1) — measured at the 500k-doc rehearsal tier: pad=40
+    leaves residue on 0.84 % of full-text benchmark clones
+    (scripts/rehearsal_excise_sf10.py), matching the 2·(7/8)^41 edge
+    math.  Excision is statistical by construction; drop the whole
+    document (:func:`span_contamination_hits`) when ANY residue is
+    unacceptable.
 
     Plan shape: benchmark fingerprints are BROADCAST (the small side);
     the hit probe is map-side on the corpus fingerprint stream; interval
