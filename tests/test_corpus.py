@@ -433,3 +433,75 @@ def test_pretraining_mix_seams(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, out.collect())
     )
+
+
+def test_pretraining_mix_excise(spark):
+    """decon="excise" (r9): span-contaminated docs SURVIVE with the
+    detected windows spliced out and the mixture/packing token counts
+    recomputed over the remainder; n-gram hits still drop the whole doc;
+    clean docs pass through untouched; the default mode is unchanged."""
+    import pytest
+
+    from tsatool_app_spark.functions.corpus import pretraining_mix
+
+    rows = []
+    for i in range(8):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append(
+            (
+                i,
+                f"the document {i} says {body} and then a tidy end. "
+                "the closing line keeps a period.",
+                "srcA",
+            )
+        )
+    bench_text = (
+        "benchmarks carry the holdout answer keys and the exact wording "
+        "of every evaluation question in a long and very specific order "
+        "that training text must never contain verbatim at all."
+    )
+    # doc 102: embeds >= 8 consecutive bench words -> word-8-gram hit ->
+    # dropped in BOTH modes (no span localization for word grams).
+    ngram_doc = "a fresh preface sentence for padding. " + bench_text + " a tail."
+    # doc 103: embeds bench_text[20:62] — 7 words (no shared 8-gram) that
+    # carry the md5-SELECTED 40-char window at bench offset 22, so the
+    # span detector fires; excise mode keeps the doc minus that window.
+    span_slice = bench_text[20:62]
+    assert len(span_slice.split()) == 7
+    span_doc = (
+        "the document onezerothree opens with its own words then quotes"
+        + span_slice
+        + " and then a tidy end. the closing line keeps a period."
+    )
+    rows += [(102, ngram_doc, "srcA"), (103, span_doc, "srcA")]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    kwargs = dict(budgets={"srcA": 10_000}, n_shards=2)
+    dropped = {
+        r.doc_id: r
+        for r in pretraining_mix(docs, bench, **kwargs).collect()
+    }
+    excised = {
+        r.doc_id: r
+        for r in pretraining_mix(
+            docs, bench, decon="excise", **kwargs
+        ).collect()
+    }
+    assert 102 not in dropped and 102 not in excised  # ngram: both modes
+    assert 103 not in dropped                         # drop mode: whole doc
+    assert 103 in excised                             # excise mode: remainder
+    # the remainder lost the detected window but kept the doc's own words
+    orig_tokens = len(span_doc.split())
+    assert 0 < excised[103].n_tokens < orig_tokens
+    # clean docs are untouched and identical across modes
+    for i in range(8):
+        assert excised[i].n_tokens == dropped[i].n_tokens == len(
+            rows[i][1].split()
+        )
+    with pytest.raises(ValueError, match="decon"):
+        pretraining_mix(docs, bench, decon="shred", **kwargs)

@@ -587,6 +587,8 @@ def pretraining_mix(
     n_shards: int = 8,
     impl: str = "sql",
     checkpoint: bool = True,
+    decon: str = "drop",
+    excise_pad: int = 0,
 ) -> DataFrame:
     """The WHOLE pretraining-data pipeline as one certified composition:
 
@@ -595,7 +597,14 @@ def pretraining_mix(
         components; the min-id doc of each duplicate cluster survives)
       → benchmark decontamination (word ``ngram_n``-grams AND
         ``window_len``-char content-defined spans — a doc flagged by
-        EITHER filter is dropped)
+        EITHER filter is dropped; ``decon="excise"`` instead SPLICES the
+        detected spans out via :func:`tsatool_app_spark.functions.spans.
+        excise_spans` and keeps the clean remainder — n-gram hits still
+        drop the whole doc (word grams have no span localization), docs
+        excised to nothing are dropped, and the mixture budgets and
+        packing token counts are recomputed over the POST-excision text;
+        ``excise_pad`` widens each excised window, trading residue
+        probability (7/8)^(pad+1) for extra removed margin)
       → token-budget mixture over ``budgets`` (sources not budgeted are
         dropped; kept docs carry ``rate_q``)
       → greedy sequence packing into ``pack_budget``-token bins.
@@ -628,7 +637,13 @@ def pretraining_mix(
         near_dup_pairs_dedup_first,
     )
     from tsatool_app_spark.functions.sampling import token_budget_mixture
-    from tsatool_app_spark.functions.spans import span_contamination_hits
+    from tsatool_app_spark.functions.spans import (
+        excise_spans,
+        span_contamination_hits,
+    )
+
+    if decon not in ("drop", "excise"):
+        raise ValueError(f"decon must be 'drop' or 'excise', got {decon!r}")
 
     clean = clean_corpus(docs, lang=lang, min_quality=min_quality)
     surv = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
@@ -655,17 +670,38 @@ def pretraining_mix(
         kept = kept.localCheckpoint(eager=False)
 
     ng_hits = contamination_hits(kept, benchmark, n=ngram_n).select("doc_id")
-    sp_hits = span_contamination_hits(
-        kept, benchmark, window_len=window_len, impl=impl
-    ).select("doc_id")
-    decon = kept.join(
-        ng_hits.unionByName(sp_hits).distinct(), "doc_id", "left_anti"
-    )
+    if decon == "excise":
+        # n-gram hits still drop whole docs; span hits are spliced out
+        # and the doc survives with its clean remainder (unless nothing
+        # remains).  token_col is recomputed over the post-excision text
+        # so the mixture budgets what will actually be trained on.
+        ng_kept = kept.join(ng_hits, "doc_id", "left_anti")
+        ex = excise_spans(
+            ng_kept, benchmark, window_len=window_len, pad=excise_pad,
+            impl=impl,
+        )
+        decon_df = (
+            ng_kept.select("doc_id", source_col)
+            .join(
+                ex.where(F.length("clean_text") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .withColumn(token_col, F.length("text").cast("long"))
+        )
+    else:
+        sp_hits = span_contamination_hits(
+            kept, benchmark, window_len=window_len, impl=impl
+        ).select("doc_id")
+        decon_df = kept.join(
+            ng_hits.unionByName(sp_hits).distinct(), "doc_id", "left_anti"
+        )
     if checkpoint:
-        decon = decon.localCheckpoint(eager=False)
+        decon_df = decon_df.localCheckpoint(eager=False)
 
     mix = token_budget_mixture(
-        decon, budgets, source_col=source_col, token_col=token_col
+        decon_df, budgets, source_col=source_col, token_col=token_col
     )
     if checkpoint:
         # consumed twice: the packing scan and the final rate_q join-back

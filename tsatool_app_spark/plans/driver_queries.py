@@ -5847,6 +5847,27 @@ def q_pretraining_mix(spark, sf_dir):
     shards so the small-tier bins actually fill past 0."""
     from tsatool_app_spark.functions.corpus import pretraining_mix
 
+    corpus, bench = _pretrain_corpus(spark, sf_dir)
+    return pretraining_mix(
+        corpus,
+        bench,
+        {"src0": 2_000, "src10": 50_000},
+        n_shards=4,
+    ).orderBy("doc_id")
+
+
+# p5's English wrapper: long enough for the quality length band, carries
+# stopword markers for the lang gate, and abuts the embedded window with
+# NO space on either side so the boundary tokens merge and any intact
+# shared word run stays under ngram_n.
+_P5_PREFIX = "the document ninetyfour quotes a benchmark window verbatim here Q5"
+_P5_SUFFIX = "tail5 and then it ends with a tidy period."
+
+
+def _pretrain_corpus(spark, sf_dir):
+    """The pretraining-pipeline test corpus shared by `pretraining_mix`
+    and `pretraining_mix_excise`: the %10 slice plus the four planted
+    composites described in q_pretraining_mix, and the %97 benchmark."""
     docs = load_table(spark, sf_dir, "documents")
     cols = ["doc_id", "text", "source", "n_chars"]
     base = docs.where(F.col("doc_id") % 10 == 0).select(*cols)
@@ -5882,20 +5903,54 @@ def q_pretraining_mix(spark, sf_dir):
         9_000_040,
         F.concat(F.lit("Q4 "), F.substring("text", 21, 160), F.lit(" tail4")),
     )
-    corpus = base.unionByName(p1).unionByName(p2).unionByName(p3).unionByName(p4)
-    return pretraining_mix(
-        corpus,
-        bench,
-        {"src0": 2_000, "src10": 50_000},
-        n_shards=4,
-    ).orderBy("doc_id")
+    # p5 (9000094): SPAN-ONLY contamination — the benchmark doc's FIRST
+    # md5-selected 40-char window embedded with NO flanking spaces, so
+    # the span detector fires by construction (selection is a pure
+    # function of the window text) while the merged boundary tokens keep
+    # any shared intact word run under ngram_n.  Dies whole in drop
+    # mode; survives in excise mode as 'Q5tail5' (the window spliced
+    # out).  doc_id 9000094's md5 bucket is 17, so the remainder passes
+    # any plausible src0 rate and the two modes produce DIFFERENT
+    # output — the row that certifies the excise path end-to-end.
+    w40 = F.expr(
+        "filter(transform(sequence(1, greatest(length(text) - 40 + 1, 0)),"
+        " p -> named_struct('pos', p, 'w', substring(text, p, 40))),"
+        " x -> substring(md5(x.w), 32, 1) < '2')"
+    )
+    p5 = (
+        blow.select(F.element_at(w40, 1)["w"].alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(
+            F.concat(
+                F.lit(_P5_PREFIX), F.col("w"), F.lit(_P5_SUFFIX)
+            ).alias("text")
+        )
+        .select(
+            F.lit(9_000_094).cast("long").alias("doc_id"),
+            "text",
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    corpus = (
+        base.unionByName(p1)
+        .unionByName(p2)
+        .unionByName(p3)
+        .unionByName(p4)
+        .unionByName(p5)
+    )
+    return corpus, bench
 
 
 _PRETRAIN_NEARDUP = _neardup_pairs_ctes(
     grams="char", t_num=17, t_den=20, source="clean"
 )
 
-ORACLES["pretraining_mix"] = f"""
+# the pipeline-composition oracle is shared by pretraining_mix (drop
+# decon) and pretraining_mix_excise (surgical span excision): same
+# corpus/clean/near-dup/ngram/bench-fp prefix, same mixture/packing
+# suffix, different decon block spliced between them.
+_PRETRAIN_ORACLE_PREFIX = f"""
 WITH RECURSIVE seedt AS (
   SELECT text FROM documents WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0
   ORDER BY doc_id LIMIT 1
@@ -5911,6 +5966,15 @@ WITH RECURSIVE seedt AS (
            || ' tail3' AS t3 FROM blow)
   UNION ALL SELECT 9000040, t4, 'src0', length(t4) FROM (
     SELECT 'Q4 ' || substring(text, 21, 160) || ' tail4' AS t4 FROM blow)
+  UNION ALL SELECT 9000094, t5, 'src0', length(t5) FROM (
+    SELECT '{_P5_PREFIX}' || w || '{_P5_SUFFIX}' AS t5 FROM (
+    SELECT s.w AS w FROM (
+      SELECT unnest(list_filter(list_transform(
+          range(1, greatest(length(text) - 40 + 1, 0) + 1),
+          p -> struct_pack(pos := p, w := substring(text, p, 40),
+                           fp := md5(substring(text, p, 40)))),
+          x -> substring(x.fp, 32, 1) < '2')) AS s
+      FROM blow) ORDER BY s.pos LIMIT 1))
 ), ls AS ({_lang_id_sql("corpus")}
 ), qs AS ({_quality_sql("corpus")}
 ), xsurv AS (
@@ -5965,20 +6029,9 @@ bfps AS (
         x -> substring(x.fp, 32, 1) < '2')) AS w
     FROM bench) t
 ),
-tfps AS (
-  SELECT DISTINCT doc_id, w.fp AS fp FROM (
-    SELECT doc_id, unnest(list_filter(list_transform(
-        range(1, greatest(length(text) - 40 + 1, 0) + 1),
-        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
-        x -> substring(x.fp, 32, 1) < '2')) AS w
-    FROM ndkept) t
-),
-sp_hit AS (SELECT DISTINCT doc_id FROM tfps JOIN bfps USING (fp)),
-decon AS MATERIALIZED (
-  SELECT * FROM ndkept
-  WHERE doc_id NOT IN (SELECT doc_id FROM ng_hit
-                       UNION SELECT doc_id FROM sp_hit)
-),
+"""
+
+_PRETRAIN_ORACLE_SUFFIX = """
 avail AS (
   SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a FROM decon GROUP BY source
 ),
@@ -6020,8 +6073,111 @@ SELECT p.doc_id, m.source, m.rate_q, CAST(p.shard AS BIGINT) AS shard,
        p.bin_id, p.n_tokens
 FROM pp p JOIN mix m USING (doc_id) ORDER BY p.doc_id"""
 
+ORACLES["pretraining_mix"] = (
+    _PRETRAIN_ORACLE_PREFIX
+    + """tfps AS (
+  SELECT DISTINCT doc_id, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM ndkept) t
+),
+sp_hit AS (SELECT DISTINCT doc_id FROM tfps JOIN bfps USING (fp)),
+decon AS MATERIALIZED (
+  SELECT * FROM ndkept
+  WHERE doc_id NOT IN (SELECT doc_id FROM ng_hit
+                       UNION SELECT doc_id FROM sp_hit)
+),"""
+    + _PRETRAIN_ORACLE_SUFFIX
+)
+
 QUERIES["pretraining_mix"] = DriverQuery(
     q_pretraining_mix, ORACLES["pretraining_mix"]
+)
+
+
+def q_pretraining_mix_excise(spark, sf_dir):
+    """The composed pipeline with SURGICAL decontamination
+    (functions/corpus.pretraining_mix(decon="excise"), r9): the same
+    corpus, planted composites, budgets and packing as
+    `pretraining_mix`, but span-contaminated docs survive with the
+    detected benchmark windows spliced out (functions/spans.
+    excise_spans) and the mixture/packing token counts recomputed over
+    the remainder — planted 9000040 (the 160-char span clone, dropped
+    whole in drop mode) now reappears in the output with its excised
+    text's token count; 9000030 (word-8-gram hit) still dies whole, as
+    do 9000010/9000020 at their earlier stages."""
+    from tsatool_app_spark.functions.corpus import pretraining_mix
+
+    corpus, bench = _pretrain_corpus(spark, sf_dir)
+    return pretraining_mix(
+        corpus,
+        bench,
+        {"src0": 2_000, "src10": 50_000},
+        n_shards=4,
+        decon="excise",
+    ).orderBy("doc_id")
+
+
+ORACLES["pretraining_mix_excise"] = (
+    _PRETRAIN_ORACLE_PREFIX
+    + """ngk AS MATERIALIZED (
+  SELECT * FROM ndkept WHERE doc_id NOT IN (SELECT doc_id FROM ng_hit)
+),
+twx AS (
+  SELECT doc_id, w.pos AS pos, w.fp AS fp FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(
+        range(1, greatest(length(text) - 40 + 1, 0) + 1),
+        p -> struct_pack(pos := p, fp := md5(substring(text, p, 40)))),
+        x -> substring(x.fp, 32, 1) < '2')) AS w
+    FROM ngk) t
+),
+hitsx AS (SELECT DISTINCT t.doc_id, t.pos FROM twx t JOIN bfps b ON t.fp = b.fp),
+iv AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 40 AS BIGINT) AS e
+  FROM hitsx
+), iv2 AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), iv3 AS (
+  SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni FROM iv2
+), iv4 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS isl
+  FROM iv3
+), merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM iv4 GROUP BY 1, 2
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT doc_id, max(e), NULL FROM merged GROUP BY doc_id
+), rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(CASE WHEN g.ge IS NULL
+                         THEN substring(k.text, CAST(g.gs AS INT))
+                         ELSE substring(k.text, CAST(g.gs AS INT),
+                                        CAST(g.ge - g.gs AS INT)) END,
+                    '' ORDER BY g.gs) AS clean_text
+  FROM gaps g JOIN ngk k USING (doc_id) GROUP BY g.doc_id
+),
+decon AS MATERIALIZED (
+  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT k.doc_id, k.source, coalesce(r.clean_text, k.text) AS text
+    FROM ngk k LEFT JOIN rebuilt r USING (doc_id))
+  WHERE length(text) > 0
+),"""
+    + _PRETRAIN_ORACLE_SUFFIX
+)
+
+QUERIES["pretraining_mix_excise"] = DriverQuery(
+    q_pretraining_mix_excise, ORACLES["pretraining_mix_excise"]
 )
 
 
