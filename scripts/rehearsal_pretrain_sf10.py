@@ -37,6 +37,13 @@ computable ground truth:
    stages SEPARATELY with eager parquet materialization between them —
    the strongest available check that the composition's lazy
    localCheckpoint seams change nothing.
+6. EXCISE MODE (decon="excise", r9): at the same tier, (a) every
+   drop-mode decon survivor passes through excision byte-untouched;
+   (b) every kept full-text benchmark clone is excised to < 5 % of its
+   original length (interior unselected-run survival is (7/8)^40 ~
+   0.5 %/char, plus two ~8-char edge margins); (c) the one-call excise
+   composition equals mixture+packing rerun over the independently
+   staged excise decon set (anti-join 0/0).
 
 Spans use impl="arrow" (the bulk path, byte-identical to the certified
 sql rule).  Walls recorded for SCALING.md.  Run idle:
@@ -385,6 +392,94 @@ check(
     f"counts {n_composed}/{n_staged})",
 )
 lap("asserts")
+
+# ======================================================================
+# C. excise mode at volume
+# ======================================================================
+from tsatool_app_spark.functions.spans import excise_spans
+
+composed_ex = mat(
+    pretraining_mix(
+        corpus,
+        bench,
+        budgets,
+        lang=LANG,
+        min_quality=MIN_Q,
+        pack_budget=PACK_BUDGET,
+        n_shards=N_SHARDS,
+        impl="arrow",
+        decon="excise",
+    ),
+    "composed_excise",
+)
+n_composed_ex = composed_ex.count()
+lap("composed pretraining_mix (decon=excise)")
+
+# staged excise decon, reusing Part B's materialized kept/hits frames
+ng_kept = kept.join(
+    contamination_hits(kept, bench, n=8).select("doc_id"), "doc_id", "left_anti"
+)
+ex = mat(
+    excise_spans(ng_kept, bench, window_len=40, impl="arrow"), "excised"
+)
+decon_ex = mat(
+    ng_kept.select("doc_id", "source")
+    .join(
+        ex.where(F.length("clean_text") > 0).select(
+            "doc_id", F.col("clean_text").alias("text")
+        ),
+        "doc_id",
+    )
+    .withColumn("n_chars", F.length("text").cast("long")),
+    "decon_excise",
+)
+lap("staged excise decon")
+
+# (a) drop-mode survivors pass through excision byte-untouched
+touched = (
+    decon.select("doc_id", F.col("text").alias("_orig"))
+    .join(ex.select("doc_id", "clean_text", "n_spans_excised"), "doc_id")
+    .where(
+        (F.col("n_spans_excised") != 0) | (F.col("clean_text") != F.col("_orig"))
+    )
+    .count()
+)
+check(
+    touched == 0,
+    f"all {n_decon} drop-mode decon survivors pass through excision "
+    f"byte-untouched (touched={touched})",
+)
+# (b) kept full-text bench clones are excised to < 5 % of original length
+clone_resid = (
+    clones.select("doc_id")
+    .join(
+        ex.select("doc_id", F.length("clean_text").alias("_rem")), "doc_id"
+    )
+    .join(kept.select("doc_id", F.length("text").alias("_len")), "doc_id")
+    .where(F.col("_rem") > 0.05 * F.col("_len"))
+    .count()
+)
+check(
+    clone_resid == 0,
+    f"all {n_clones} kept bench clones excised to < 5% of original "
+    f"length (violations={clone_resid})",
+)
+# (c) composed excise output == mixture+packing over the staged decon
+mix_ex = mat(token_budget_mixture(decon_ex, budgets, buckets=BUCKETS), "mix_ex")
+staged_ex = mat(
+    pack_sequences(mix_ex, budget=PACK_BUDGET, n_shards=N_SHARDS)
+    .join(mix_ex.select("doc_id", "source", "rate_q"), "doc_id")
+    .select("doc_id", "source", "rate_q", "shard", "bin_id", "n_tokens"),
+    "staged_excise",
+)
+e1 = composed_ex.select(cols).join(staged_ex.select(cols), cols, "left_anti").count()
+e2 = staged_ex.select(cols).join(composed_ex.select(cols), cols, "left_anti").count()
+check(
+    e1 == 0 and e2 == 0 and n_composed_ex == staged_ex.count(),
+    f"excise composition == staged excise pipeline (anti-joins {e1}/{e2}, "
+    f"rows {n_composed_ex})",
+)
+lap("excise asserts")
 
 print("\nstage walls:", walls)
 print(
