@@ -505,3 +505,48 @@ def test_pretraining_mix_excise(spark):
         )
     with pytest.raises(ValueError, match="decon"):
         pretraining_mix(docs, bench, decon="shred", **kwargs)
+
+
+def test_dedup_lines_within_doc(spark):
+    """Within-doc line dedup keeps each line's FIRST occurrence in
+    order, exempts short lines, passes repeat-free docs byte-identical,
+    and counts originals/drops exactly."""
+    from tsatool_app_spark.functions.corpus import dedup_lines_within_doc
+
+    banner = "accept our cookies to continue reading this site"
+    docs = spark.createDataFrame(
+        [
+            # banner pasted 3x, interleaved; "-" repeats but is exempt
+            (1, "\n".join([banner, "real paragraph one", "-", banner,
+                           "real paragraph two", "-", banner])),
+            (2, "no repeats here\njust two lines"),
+            (3, "solo"),
+            # trailing empty lines: split keeps them; "" repeats but is
+            # exempt under min_chars
+            (4, "a line\n\na line\n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_lines_within_doc(docs, min_chars=2).collect()
+    }
+    assert out[1].clean_text == "\n".join(
+        [banner, "real paragraph one", "-", "real paragraph two", "-"]
+    )
+    assert (out[1].n_lines, out[1].n_lines_dropped) == (7, 2)
+    assert out[2].clean_text == "no repeats here\njust two lines"
+    assert (out[2].n_lines, out[2].n_lines_dropped) == (2, 0)
+    assert out[3].clean_text == "solo" and out[3].n_lines_dropped == 0
+    # doc 4: "a line" repeats (dropped once); both "" lines exempt-kept
+    assert out[4].clean_text == "a line\n\n"
+    assert (out[4].n_lines, out[4].n_lines_dropped) == (4, 1)
+    # min_chars=0: nothing exempt — the "-" and "" repeats now collapse
+    strict = {
+        r.doc_id: r for r in dedup_lines_within_doc(docs).collect()
+    }
+    assert strict[1].clean_text == "\n".join(
+        [banner, "real paragraph one", "-", "real paragraph two"]
+    )
+    assert strict[4].clean_text == "a line\n"
+    assert (strict[4].n_lines, strict[4].n_lines_dropped) == (4, 2)

@@ -469,6 +469,76 @@ def clean_corpus(
     )
 
 
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the C4-family boilerplate
+    rule applied inside each doc): split on ``sep``, keep only the FIRST
+    occurrence of each exact line within the document, and rejoin the
+    survivors in their original order.  Repeated nav menus, footers, and
+    cookie banners pasted several times into one crawled page collapse
+    to their first copy; documents without repeats pass through
+    byte-identical.  Complements :func:`drop_duplicate_chunks`, which
+    dedups chunks ACROSS documents.
+
+    Lines shorter than ``min_chars`` are exempt (always kept): tiny
+    connectives ("", "-", "yes") legitimately repeat and are not
+    boilerplate.
+
+    Output: (id, clean_text, n_lines, n_lines_dropped) — one row per
+    input document; n_lines counts the ORIGINAL lines.
+
+    Plan shape at 100 TB: the dedup decision shuffles only (id,
+    md5(line), pos) — 16-byte hashes plus two longs, never line text;
+    the rebuild joins the per-doc kept-position array (one row per doc)
+    back to the one documents scan and splices JVM-side, so text never
+    crosses an exchange (the drop_duplicate_chunks / exact_dedup
+    rationale)."""
+    import re as _re
+
+    # F.split takes a regex — escape so sep is LITERAL, matching the
+    # oracle's string_split; limit -1 keeps trailing empty lines
+    lines = F.split(F.col(text_col), _re.escape(sep), -1)
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).select(
+        id_col,
+        "_pos",
+        F.md5("_line").alias("_h"),
+        (F.length("_line") < min_chars).alias("_exempt"),
+    )
+    w = Window.partitionBy(id_col, "_h").orderBy("_pos")
+    kept = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_exempt") | (F.col("_rn") == 1))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("_pos")).alias("_keep"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    # splice on the documents scan: positions are 0-based over the same
+    # deterministic split, so element selection reconstructs the text
+    # without the lines ever having crossed the shuffle
+    rebuilt = F.array_join(
+        F.transform(F.col("_keep"), lambda p: F.element_at(lines, p + 1)),
+        sep,
+    )
+    n_lines = F.size(lines).cast("long")
+    return docs.join(kept, id_col).select(
+        F.col(id_col),
+        rebuilt.alias("clean_text"),
+        n_lines.alias("n_lines"),
+        (n_lines - F.col("_n_kept")).cast("long").alias("n_lines_dropped"),
+    )
+
+
 def drop_duplicate_chunks(
     docs: DataFrame,
     *,
@@ -482,7 +552,9 @@ def drop_duplicate_chunks(
     (ordered by doc id, then position), and reconstruct documents from
     their surviving chunks.  Boilerplate repeated across thousands of
     pages — headers, footers, license blocks — disappears from all but
-    the first document carrying it.
+    the first document carrying it.  For repeats INSIDE a single
+    document (a banner pasted several times into one page), use
+    :func:`dedup_lines_within_doc`.
 
     Scale shape: the only wide stage shuffles (md5(chunk), doc_id,
     chunk_id) triples — 16-byte keys, never the chunk text (exact_dedup

@@ -6181,6 +6181,79 @@ QUERIES["pretraining_mix_excise"] = DriverQuery(
 )
 
 
+def q_dedup_doc_lines(spark, sf_dir):
+    """WITHIN-document repeated-line removal
+    (functions/corpus.dedup_lines_within_doc, r9): the C4-family
+    boilerplate rule inside each doc — first occurrence of each line
+    survives, order preserved, short lines exempt.  Complements
+    `dedup_chunks` (cross-document).  Corpus doc_id % 10 == 0 (all
+    single-line → byte-identical pass-through with n_lines=1) plus
+    planted 9000070: a banner line (the seed doc's first 60 chars)
+    pasted three times around real middle lines, a repeated
+    'middle line one', and two '-' lines that repeat but sit under
+    min_chars=2 and must BOTH survive."""
+    from tsatool_app_spark.functions.corpus import dedup_lines_within_doc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    seed = base.orderBy("doc_id").limit(1).select("text")
+    banner = F.substring("text", 1, 60)
+    planted = seed.select(
+        F.lit(9_000_070).cast("long").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            banner,
+            F.lit("-"),
+            F.lit("middle line one"),
+            banner,
+            F.substring("text", 61, 80),
+            F.lit("-"),
+            F.lit("middle line one"),
+            banner,
+        ).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    return dedup_lines_within_doc(corpus, min_chars=2).orderBy("doc_id")
+
+
+ORACLES["dedup_doc_lines"] = """
+WITH seedt AS (
+  SELECT text FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id LIMIT 1
+), corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT 9000070,
+    substring(text, 1, 60) || chr(10) || '-' || chr(10) ||
+    'middle line one' || chr(10) || substring(text, 1, 60) || chr(10) ||
+    substring(text, 61, 80) || chr(10) || '-' || chr(10) ||
+    'middle line one' || chr(10) || substring(text, 1, 60)
+  FROM seedt
+), ln AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
+), lx AS (
+  SELECT doc_id, pos, ls[pos] AS l,
+         length(ls[pos]) < 2 AS exempt,
+         row_number() OVER (PARTITION BY doc_id, md5(ls[pos])
+                            ORDER BY pos) AS rn
+  FROM ln
+), kept AS (
+  SELECT doc_id, pos, l FROM lx WHERE exempt OR rn = 1
+), agg AS (
+  SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, a.clean_text,
+       CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(c.text, chr(10))) - a.n_kept AS BIGINT)
+         AS n_lines_dropped
+FROM corpus c JOIN agg a USING (doc_id) ORDER BY c.doc_id"""
+
+QUERIES["dedup_doc_lines"] = DriverQuery(
+    q_dedup_doc_lines, ORACLES["dedup_doc_lines"]
+)
+
+
 def q_span_excise(spark, sf_dir):
     """Surgical span-level decontamination (functions/spans.excise_spans):
     splice the detected verbatim benchmark windows OUT of each training
