@@ -358,3 +358,42 @@ def test_token_budget_mixture_broadcasts_rates(spark, sf_dir):
     plan = executed_plan(q_token_budget_mixture(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_near_dedup_survivors_broadcast_gated_by_count(spark):
+    """The loser-set anti-join must not FORCE a broadcast: at web-crawl
+    dup rates the loser set is O(corpus), and an unconditional
+    F.broadcast hint collects it to the driver regardless of AQE.  The
+    hint is allowed only under the counted bound (anti_join_ids); past
+    the bound the plan must fall back to an id-only shuffle join —
+    values identical either way."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.dedup import near_dedup_survivors
+
+    docs = spark.range(0, 2_000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("d"), "id").alias("text")
+    )
+    # 50 % dup rate: every odd doc pairs with its even predecessor
+    pairs = spark.range(0, 2_000, 2).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    via_broadcast = near_dedup_survivors(docs, pairs)
+    via_shuffle = near_dedup_survivors(docs, pairs, broadcast_limit=0)
+    a = sorted(r.doc_id for r in via_broadcast.collect())
+    b = sorted(r.doc_id for r in via_shuffle.collect())
+    assert a == b == list(range(0, 2_000, 2))
+    # under the bound the hint fires even with auto-broadcast off ...
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = executed_plan(near_dedup_survivors(docs, pairs))
+        assert "BroadcastHashJoin" in hinted
+        # ... past it, no broadcast anywhere: the anti-join shuffles ids
+        gated = executed_plan(
+            near_dedup_survivors(docs, pairs, broadcast_limit=0)
+        )
+        assert "BroadcastHashJoin" not in gated
+        assert re.search(r"SortMergeJoin|ShuffledHashJoin", gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

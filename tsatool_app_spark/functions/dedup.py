@@ -893,22 +893,54 @@ def connected_components(
     return labels.select(F.col("u").alias("node"), F.col("l").alias("component"))
 
 
+# Loser-id sets above this row count are NOT broadcast: at web-crawl
+# near-dup rates (30-50 %) the loser set is O(corpus) — forcing a
+# broadcast would collect a multi-GB id list to the driver and replicate
+# it to every executor.  20M longs ≈ 160 MB serialized, comfortably
+# inside executor memory yet far past the point where the hint helps.
+LOSER_BROADCAST_LIMIT = 20_000_000
+
+
+def anti_join_ids(
+    df: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    *,
+    broadcast_limit: int = LOSER_BROADCAST_LIMIT,
+) -> DataFrame:
+    """Left-anti ``df`` against an id set whose size is DATA-DEPENDENT
+    (e.g. the near-dup loser set: tiny on clean corpora, O(corpus) on web
+    crawls).  Broadcast only under a counted bound — the same
+    measure-then-decide pattern as ``_resolve_band_bits`` — so the hint
+    never forces a multi-GB driver collect; past the bound the join
+    shuffles ``id_col`` only (8-byte keys — trivial next to the shingle
+    pass that produced the ids).  The count is one job over a 1-column
+    projection of ``ids``, which callers pass already checkpointed
+    (``connected_components`` labels), so it is a cheap scan."""
+    if broadcast_limit > 0 and ids.count() <= broadcast_limit:
+        ids = F.broadcast(ids)
+    return df.join(ids, id_col, "left_anti")
+
+
 def near_dedup_survivors(
     df: DataFrame,
     verified_pairs: DataFrame,
     *,
     id_col: str = "doc_id",
+    broadcast_limit: int = LOSER_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Cluster-level near-dedup: drop every doc whose component
     representative (min id) is another doc. Input pairs should already be
     verified (e.g. ``ngram_jaccard_pairs(...) >= t`` on LSH candidates).
-    The drop set is tiny relative to the corpus, so it broadcasts and the
-    corpus scan is filter-only — no corpus-side shuffle at 100 TB."""
+    The drop set's size is dup-rate-dependent — a few ids on curated
+    corpora, O(corpus) at web-crawl dup rates — so the anti-join
+    broadcasts only under a counted bound (``anti_join_ids``); past it,
+    the corpus anti-joins on 8-byte ids with no forced hint."""
     cc = connected_components(verified_pairs)
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return anti_join_ids(df, drop, id_col, broadcast_limit=broadcast_limit)
 
 
 def _simhash_probe_tables(
