@@ -550,3 +550,83 @@ def test_dedup_lines_within_doc(spark):
     )
     assert strict[4].clean_text == "a line\n"
     assert (strict[4].n_lines, strict[4].n_lines_dropped) == (4, 2)
+
+
+def test_dedup_lines_null_text_passthrough(spark):
+    """One output row per input document, unconditionally: NULL-text
+    docs must not vanish through the rebuild join — they pass through
+    with NULL clean_text and NULL counts."""
+    from tsatool_app_spark.functions.corpus import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines_within_doc(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "a\nb"
+    assert out[2].clean_text is None
+    assert out[2].n_lines is None and out[2].n_lines_dropped is None
+    # empty text is ONE empty line, kept
+    assert out[3].clean_text == ""
+    assert (out[3].n_lines, out[3].n_lines_dropped) == (1, 0)
+
+
+def test_pretraining_mix_excise_real_token_col(spark):
+    """decon="excise" with a REAL tokenizer-count column: the mixture
+    supply must stay in token units — untouched docs keep their count
+    EXACTLY, the excised doc's count is rescaled by len(clean)/len(orig)
+    — not silently replaced by character counts (~6x unit shift)."""
+    from tsatool_app_spark.functions.corpus import pretraining_mix
+    from tsatool_app_spark.functions.spans import excise_spans
+
+    rows = []
+    for i in range(8):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append(
+            (
+                i,
+                f"the document {i} says {body} and then a tidy end. "
+                "the closing line keeps a period.",
+                "srcA",
+            )
+        )
+    bench_text = (
+        "benchmarks carry the holdout answer keys and the exact wording "
+        "of every evaluation question in a long and very specific order "
+        "that training text must never contain verbatim at all."
+    )
+    span_slice = bench_text[20:62]
+    span_doc = (
+        "the document onezerothree opens with its own words then quotes"
+        + span_slice
+        + " and then a tidy end. the closing line keeps a period."
+    )
+    rows.append((103, span_doc, "srcA"))
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t), len(t.split())) for i, t, s in rows],
+        "doc_id long, text string, source string, n_chars long, n_tokens long",
+    )
+    bench = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    # expected supply: untouched docs contribute n_tokens exactly; the
+    # excised doc contributes round(tok0 * len_clean / len0)
+    clean_len = {
+        r.doc_id: len(r.clean_text)
+        for r in excise_spans(docs, bench, window_len=40).collect()
+    }
+    supply = 0
+    for i, t, s in rows:
+        tok0, len0 = len(t.split()), len(t)
+        supply += (tok0 * clean_len[i] + len0 // 2) // len0
+    budget = supply * 9 // 10  # force rate_q < 10000 so units matter
+    out = pretraining_mix(
+        docs, bench, {"srcA": budget}, decon="excise", token_col="n_tokens",
+        n_shards=2,
+    ).collect()
+    assert out, "budget at 90 % of supply must keep most docs"
+    expected_rate_q = budget * 10_000 // supply
+    char_supply = sum(clean_len[i] for i, _, _ in rows)
+    assert expected_rate_q != budget * 10_000 // char_supply  # test bites
+    assert {r.rate_q for r in out} == {expected_rate_q}

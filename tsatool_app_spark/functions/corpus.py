@@ -491,14 +491,18 @@ def dedup_lines_within_doc(
     boilerplate.
 
     Output: (id, clean_text, n_lines, n_lines_dropped) — one row per
-    input document; n_lines counts the ORIGINAL lines.
+    input document, unconditionally: NULL-text docs pass through with
+    NULL clean_text and NULL counts (split(NULL) explodes to no rows, so
+    they ride the left join's pass-through side); n_lines counts the
+    ORIGINAL lines.
 
-    Plan shape at 100 TB: the dedup decision shuffles only (id,
-    md5(line), pos) — 16-byte hashes plus two longs, never line text;
-    the rebuild joins the per-doc kept-position array (one row per doc)
-    back to the one documents scan and splices JVM-side, so text never
-    crosses an exchange (the drop_duplicate_chunks / exact_dedup
-    rationale)."""
+    Plan shape at 100 TB: the dedup DECISION shuffles only (id,
+    md5(line), pos) — 16-byte hashes plus two longs, never line text.
+    The rebuild join is per-doc (the kept-position side is one row per
+    document — corpus cardinality, not broadcastable), so text rides
+    exactly ONE exchange there; what the hash-only first stage buys is
+    that the window sort and row_number dedup — the wide, skew-prone
+    work — never carry text."""
     import re as _re
 
     # F.split takes a regex — escape so sep is LITERAL, matching the
@@ -530,8 +534,13 @@ def dedup_lines_within_doc(
         F.transform(F.col("_keep"), lambda p: F.element_at(lines, p + 1)),
         sep,
     )
-    n_lines = F.size(lines).cast("long")
-    return docs.join(kept, id_col).select(
+    # explicit NULL guard: legacy size(NULL) is -1, not NULL
+    n_lines = F.when(
+        F.col(text_col).isNotNull(), F.size(lines).cast("long")
+    )
+    # left join: NULL-text docs have no exploded rows, hence no kept row —
+    # they must still emit their output row (NULL clean_text / counts)
+    return docs.join(kept, id_col, "left").select(
         F.col(id_col),
         rebuilt.alias("clean_text"),
         n_lines.alias("n_lines"),
@@ -673,8 +682,13 @@ def pretraining_mix(
         detected spans out via :func:`tsatool_app_spark.functions.spans.
         excise_spans` and keeps the clean remainder — n-gram hits still
         drop the whole doc (word grams have no span localization), docs
-        excised to nothing are dropped, and the mixture budgets and
-        packing token counts are recomputed over the POST-excision text;
+        excised to nothing are dropped, packing token counts are
+        recomputed over the POST-excision text, and the mixture's
+        ``token_col`` is rescaled by the excision ratio
+        (``token * len(clean)/len(orig)``, exact integer round-half-up:
+        untouched docs keep their count EXACTLY, and a char-count
+        ``token_col`` lands on ``len(clean)`` exactly) so real tokenizer
+        counts stay in their own units;
         ``excise_pad`` widens each excised window, trading residue
         probability (7/8)^(pad+1) for extra removed margin)
       → token-budget mixture over ``budgets`` (sources not budgeted are
@@ -705,6 +719,7 @@ def pretraining_mix(
     runs with the default).
     """
     from tsatool_app_spark.functions.dedup import (
+        anti_join_ids,
         connected_components,
         near_dup_pairs_dedup_first,
     )
@@ -735,9 +750,10 @@ def pretraining_mix(
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    # the drop set is tiny relative to the corpus (near_dedup_survivors
-    # rationale): broadcast it so the corpus side is filter-only
-    kept = surv.join(F.broadcast(losers), "doc_id", "left_anti")
+    # loser-set size is dup-rate-dependent (O(corpus) on web crawls):
+    # broadcast only under the counted bound; past it, anti-join on
+    # 8-byte ids with no hint (anti_join_ids rationale)
+    kept = anti_join_ids(surv, losers, "doc_id")
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
 
@@ -752,15 +768,31 @@ def pretraining_mix(
             ng_kept, benchmark, window_len=window_len, pad=excise_pad,
             impl=impl,
         )
+        # Rescale the caller's token count by the excision ratio —
+        # token_col * len(clean)/len(orig), rounded half-up in exact
+        # integer arithmetic — so a real tokenizer count stays in its
+        # own units (untouched docs pass through EXACTLY; with the
+        # default char-count token_col this equals len(clean) exactly).
         decon_df = (
-            ng_kept.select("doc_id", source_col)
+            ng_kept.select(
+                "doc_id",
+                source_col,
+                F.col(token_col).cast("long").alias("_tok0"),
+                F.length("text").alias("_len0"),
+            )
             .join(
                 ex.where(F.length("clean_text") > 0).select(
                     "doc_id", F.col("clean_text").alias("text")
                 ),
                 "doc_id",
             )
-            .withColumn(token_col, F.length("text").cast("long"))
+            .withColumn(
+                token_col,
+                F.expr(
+                    "(_tok0 * length(text) + _len0 div 2) div _len0"
+                ).cast("long"),
+            )
+            .drop("_tok0", "_len0")
         )
     else:
         sp_hits = span_contamination_hits(
