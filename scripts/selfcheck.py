@@ -6,6 +6,14 @@ rows sorted, exact equality after normalizing timestamps/floats the way
 the driver's value-hash would see them).
 
 Usage: python scripts/selfcheck.py [query ...]   # default: all
+
+Non-vacuity net (r9 VERDICT #5): a value-green row with 0 rows certifies
+nothing — both engines can agree on an accidentally-empty result (the
+%97-bench composition queries legitimately go empty on replica-structured
+sweep tiers where decontamination correctly drops ~everything).  Any
+green-but-empty query that is NON-empty in the sf0.01 baseline manifest
+(scripts/ci_expected.txt) gets a loud VACUOUS warning on stderr, plus an
+end-of-run summary; manifest-diffed stdout is unchanged.
 """
 
 from __future__ import annotations
@@ -37,6 +45,28 @@ def main() -> None:
     from tsatool_app_spark.session import get_spark
 
     only = set(sys.argv[1:])
+
+    # sf0.01 baseline row counts for the vacuity net ("ok name: N rows")
+    baseline: dict[str, int] = {}
+    manifest = os.path.join(os.path.dirname(__file__), "ci_expected.txt")
+    if os.path.exists(manifest):
+        for line in open(manifest):
+            parts = line.split()
+            if len(parts) >= 4 and parts[0] in ("ok", "rows-only"):
+                baseline[parts[1].rstrip(":")] = int(parts[2])
+    vacuous: list[str] = []
+
+    def check_vacuity(name: str, n_rows: int) -> None:
+        base = baseline.get(name)
+        if n_rows == 0 and (base is None or base > 0):
+            vacuous.append(name)
+            print(
+                f"VACUOUS {name}: green but 0 rows at this tier"
+                f" (sf0.01 baseline: {base if base is not None else '?'})"
+                " — the value match certifies nothing here",
+                file=sys.stderr,
+            )
+
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -58,6 +88,7 @@ def main() -> None:
             continue
         if not q.oracle:
             print(f"rows-only {name}: {len(sdf)} rows")
+            check_vacuity(name, len(sdf))
             continue
         try:
             odf = con.sql(q.oracle).df()
@@ -89,7 +120,17 @@ def main() -> None:
             bad.append(name)
         else:
             print(f"ok   {name}: {len(srows)} rows")
+            check_vacuity(name, len(srows))
     spark.stop()
+    if vacuous:
+        print(
+            f"VACUITY WARNING: {len(vacuous)} green-but-empty quer"
+            f"{'y' if len(vacuous) == 1 else 'ies'} at this tier:"
+            f" {', '.join(vacuous)} (non-empty at sf0.01 — their value"
+            " match here is vacuous; see SCALING.md for known-degenerate"
+            " tier/query combinations)",
+            file=sys.stderr,
+        )
     print(f"\n{'ALL GREEN' if not bad else 'FAILURES: ' + ', '.join(bad)}")
     sys.exit(1 if bad else 0)
 

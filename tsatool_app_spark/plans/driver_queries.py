@@ -5713,7 +5713,7 @@ def q_dup_span_sites(spark, sf_dir):
     cap (max_sites_per_doc_fp=64, the function default; oracle QUALIFY
     row_number <= 64) bounds the periodic-text fan-out edge — inert on
     this corpus (no (doc, fp) nears 64 sites), exercised by the planted
-    periodic-text test in tests/test_spans.py."""
+    periodic-text test in tests/test_functions.py."""
     from tsatool_app_spark.functions.spans import duplicated_span_sites
 
     docs = (
@@ -5912,10 +5912,15 @@ def _pretrain_corpus(spark, sf_dir):
     # out).  doc_id 9000094's md5 bucket is 17, so the remainder passes
     # any plausible src0 rate and the two modes produce DIFFERENT
     # output — the row that certifies the excise path end-to-end.
+    # clamp to 1 + pos-bound filter (the spans.py _sel_expr pattern):
+    # sequence(1, 0) DESCENDS to [1, 0], so a sub-40-char seed would
+    # otherwise yield bogus truncated windows where the oracle's
+    # range(1, 1) is empty
     w40 = F.expr(
-        "filter(transform(sequence(1, greatest(length(text) - 40 + 1, 0)),"
+        "filter(transform(sequence(1, greatest(length(text) - 40 + 1, 1)),"
         " p -> named_struct('pos', p, 'w', substring(text, p, 40))),"
-        " x -> substring(md5(x.w), 32, 1) < '2')"
+        " x -> x.pos <= length(text) - 40 + 1"
+        "      and substring(md5(x.w), 32, 1) < '2')"
     )
     p5 = (
         blow.select(F.element_at(w40, 1)["w"].alias("w"))
