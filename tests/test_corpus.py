@@ -630,3 +630,51 @@ def test_pretraining_mix_excise_real_token_col(spark):
     char_supply = sum(clean_len[i] for i, _, _ in rows)
     assert expected_rate_q != budget * 10_000 // char_supply  # test bites
     assert {r.rate_q for r in out} == {expected_rate_q}
+
+
+def test_decon_probe_matches_standalone(spark):
+    """The fused single-scan probe must reproduce the standalone
+    operators' hit sets exactly: ng ids == contamination_hits's ids,
+    span rows == span_fingerprints X bench fps — for BOTH impls,
+    multibyte text included."""
+    from tsatool_app_spark.functions.corpus import (
+        contamination_hits, decon_probe,
+    )
+    from tsatool_app_spark.functions.spans import (
+        span_doc_fingerprints, span_fingerprints,
+    )
+
+    bench_text = (
+        "benchmarks carry the holdout answer keys and the exact wording "
+        "of every evaluation question in a long and very specific order "
+        "that training text must never contain verbatim at all."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "plain document with its own words " * 4),
+            (2, "prefix words then " + bench_text + " suffix"),        # both probes
+            (3, "carries only" + bench_text[20:62] + "span slice"),    # span only
+            (4, "päätös ääkkösiä " + bench_text[20:62] + " ja häntä"), # multibyte
+            (5, None),
+            (6, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    expected_ng = {
+        r.doc_id for r in contamination_hits(docs, bench, n=8).collect()
+    }
+    bench_fps = span_doc_fingerprints(bench).select("fp").distinct()
+    expected_sp = {
+        (r.doc_id, r.pos, r.fp)
+        for r in span_fingerprints(docs).join(bench_fps, "fp").collect()
+    }
+    assert expected_ng and expected_sp  # the test must bite
+
+    for impl in ("sql", "arrow"):
+        ng, sp = decon_probe(docs, bench, impl=impl)
+        assert {r.doc_id for r in ng.collect()} == expected_ng, impl
+        assert {
+            (r.doc_id, r.pos, r.fp) for r in sp.collect()
+        } == expected_sp, impl

@@ -37,6 +37,20 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
 
 
+def _gram_array(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) — empty for documents
+    shorter than ``n`` words.  The single statement of the word-gram
+    rule, shared by :func:`contamination_hits` and :func:`decon_probe`."""
+    toks = _tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def chunk_documents(
     docs: DataFrame,
     *,
@@ -218,14 +232,7 @@ def contamination_hits(
     cost drops by the duplication factor with identical output (pinned by
     test_contamination_dedup_texts_matches_direct)."""
     def grams(df: DataFrame, out: str, idc: str) -> DataFrame:
-        toks = _tokens(F.col(text_col))
-        g = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        g = _gram_array(F.col(text_col), n)
         return df.select(F.col(idc), F.explode(g).alias(out))
 
     bench_grams = grams(benchmark, "g", id_col).select("g").distinct()
@@ -256,6 +263,170 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+def _decon_probe_arrow(
+    train: DataFrame,
+    ngram_n: int,
+    window_len: int,
+    rate_hex_lt: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow path of :func:`decon_probe`: one ``mapInPandas`` pass
+    emitting BOTH probe streams.  Span selection is
+    spans._doc_span_fps (the one python statement of the md5 rule,
+    byte-identical to the SQL path); grams replicate _gram_array's
+    split-on-single-space rule (token content is identical — Java and
+    Python both split on every ' ' and empties are dropped).  Flush
+    bound per task as in spans._span_fingerprints_arrow."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from tsatool_app_spark.functions.spans import (
+        _ARROW_FLUSH_ROWS, _doc_span_fps,
+    )
+
+    th = int(rate_hex_lt, 16)
+    w, n = window_len, ngram_n
+    out_schema = StructType(
+        [
+            StructField("doc_id", train.schema[id_col].dataType),
+            StructField("kind", StringType()),
+            StructField("key", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, kinds, keys, poss = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in text.split(" ") if t]
+                for i in range(len(toks) - n + 1):
+                    ids.append(doc_id)
+                    kinds.append("g")
+                    keys.append(" ".join(toks[i : i + n]))
+                    poss.append(None)
+                for p1, fp in _doc_span_fps(text, w, th):
+                    ids.append(doc_id)
+                    kinds.append("s")
+                    keys.append(fp)
+                    poss.append(p1)
+                if len(ids) >= _ARROW_FLUSH_ROWS:
+                    yield pd.DataFrame(
+                        {"doc_id": ids, "kind": kinds, "key": keys,
+                         "pos": pd.array(poss, dtype="Int32")}
+                    )
+                    ids, kinds, keys, poss = [], [], [], []
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "kind": kinds, "key": keys,
+                     "pos": pd.array(poss, dtype="Int32")}
+                )
+
+    return train.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def decon_probe(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    ngram_n: int = 8,
+    window_len: int = 40,
+    rate_hex_lt: str = "2",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "sql",
+) -> tuple[DataFrame, DataFrame]:
+    """BOTH benchmark-decontamination probes from ONE pass over the
+    training text: returns ``(ngram_hit_ids, span_hits)``.
+
+    - ``ngram_hit_ids``: (doc_id) — documents sharing any word
+      ``ngram_n``-gram with the benchmark (exactly
+      :func:`contamination_hits`'s hit SET, without occurrence counts);
+    - ``span_hits``: (doc_id, pos, fp) — every selected ``window_len``-
+      char window matching a selected benchmark fingerprint (exactly the
+      rows :func:`tsatool_app_spark.functions.spans.excise_spans` /
+      span_contamination_hits would match; feed them onward via
+      ``excise_spans(..., hits=span_hits)``).
+
+    Why it exists: at 100 TB a full-text scan is the unit of cost, and
+    running the word-gram and span filters as separate operators reads
+    the corpus text TWICE (r9 VERDICT watch item #3).  Here one
+    projection emits both probe streams tagged 'g'/'s', one explode
+    feeds one broadcast join against the unioned benchmark key set, and
+    the matched rows — the tiny side — are lazily checkpointed so the
+    two returned frames SHARE the single scan instead of re-running it
+    per consumer.  ``impl="arrow"`` computes both streams in one
+    ``mapInPandas`` pass (:func:`_decon_probe_arrow`).
+
+    No dedup-texts fast path here: the composed pipeline feeds
+    exact-dedup SURVIVORS (every text already distinct); standalone
+    clone-heavy callers should use the per-operator functions, which
+    keep their ``dedup_texts`` knobs.  Hit sets are pinned identical to
+    the standalone operators by test_decon_probe_matches_standalone."""
+    from tsatool_app_spark.functions.spans import (
+        _sel_expr, span_doc_fingerprints,
+    )
+
+    bench_keys = (
+        benchmark.select(
+            F.explode(_gram_array(F.col(text_col), ngram_n)).alias("key")
+        )
+        .distinct()
+        .select(F.lit("g").alias("kind"), "key")
+        .unionByName(
+            span_doc_fingerprints(
+                benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
+                text_col=text_col, id_col=id_col, impl=impl,
+            )
+            .select("fp")
+            .distinct()
+            .select(F.lit("s").alias("kind"), F.col("fp").alias("key"))
+        )
+    )
+
+    if impl == "sql":
+        g_entries = F.transform(
+            _gram_array(F.col(text_col), ngram_n),
+            lambda g: F.struct(
+                F.lit("g").alias("kind"),
+                g.alias("key"),
+                F.lit(None).cast("int").alias("pos"),
+            ),
+        )
+        s_entries = F.transform(
+            F.expr(_sel_expr(text_col, window_len, rate_hex_lt)),
+            lambda x: F.struct(
+                F.lit("s").alias("kind"),
+                x["fp"].alias("key"),
+                x["pos"].cast("int").alias("pos"),
+            ),
+        )
+        probes = train.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(g_entries, s_entries)).alias("e"),
+        ).select("doc_id", "e.kind", "e.key", "e.pos")
+    elif impl == "arrow":
+        probes = _decon_probe_arrow(
+            train, ngram_n, window_len, rate_hex_lt, text_col, id_col
+        )
+    else:
+        raise ValueError("impl must be 'sql' or 'arrow'")
+
+    hits = probes.join(
+        F.broadcast(bench_keys), ["kind", "key"]
+    ).localCheckpoint(eager=False)
+    ng_hit_ids = hits.where(F.col("kind") == "g").select("doc_id").distinct()
+    span_hits = hits.where(F.col("kind") == "s").select(
+        "doc_id", F.col("pos"), F.col("key").alias("fp")
+    )
+    return ng_hit_ids, span_hits
 
 
 def vocab_top_terms(
@@ -374,6 +545,7 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing for pretraining batch construction: assign
     each document to a token-budget bin — ``(doc_id, shard, bin_id,
@@ -389,13 +561,23 @@ def pack_sequences(
     exchange moves three ints per document, never text. At 100 TB that is
     the difference between shuffling the corpus and shuffling ~24 bytes/doc;
     raise ``n_shards`` to the cluster's core count to bound per-group state.
+
+    ``token_count_col``: pack by an existing REAL token-count column
+    (e.g. :func:`tsatool_app_spark.functions.bpe.add_bpe_token_counts`
+    output) instead of the whitespace approximation; the default
+    whitespace path is unchanged.
     """
     import pandas as pd
 
+    n_tok = (
+        F.size(_tokens(F.col(text_col)))
+        if token_count_col is None
+        else F.col(token_count_col)
+    )
     counted = df.select(
         F.col(id_col),
         (F.col(id_col) % n_shards).alias("shard"),
-        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -710,7 +892,9 @@ def pretraining_mix(
     joins on doc_id between stages — id-only shuffles; text rides only
     the stages that hash it (near-dup shingles over one representative
     per distinct text, decontamination probes against BROADCAST
-    benchmark keys).  ``impl="arrow"`` switches the span hashing to the
+    benchmark keys — and BOTH decon probes, word grams and span
+    fingerprints, stream from ONE text pass via :func:`decon_probe`, so
+    decontamination costs one corpus read, not two).  ``impl="arrow"`` switches the span hashing to the
     mapInPandas bulk path (byte-identical; ~11×).  ``checkpoint``
     (default on) materializes the two frames consumed by multiple
     downstream stages (the near-dup survivor set and the decontaminated
@@ -724,10 +908,7 @@ def pretraining_mix(
         near_dup_pairs_dedup_first,
     )
     from tsatool_app_spark.functions.sampling import token_budget_mixture
-    from tsatool_app_spark.functions.spans import (
-        excise_spans,
-        span_contamination_hits,
-    )
+    from tsatool_app_spark.functions.spans import excise_spans
 
     if decon not in ("drop", "excise"):
         raise ValueError(f"decon must be 'drop' or 'excise', got {decon!r}")
@@ -757,16 +938,25 @@ def pretraining_mix(
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
 
-    ng_hits = contamination_hits(kept, benchmark, n=ngram_n).select("doc_id")
+    # ONE text pass derives BOTH decon probes (decon_probe): word
+    # n-grams and span fingerprints stream from the same scan into one
+    # broadcast join, instead of contamination_hits +
+    # span_contamination_hits/excise_spans each re-reading the corpus
+    # (r9 VERDICT #2 — at 100 TB the text scan is the unit of cost)
+    ng_hits, sp_hit_rows = decon_probe(
+        kept, benchmark, ngram_n=ngram_n, window_len=window_len, impl=impl
+    )
     if decon == "excise":
         # n-gram hits still drop whole docs; span hits are spliced out
         # and the doc survives with its clean remainder (unless nothing
         # remains).  token_col is recomputed over the post-excision text
         # so the mixture budgets what will actually be trained on.
         ng_kept = kept.join(ng_hits, "doc_id", "left_anti")
+        # hits= skips excise's own probe: the span stream of the fused
+        # scan above is exactly the matched rows it would compute
         ex = excise_spans(
-            ng_kept, benchmark, window_len=window_len, pad=excise_pad,
-            impl=impl,
+            ng_kept, window_len=window_len, pad=excise_pad,
+            hits=sp_hit_rows,
         )
         # Rescale the caller's token count by the excision ratio —
         # token_col * len(clean)/len(orig), rounded half-up in exact
@@ -795,11 +985,12 @@ def pretraining_mix(
             .drop("_tok0", "_len0")
         )
     else:
-        sp_hits = span_contamination_hits(
-            kept, benchmark, window_len=window_len, impl=impl
-        ).select("doc_id")
         decon_df = kept.join(
-            ng_hits.unionByName(sp_hits).distinct(), "doc_id", "left_anti"
+            ng_hits.unionByName(
+                sp_hit_rows.select("doc_id").distinct()
+            ).distinct(),
+            "doc_id",
+            "left_anti",
         )
     if checkpoint:
         decon_df = decon_df.localCheckpoint(eager=False)

@@ -79,6 +79,38 @@ def _sel_expr(text_col: str, window_len: int, rate_hex_lt: str) -> str:
 _ARROW_FLUSH_ROWS = 1 << 20  # ~90 MB of (id, pos, fp) rows per yielded frame
 
 
+def _doc_span_fps(text: str, w: int, th: int):
+    """Yield (1-based pos, md5 hex) for every SELECTED window of one
+    document — the python-side statement of the module's selection rule,
+    shared by :func:`_span_fingerprints_arrow` and the fused decon probe
+    (functions/corpus.decon_probe) so the rule exists exactly once per
+    runtime.  Multibyte exactness as documented on the arrow impl: Spark
+    substring counts CHARACTERS, md5 hashes UTF-8 BYTES — the non-ASCII
+    branch slices on the char→byte offset table from UTF-8 lead bytes."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    n = len(text) - w + 1
+    if n <= 0:
+        return
+    b = text.encode("utf-8")
+    if len(b) == len(text):  # ASCII: byte pos == char pos
+        for p in range(n):
+            dig = md5(b[p : p + w]).digest()
+            if dig[15] & 0x0F < th:
+                yield p + 1, dig.hex()
+    else:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        starts = np.flatnonzero((arr & 0xC0) != 0x80)
+        starts = np.append(starts, len(b))
+        for p in range(n):
+            dig = md5(b[starts[p] : starts[p + w]]).digest()
+            if dig[15] & 0x0F < th:
+                yield p + 1, dig.hex()
+
+
 def _span_fingerprints_arrow(
     docs: DataFrame, window_len: int, rate_hex_lt: str, text_col: str,
     id_col: str, flush_rows: int = _ARROW_FLUSH_ROWS,
@@ -128,33 +160,15 @@ def _span_fingerprints_arrow(
     )
 
     def gen(batches):
-        md5 = hashlib.md5
         for pdf in batches:
             ids, poss, fpss = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                n = len(text) - w + 1
-                if n <= 0:
-                    continue
-                b = text.encode("utf-8")
-                if len(b) == len(text):  # ASCII: byte pos == char pos
-                    for p in range(n):
-                        dig = md5(b[p : p + w]).digest()
-                        if dig[15] & 0x0F < th:
-                            ids.append(doc_id)
-                            poss.append(p + 1)
-                            fpss.append(dig.hex())
-                else:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    starts = np.flatnonzero((arr & 0xC0) != 0x80)
-                    starts = np.append(starts, len(b))
-                    for p in range(n):
-                        dig = md5(b[starts[p] : starts[p + w]]).digest()
-                        if dig[15] & 0x0F < th:
-                            ids.append(doc_id)
-                            poss.append(p + 1)
-                            fpss.append(dig.hex())
+                for p1, fp in _doc_span_fps(text, w, th):
+                    ids.append(doc_id)
+                    poss.append(p1)
+                    fpss.append(fp)
                 if len(ids) >= flush_rows:
                     yield pd.DataFrame(
                         {"doc_id": ids,
@@ -560,6 +574,7 @@ def excise_spans(
     id_col: str = "doc_id",
     fps_pos: DataFrame | None = None,
     impl: str = "sql",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Surgical span-level decontamination: REMOVE the detected verbatim
     benchmark windows from each training document instead of dropping the
@@ -594,28 +609,35 @@ def excise_spans(
     splice is a pure Column ``aggregate`` over the per-doc merged
     interval array (at most |hits| entries), evaluated on the one
     documents scan.  ``fps_pos``: share the corpus hashing pass
-    (:func:`span_fingerprints` output); ``impl="arrow"`` for bulk scans."""
-    if bench_fps is None:
-        if benchmark is None:
-            raise ValueError("pass benchmark or a precomputed bench_fps")
-        bench_fps = (
-            span_doc_fingerprints(
-                benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
+    (:func:`span_fingerprints` output); ``impl="arrow"`` for bulk scans.
+    ``hits``: already-MATCHED (doc_id, pos, ...) rows — e.g. the
+    span_hits stream of functions/corpus.decon_probe's fused scan — the
+    probe is then skipped entirely; rows for documents absent from
+    ``docs`` are inert (the rebuild starts from the docs side)."""
+    if hits is not None:
+        hits = hits.select("doc_id", "pos").distinct()
+    else:
+        if bench_fps is None:
+            if benchmark is None:
+                raise ValueError("pass benchmark or a precomputed bench_fps")
+            bench_fps = (
+                span_doc_fingerprints(
+                    benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
+                    text_col=text_col, id_col=id_col, impl=impl,
+                )
+                .select("fp")
+                .distinct()
+            )
+        if fps_pos is None:
+            fps_pos = span_fingerprints(
+                docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
                 text_col=text_col, id_col=id_col, impl=impl,
             )
-            .select("fp")
+        hits = (
+            fps_pos.join(F.broadcast(bench_fps), "fp")
+            .select("doc_id", "pos")
             .distinct()
         )
-    if fps_pos is None:
-        fps_pos = span_fingerprints(
-            docs, window_len=window_len, rate_hex_lt=rate_hex_lt,
-            text_col=text_col, id_col=id_col, impl=impl,
-        )
-    hits = (
-        fps_pos.join(F.broadcast(bench_fps), "fp")
-        .select("doc_id", "pos")
-        .distinct()
-    )
     iv = hits.select(
         "doc_id",
         F.greatest(F.col("pos") - pad, F.lit(1)).cast("long").alias("s"),
