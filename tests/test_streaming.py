@@ -1254,3 +1254,100 @@ def test_probe_span_cap_counts_distinct_docs(spark):
         ).collect()
     }
     assert bdup == bclean
+
+
+def test_batch_ledger_high_water_and_out_of_order(spark, tmp_path):
+    """r10 (VERDICT #3): the batch ledger is a HIGH-WATER MARK for
+    in-order integer ids — one '<=N' line, not one line per batch — with
+    the explicit-set form kept only for out-of-order / non-integer ids,
+    and gaps healing once the missing id folds.  Legacy all-explicit
+    files parse and normalize on the next publish."""
+    import os
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        append_snapshot_segment,
+        current_version,
+        folded_batches,
+        is_batch_folded,
+    )
+
+    root = str(tmp_path / "store")
+    one = spark.range(0, 1).selectExpr("id AS k")
+
+    def ledger_lines():
+        vdir = os.path.join(root, current_version(root))
+        with open(os.path.join(vdir, "_batches")) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    for b in (0, 1, 2):
+        append_snapshot_segment(one, root, batch_id=b)
+    assert ledger_lines() == ["<=2"]
+    # gap: 5 before 3/4 → explicit until the gap heals
+    append_snapshot_segment(one, root, batch_id=5)
+    assert ledger_lines() == ["<=2", "5"]
+    assert is_batch_folded(root, 5) and not is_batch_folded(root, 3)
+    append_snapshot_segment(one, root, batch_id=3)
+    assert ledger_lines() == ["<=3", "5"]
+    append_snapshot_segment(one, root, batch_id=4)
+    assert ledger_lines() == ["<=5"]
+    # non-integer ids stay explicit; replay of any folded id is a no-op
+    append_snapshot_segment(one, root, batch_id="manual-backfill")
+    assert ledger_lines() == ["<=5", "manual-backfill"]
+    assert is_batch_folded(root, "manual-backfill")
+    v = current_version(root)
+    append_snapshot_segment(one, root, batch_id=2)  # replay
+    assert current_version(root) == v
+    assert folded_batches(root) == {"0", "1", "2", "3", "4", "5",
+                                    "manual-backfill"}
+    # legacy all-explicit file: parses, and the next publish normalizes
+    legacy = str(tmp_path / "legacy")
+    append_snapshot_segment(one, legacy, batch_id=0)
+    vdir = os.path.join(legacy, current_version(legacy))
+    with open(os.path.join(vdir, "_batches"), "w") as f:
+        f.write("0\n1\n2")
+    assert is_batch_folded(legacy, 1) and not is_batch_folded(legacy, 3)
+    append_snapshot_segment(one, legacy, batch_id=3)
+    vdir = os.path.join(legacy, current_version(legacy))
+    with open(os.path.join(vdir, "_batches")) as f:
+        assert f.read().strip() == "<=3"
+
+
+def test_long_stream_maintenance_bounded(spark, tmp_path):
+    """r10 (VERDICT #3 'Done' criterion): 200 batches through the
+    append-only store with compact_every=16 — live segment count stays
+    bounded by the knob, the ledger file stays ONE line, values are the
+    exact union, and replay protection still holds after many
+    compactions."""
+    import os
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        append_snapshot_segment,
+        is_batch_folded,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "store")
+    max_segs = 0
+    for b in range(200):
+        append_snapshot_segment(
+            spark.range(b, b + 1).selectExpr("id AS k"),
+            root,
+            batch_id=b,
+            compact_every=16,
+        )
+        n = len([e for e in os.listdir(root) if e.startswith("seg-")])
+        max_segs = max(max_segs, n)
+    assert max_segs <= 17  # compact_every live segments + transient merge
+    vdir = os.path.join(root, [e for e in os.listdir(root)
+                               if e.startswith("v-")][0])
+    with open(os.path.join(vdir, "_batches")) as f:
+        assert f.read().strip() == "<=199"  # O(1) ledger, not 200 lines
+    got = sorted(r["k"] for r in read_snapshot(spark, root).collect())
+    assert got == list(range(200))
+    # replay of an id folded long before the last compaction: still a no-op
+    append_snapshot_segment(
+        spark.range(999, 1000).selectExpr("id AS k"), root, batch_id=7,
+        compact_every=16,
+    )
+    assert is_batch_folded(root, 7)
+    assert read_snapshot(spark, root).count() == 200

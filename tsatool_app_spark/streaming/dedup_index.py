@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from tsatool_app_spark.functions.dedup import _band_keys, minhash_signatures
 from tsatool_app_spark.streaming.snapshot_store import (
     append_snapshot_segment,
-    folded_batches,
+    is_batch_folded,
     read_snapshot,
 )
 
@@ -144,6 +144,7 @@ def incremental_probe_and_update(
     max_bucket_size: int | None = 512,
     dedup_texts: bool = False,
     batch_id: str | int | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Probe ``new_docs`` against the persisted index PLUS the batch
     itself, fold the batch's keys in, and return the candidate pairs.
@@ -171,8 +172,8 @@ def incremental_probe_and_update(
         shingle_k=shingle_k,
         dedup_texts=dedup_texts,
     ).localCheckpoint(eager=True)  # computed once: probed AND folded in
-    already = batch_id is not None and str(batch_id) in folded_batches(
-        snapshot_path
+    already = batch_id is not None and is_batch_folded(
+        snapshot_path, batch_id
     )
     current = read_snapshot(spark, snapshot_path)
     if already:
@@ -190,7 +191,10 @@ def incremental_probe_and_update(
     # it rewriting history). Long-runners compact via
     # snapshot_store.compact_segments.
     if not already:
-        append_snapshot_segment(new_keys, snapshot_path, batch_id=batch_id)
+        append_snapshot_segment(
+            new_keys, snapshot_path, batch_id=batch_id,
+            compact_every=compact_every,
+        )
     return matches
 
 
@@ -207,6 +211,7 @@ def process_dedup_batch(
     shingle_k: int = 5,
     max_bucket_size: int | None = 512,
     dedup_texts: bool = False,
+    compact_every: int | None = 64,
 ) -> None:
     """The foreachBatch body of :func:`streaming_minhash_dedup`, exposed
     at module level so crash-replay is directly testable: calling it
@@ -229,6 +234,7 @@ def process_dedup_batch(
         max_bucket_size=max_bucket_size,
         dedup_texts=dedup_texts,
         batch_id=batch_id,
+        compact_every=compact_every,
     )
     matches.write.mode("overwrite").parquet(
         os.path.join(matches_path, f"batch_id={batch_id}")
@@ -248,6 +254,7 @@ def streaming_minhash_dedup(
     shingle_k: int = 5,
     max_bucket_size: int | None = 512,
     dedup_texts: bool = False,
+    compact_every: int | None = 64,
 ):
     """foreachBatch driver: each micro-batch of documents is probed
     against the index-so-far, candidate pairs land under
@@ -283,6 +290,7 @@ def streaming_minhash_dedup(
             shingle_k=shingle_k,
             max_bucket_size=max_bucket_size,
             dedup_texts=dedup_texts,
+            compact_every=compact_every,
         )
 
     return (

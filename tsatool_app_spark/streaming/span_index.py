@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from tsatool_app_spark.functions.spans import span_doc_fingerprints
 from tsatool_app_spark.streaming.snapshot_store import (
     append_snapshot_segment,
-    folded_batches,
+    is_batch_folded,
     read_snapshot,
 )
 
@@ -134,6 +134,7 @@ def incremental_span_probe_and_update(
     max_docs_per_fp: int | None = 256,
     impl: str = "arrow",
     batch_id: str | int | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Probe ``new_docs`` against the persisted index PLUS the batch
     itself, fold the batch's fingerprints in, and return the span matches
@@ -158,8 +159,8 @@ def incremental_span_probe_and_update(
     if id_col != "doc_id":
         new_keys = new_keys.withColumnRenamed(id_col, "doc_id")
     new_keys = new_keys.localCheckpoint(eager=True)  # probed AND folded in
-    already = batch_id is not None and str(batch_id) in folded_batches(
-        snapshot_path
+    already = batch_id is not None and is_batch_folded(
+        snapshot_path, batch_id
     )
     current = read_snapshot(spark, snapshot_path)
     if already:
@@ -172,7 +173,10 @@ def incremental_span_probe_and_update(
         combined, new_keys, max_docs_per_fp=max_docs_per_fp
     ).localCheckpoint(eager=True)  # computed before the index swaps versions
     if not already:
-        append_snapshot_segment(new_keys, snapshot_path, batch_id=batch_id)
+        append_snapshot_segment(
+            new_keys, snapshot_path, batch_id=batch_id,
+            compact_every=compact_every,
+        )
     return matches
 
 
@@ -188,6 +192,7 @@ def process_span_batch(
     id_col: str = "doc_id",
     max_docs_per_fp: int | None = 256,
     impl: str = "arrow",
+    compact_every: int | None = 64,
 ) -> None:
     """The foreachBatch body of :func:`streaming_span_dedup`, exposed at
     module level so crash-replay is directly testable: calling it twice
@@ -209,6 +214,7 @@ def process_span_batch(
         max_docs_per_fp=max_docs_per_fp,
         impl=impl,
         batch_id=batch_id,
+        compact_every=compact_every,
     )
     matches.write.mode("overwrite").parquet(
         os.path.join(matches_path, f"batch_id={batch_id}")
@@ -227,6 +233,7 @@ def streaming_span_dedup(
     id_col: str = "doc_id",
     max_docs_per_fp: int | None = 256,
     impl: str = "arrow",
+    compact_every: int | None = 64,
 ):
     """foreachBatch driver: each micro-batch of documents is probed
     against the span index-so-far, matches land under
@@ -254,6 +261,7 @@ def streaming_span_dedup(
             id_col=id_col,
             max_docs_per_fp=max_docs_per_fp,
             impl=impl,
+            compact_every=compact_every,
         )
 
     return (
