@@ -78,3 +78,48 @@ def test_bpe_empty_and_single_char_words(spark):
     enc = {r.doc_id: r for r in bpe_encode(df, []).collect()}
     assert enc[1].bpe_tokens == ["a", "b", "c"]
     assert enc[2].n_bpe_tokens == 0
+
+
+def test_bpe_token_counts_match_encode(spark):
+    """bpe_token_count_col (pure length arithmetic, no arrays) must equal
+    bpe_encode's n_bpe_tokens for every doc — multibyte, separator-
+    quarantined words, repeated-merge runs, and empty text included —
+    and pack_sequences(token_count_col=...) must pack by it while the
+    whitespace default stays unchanged."""
+    from pyspark.sql import functions as F
+
+    from tsatool_app_spark.functions.bpe import (
+        SEP, add_bpe_token_counts, bpe_encode,
+    )
+    from tsatool_app_spark.functions.corpus import pack_sequences
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "a")]
+    docs = spark.createDataFrame(
+        [
+            (0, "the other theory thaws"),
+            (1, "aaaa aaa aa a"),            # greedy run merging
+            (2, f"bad{SEP}word fine"),       # quarantine branch
+            (3, "päätös ääkkösiä"),          # multibyte
+            (4, ""),                          # no words
+            (5, "   "),                       # only separators
+        ],
+        "doc_id long, text string",
+    )
+    enc = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(docs, merges).collect()}
+    cnt = {
+        r.doc_id: r.n_tokens
+        for r in add_bpe_token_counts(docs, merges).collect()
+    }
+    assert cnt == enc
+    # greedy left-to-right with merges (a,a) then (aa,a):
+    # aaaa->(aa)(aa)=2, aaa->(aa)a->(aaa)=1, aa->1, a->1
+    assert cnt[1] == 5
+    packed_ws = pack_sequences(docs, budget=4, n_shards=2)
+    packed_cnt = pack_sequences(
+        add_bpe_token_counts(docs, merges), budget=4, n_shards=2,
+        token_count_col="n_tokens",
+    )
+    ws = {r.doc_id: r.n_tokens for r in packed_ws.collect()}
+    bp = {r.doc_id: r.n_tokens for r in packed_cnt.collect()}
+    assert ws[0] == 4 and bp[0] == enc[0]  # whitespace default unchanged
+    assert ws[4] == 0 and bp[4] == 0

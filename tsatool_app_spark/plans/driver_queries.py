@@ -6360,6 +6360,125 @@ ORDER BY c.doc_id"""
 QUERIES["span_excise"] = DriverQuery(q_span_excise, ORACLES["span_excise"])
 
 
+_BPE_PACK_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+]
+
+
+def q_bpe_token_pack(spark, sf_dir):
+    """TRUE-token budgeting end to end (r9 VERDICT next-round #4): BPE
+    token counts from a fixed merge list (functions/bpe.
+    bpe_token_count_col — the distributed encoder's count as pure length
+    arithmetic, no UDF) feed token_budget_mixture's per-source rates AND
+    pack_sequences' bins via ``token_count_col`` — so the "token budget"
+    is measured in the same units a trainer's tokenizer would produce,
+    not the whitespace approximation (which stays the default and is
+    certified separately by token_budget_mixture / pack_sequences).
+    Merge list fixed by constants: training is certified by bpe_merges;
+    this row certifies the counting + budgeting + packing COMPOSITION.
+    Budgets chosen so src0/src1 quantize below 10000 (units matter:
+    char- or whitespace-counted supply would shift rate_q) and src2 caps
+    at 10000."""
+    from tsatool_app_spark.functions.bpe import add_bpe_token_counts
+    from tsatool_app_spark.functions.corpus import pack_sequences
+    from tsatool_app_spark.functions.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = add_bpe_token_counts(docs, _BPE_PACK_MERGES)
+    mix = token_budget_mixture(
+        counted,
+        {"src0": 4_000, "src1": 2_500, "src2": 1_000_000},
+        source_col="source",
+        token_col="n_tokens",
+        id_col="doc_id",
+    )
+    packed = pack_sequences(
+        mix, budget=256, n_shards=8, token_count_col="n_tokens"
+    )
+    return (
+        packed.join(mix.select("doc_id", "source", "rate_q"), "doc_id")
+        .select("doc_id", "source", "rate_q", "shard", "bin_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_pack_oracle() -> str:
+    """Oracle generated from the SAME merge constants (transcription-
+    proof): separator-encode each word, apply the merge chain in rank
+    order as nested replace(), count symbols from the double-separator
+    joints, then replay the mixture-rate arithmetic and the recursive
+    greedy packing scan."""
+    rep = "chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)"
+    for left, right in _BPE_PACK_MERGES:
+        pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
+        new = f"chr(31)||'{left}{right}'||chr(31)"
+        rep = f"replace({rep}, {pat}, {new})"
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, source, w, {rep} AS rep FROM tok
+),
+cnt AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN contains(w, chr(31)) THEN 1
+                  ELSE (length(rep) - length(replace(rep, chr(31)||chr(31), ''))) // 2 + 1
+             END) AS nt
+  FROM enc GROUP BY doc_id, source
+),
+counted AS (
+  SELECT d.doc_id, d.source, CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN cnt c USING (doc_id, source)
+),
+avail AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS a FROM counted GROUP BY source
+),
+rates AS (
+  SELECT source,
+         LEAST(10000, (CASE source
+                         WHEN 'src0' THEN 4000
+                         WHEN 'src1' THEN 2500
+                         WHEN 'src2' THEN 1000000
+                       END) * CAST(10000 AS BIGINT) // a) AS rate_q
+  FROM avail
+  WHERE source IN ('src0', 'src1', 'src2')
+),
+kept AS (
+  SELECT c.doc_id, c.source, r.rate_q, c.n_tokens
+  FROM counted c JOIN rates r USING (source)
+  WHERE ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::INT % 10000
+        < r.rate_q
+),
+t AS MATERIALIZED (
+  SELECT doc_id, source, rate_q, n_tokens, doc_id % 8 AS shard,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM kept
+),
+p AS (
+  SELECT doc_id, source, rate_q, shard, n_tokens, rn,
+         n_tokens AS fill, CAST(0 AS BIGINT) AS bin_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.rate_q, t.shard, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+              ELSE p.fill + t.n_tokens END,
+         CASE WHEN p.fill + t.n_tokens > 256 THEN p.bin_id + 1
+              ELSE p.bin_id END
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, source, rate_q, CAST(shard AS BIGINT) AS shard, bin_id, n_tokens
+FROM p ORDER BY doc_id"""
+
+
+ORACLES["bpe_token_pack"] = _bpe_pack_oracle()
+QUERIES["bpe_token_pack"] = DriverQuery(
+    q_bpe_token_pack, ORACLES["bpe_token_pack"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
