@@ -585,3 +585,83 @@ def test_jpeg_unknown_scan_component_raises_value_error():
     data[sos + 5] = 0x77  # first scan component selector → unknown id
     with pytest.raises(ValueError, match="component id 119"):
         decode_jpeg(bytes(data))
+
+
+def test_image_dhash_planted_transforms(spark):
+    """Perceptual near-dup (r9 VERDICT stretch #8): the SAME picture
+    re-encoded as PNG, JPEG q90, and JPEG q60 must pair up within the
+    Hamming threshold (hamming 0 expected: cells are high-contrast and
+    JPEG noise is a few counts), a resized copy must still pair, and a
+    DIFFERENT picture must pair with none of them."""
+    import numpy as np
+
+    from tsatool_app_spark.functions.multimodal import (
+        image_dhash, image_near_dup_pairs,
+    )
+    from tsatool_app_spark.jpeg_codec import encode_jpeg_baseline
+    from tsatool_app_spark.sinks_png import encode_png
+
+    rng = np.random.default_rng(7)
+    # high-contrast 8x9 cell pattern upscaled x8 -> 64x72: cell means are
+    # ~30 vs ~220, so codec noise cannot flip a gradient bit
+    cells_a = rng.choice([30, 220], size=(8, 9)).astype(np.uint8)
+    cells_b = rng.choice([30, 220], size=(8, 9)).astype(np.uint8)
+    assert (cells_a != cells_b).any()
+
+    def up(cells, f=8):
+        img = np.repeat(np.repeat(cells, f, axis=0), f, axis=1)
+        return np.ascontiguousarray(np.repeat(img[:, :, None], 3, axis=2))
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(up(cells_a)))),
+            (2, bytearray(encode_jpeg_baseline(up(cells_a), quality=90))),
+            (3, bytearray(encode_jpeg_baseline(up(cells_a), quality=60))),
+            (4, bytearray(encode_png(up(cells_a, f=4)))),  # resized copy
+            (5, bytearray(encode_png(up(cells_b)))),
+        ],
+        "media_id long, content binary",
+    )
+    sigs = image_dhash(media)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(sigs).collect()
+    }
+    same = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert set(pairs) == same
+    assert all(h <= 3 for h in pairs.values())
+    h = {r.media_id: r.dhash for r in sigs.collect()}
+    assert h[1] == h[4]  # resize-invariant by construction
+    assert bin(h[1] ^ h[5]).count("1") > 10  # different picture is far
+
+
+def test_image_dhash_fake_and_rendered_paths(spark):
+    """Plumbing without codecs: fake-payload images with identical
+    payloads hash equal; render_text_images gives byte-identical PNGs
+    for identical texts (and thus equal dhash) and far hashes for
+    distinct texts."""
+    from tsatool_app_spark.functions.multimodal import (
+        image_dhash, pack_fake_image, render_text_images,
+    )
+
+    fake = spark.createDataFrame(
+        [
+            (1, bytearray(pack_fake_image(12, 10))),
+            (2, bytearray(pack_fake_image(12, 10))),
+            (3, bytearray(pack_fake_image(16, 10))),
+        ],
+        "media_id long, content binary",
+    )
+    h = {r.media_id: r.dhash for r in image_dhash(fake, fake_decoder=True).collect()}
+    assert h[1] == h[2] != h[3]
+
+    docs = spark.createDataFrame(
+        [(10, "same text"), (11, "same text"), (12, "other words entirely")],
+        "doc_id long, text string",
+    )
+    imgs = render_text_images(docs)
+    blobs = {r.doc_id: bytes(r.content) for r in imgs.collect()}
+    assert blobs[10] == blobs[11] != blobs[12]
+    hd = {r.doc_id: r.dhash for r in image_dhash(imgs, id_col="doc_id").collect()}
+    assert hd[10] == hd[11]
+    assert bin(hd[10] ^ hd[12]).count("1") > 10

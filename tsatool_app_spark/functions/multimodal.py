@@ -274,6 +274,196 @@ def resize_images(
     return media.select(id_col, content_col).mapInPandas(resize, out_schema)
 
 
+def _luma_plane(arr):
+    """(h, w, c) uint8 → float64 (h, w) Rec.601 luma (grey passthrough)."""
+    import numpy as _np
+
+    if arr.shape[2] == 1:
+        return arr[:, :, 0].astype(_np.float64)
+    rgb = arr[:, :, :3].astype(_np.float64)
+    return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+
+
+def _dhash_value(luma, grid: int) -> int:
+    """Difference hash of one luma plane: area-mean downscale to
+    (grid, grid+1) cells, one bit per horizontal gradient
+    (right cell > left cell), packed row-major MSB-first into a SIGNED
+    64-bit value (Spark long; grid=8 → 64 bits).  Area means — not
+    point sampling — so the hash survives re-encode noise and small
+    resizes: a JPEG q60 round-trip perturbs pixels by a few counts,
+    which cannot flip a bit unless two neighboring cell means were
+    nearly equal."""
+    import numpy as _np
+
+    h, w = luma.shape
+    rb = _np.linspace(0, h, grid + 1).astype(int)
+    cb = _np.linspace(0, w, grid + 2).astype(int)
+    cells = _np.empty((grid, grid + 1))
+    for r in range(grid):
+        r1 = max(rb[r + 1], rb[r] + 1)
+        band = luma[rb[r] : r1]
+        for c in range(grid + 1):
+            c1 = max(cb[c + 1], cb[c] + 1)
+            cells[r, c] = band[:, cb[c] : c1].mean()
+    v = 0
+    for bit in (cells[:, 1:] > cells[:, :-1]).flatten():
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(
+    media: DataFrame,
+    *,
+    grid: int = 8,
+    fake_decoder: bool = False,
+    mjpeg_tables: bool = False,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, dhash) perceptual difference-hash per image — the signature
+    for IMAGE near-duplicate detection (re-encoded/re-compressed copies
+    of the same picture hash equal or within a few Hamming bits, where
+    md5-style content hashes see unrelated bytes).  Completes the
+    multimodal dedup story: detect with this + :func:`image_near_dup_pairs`,
+    then drop through the same survivor machinery as text
+    (functions/dedup.near_dedup_survivors).
+
+    Decode is native (PNG via sinks_png, JPEG baseline+progressive via
+    jpeg_codec — the decode_image_batch surface); ``fake_decoder=True``
+    hashes a luma plane tiled from the fake payload so plumbing stays
+    testable without codecs.  mapInPandas: bytes are consumed in the
+    worker; only (id, 8-byte hash) rows ever reach an exchange — at
+    100 TB of images the shuffle carries ~16 bytes per image.
+    ``grid=8`` → 64-bit hash (a Spark long; the near-dup join requires
+    exactly this width)."""
+    import numpy as _np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("dhash", LongType(), True),
+        ]
+    )
+
+    def _decode_luma(buf: bytes):
+        if fake_decoder:
+            w, h, c, payload = _unpack_fake_header(buf)
+            return _np.resize(
+                _np.frombuffer(payload, dtype=_np.uint8), (h, max(w, 1))
+            ).astype(_np.float64)
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            from tsatool_app_spark.sinks_png import decode_png
+
+            return _luma_plane(decode_png(buf))
+        if buf[:2] == b"\xff\xd8":
+            from tsatool_app_spark.jpeg_codec import decode_jpeg
+
+            return _luma_plane(decode_jpeg(buf, mjpeg_tables=mjpeg_tables))
+        try:
+            from PIL import Image  # optional — not in this container
+        except ImportError:
+            raise NotImplementedError(
+                "unrecognized image format: PNG and JPEG decode natively; "
+                "others need PIL (absent here) or fake_decoder=True"
+            ) from None
+        import io
+
+        return _luma_plane(_np.atleast_3d(_np.asarray(Image.open(io.BytesIO(buf)))))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (mid, _dhash_value(_decode_luma(bytes(buf)), grid))
+                for mid, buf in zip(pdf[id_col], pdf[content_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "dhash"])
+
+    return media.select(id_col, content_col).mapInPandas(
+        hash_batches, out_schema
+    )
+
+
+def image_near_dup_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int | None = 2048,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+) -> DataFrame:
+    """Hamming-neighbor pairs over dhash signatures — perceptual image
+    near-dup at corpus scale.  Pure reuse of the SimHash combination
+    block probing machinery (functions/dedup.simhash_near_dup_pairs:
+    complete by pigeonhole, capped + auditable hot buckets) at the
+    64-bit width :func:`image_dhash` produces; exact duplicates are the
+    hamming = 0 rows.  Returns (id_a, id_b, hamming), id_a < id_b."""
+    from tsatool_app_spark.functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        sigs,
+        bits=64,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+        id_col=id_col,
+        sig_col=sig_col,
+    )
+
+
+def render_text_images(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    height: int = 8,
+    width: int = 9,
+) -> DataFrame:
+    """Deterministic grayscale PNG per row — the synthetic image corpus
+    for certifying image-dedup plumbing end to end (the driver testdata
+    has no image column).  Row ``r``'s pixel bytes are
+    md5(utf8(text) + '|' + r), so identical texts render byte-identical
+    images while distinct texts give i.i.d. pixel bytes — at the default
+    8×9 canvas each dhash cell is ONE independent md5 byte, making
+    cross-text hash collisions ~2⁻⁶⁴ per pair.  Returns (id, content)."""
+    import hashlib
+
+    import numpy as _np
+
+    if width > 16:
+        raise ValueError("width > 16 would reuse md5 bytes within a row")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tsatool_app_spark.sinks_png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = ("" if text is None else text).encode("utf-8")
+                px = _np.frombuffer(
+                    b"".join(
+                        hashlib.md5(t + b"|" + str(r).encode()).digest()[:width]
+                        for r in range(height)
+                    ),
+                    dtype=_np.uint8,
+                ).reshape(height, width)
+                rgb = _np.ascontiguousarray(
+                    _np.repeat(px[:, :, None], 3, axis=2)
+                )
+                rows.append((did, encode_png(rgb)))
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return docs.select(id_col, text_col).mapInPandas(render, out_schema)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata projection WITHOUT touching bytes: filters/joins on this
     stay in the columnar fast path (content column pruned from the scan)."""

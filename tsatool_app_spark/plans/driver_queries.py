@@ -6479,6 +6479,97 @@ QUERIES["bpe_token_pack"] = DriverQuery(
 )
 
 
+def q_image_dhash_pairs(spark, sf_dir):
+    """Perceptual image dedup end to end (r9 VERDICT stretch #8): render
+    one deterministic grayscale PNG per document (functions/multimodal.
+    render_text_images — pixel rows are md5 expansions of the text, so
+    identical texts give byte-identical images and distinct texts give
+    i.i.d. dhash bits), REALLY decode it (sinks_png) and dhash it
+    (image_dhash: area-mean 8x9 luma cells, horizontal-gradient bits),
+    then pair documents whose images hash EQUAL — exact-duplicate
+    detection through the full image pipeline.  The oracle states the
+    generating truth: identical md5(text) ⟺ identical rendered image ⟺
+    equal dhash (cross-text collisions are ~2⁻⁶⁴/pair: each cell is one
+    independent md5 byte).  The PERCEPTUAL property — JPEG/PNG
+    re-encodes and resizes of one picture pairing up within a Hamming
+    budget — is codec-level and pinned by
+    tests/test_multimodal.py::test_image_dhash_planted_transforms;
+    near-misses route through image_near_dup_pairs (the SimHash
+    combination-block probe machinery at 64 bits).  Corpus restricted
+    to doc_id % 5 == 0 (sweep-tier pair volume bounded) with THREE
+    planted composites so the row is non-vacuous at every tier (the
+    r10 vacuity net caught the unplanted form empty at sf0.01):
+    9000101/9000102 duplicate the lowest-id doc's text (3 pairs with
+    the original by construction), 9000103 is a one-char edit of the
+    next doc (different md5 AND far dhash - pairs with nothing)."""
+    from tsatool_app_spark.functions.multimodal import (
+        image_dhash,
+        render_text_images,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    lo2 = (
+        base.join(
+            base.select(F.min("doc_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    docs = (
+        base.unionByName(
+            lo.select(F.lit(9_000_101).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo.select(F.lit(9_000_102).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo2.select(
+                F.lit(9_000_103).cast("long").alias("doc_id"),
+                F.concat(F.col("text"), F.lit("!")).alias("text"),
+            )
+        )
+    )
+    sigs = image_dhash(render_text_images(docs), id_col="doc_id")
+    a = sigs.select(F.col("doc_id").alias("id_a"), "dhash")
+    b = sigs.select(F.col("doc_id").alias("id_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES["image_dhash_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+lo2 AS (
+  SELECT text FROM base WHERE doc_id > (SELECT min(doc_id) FROM base)
+  ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000101, text FROM lo
+  UNION ALL SELECT 9000102, text FROM lo
+  UNION ALL SELECT 9000103, text || '!' FROM lo2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM corpus a
+JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
+QUERIES["image_dhash_pairs"] = DriverQuery(
+    q_image_dhash_pairs, ORACLES["image_dhash_pairs"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
