@@ -6535,8 +6535,21 @@ def q_image_dhash_pairs(spark, sf_dir):
         )
     )
     sigs = image_dhash(render_text_images(docs), id_col="doc_id")
-    a = sigs.select(F.col("doc_id").alias("id_a"), "dhash")
-    b = sigs.select(F.col("doc_id").alias("id_b"), "dhash")
+    from pyspark.sql import Window
+
+    # hot-hash cap (the family discipline: a million copies of one blank
+    # image must not emit 10^12 pairs) — groups past 256 are excluded
+    # from the self-join, oracle-mirrored below; inert at every tier
+    # (max group = the 10-clone structure), exercised by
+    # image_near_dup_pairs' max_bucket_size machinery for near-misses
+    w = Window.partitionBy("dhash")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "dhash")
+    b = capped.select(F.col("doc_id").alias("id_b"), "dhash")
     return (
         a.join(b, "dhash")
         .where(F.col("id_a") < F.col("id_b"))
@@ -6560,9 +6573,13 @@ corpus AS (
   UNION ALL SELECT 9000102, text FROM lo
   UNION ALL SELECT 9000103, text || '!' FROM lo2
 )
+, capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM corpus a
-JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+FROM capped a
+JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b"""
 
 QUERIES["image_dhash_pairs"] = DriverQuery(
