@@ -181,6 +181,8 @@ def fold_join_view_batch(
     a_delta: DataFrame | None,
     b_delta: DataFrame | None,
     on: list[str],
+    *,
+    compact_every: int | None = 64,
 ) -> None:
     """One maintenance round of a streaming materialized JOIN view: apply
     the IVM delta rule against the persisted base snapshots, append the
@@ -190,7 +192,10 @@ def fold_join_view_batch(
     Store layout under ``store_root``: ``a/`` and ``b/`` hold the base
     relations (append-only segments), ``view/`` holds the materialized
     join.  Order matters: the view delta must see the bases as of BEFORE
-    this round (the delta rule's A_old/B_old), so bases fold last."""
+    this round (the delta rule's A_old/B_old), so bases fold last.
+    All three stores auto-compact every ``compact_every`` folds so a
+    long-lived view holds a bounded segment count (r10; None opts
+    out)."""
     from tsatool_app_spark.operators.incremental import join_view_delta
     from tsatool_app_spark.streaming.snapshot_store import (
         append_snapshot_segment,
@@ -204,8 +209,14 @@ def fold_join_view_batch(
         # materialize BEFORE the bases advance (lazy plans would read the
         # post-fold snapshots and double-count)
         delta = delta.localCheckpoint(eager=True)
-        append_snapshot_segment(delta, store_root + "/view")
+        append_snapshot_segment(
+            delta, store_root + "/view", compact_every=compact_every
+        )
     if a_delta is not None:
-        append_snapshot_segment(a_delta, store_root + "/a")
+        append_snapshot_segment(
+            a_delta, store_root + "/a", compact_every=compact_every
+        )
     if b_delta is not None:
-        append_snapshot_segment(b_delta, store_root + "/b")
+        append_snapshot_segment(
+            b_delta, store_root + "/b", compact_every=compact_every
+        )
