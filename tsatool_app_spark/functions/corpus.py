@@ -230,7 +230,10 @@ def contamination_hits(
     min-id representative per distinct md5(text) and the per-rep counts
     join back through the md5 groups — on clone-heavy corpora the probe
     cost drops by the duplication factor with identical output (pinned by
-    test_contamination_dedup_texts_matches_direct)."""
+    test_contamination_dedup_texts_matches_direct).
+
+    Running this AND a span probe over the same corpus? Use
+    :func:`decon_probe` — both probe streams from ONE text scan."""
     def grams(df: DataFrame, out: str, idc: str) -> DataFrame:
         g = _gram_array(F.col(text_col), n)
         return df.select(F.col(idc), F.explode(g).alias(out))

@@ -724,7 +724,11 @@ def span_contamination_hits(
     (corpus.contamination_hits, dedup.near_dup_pairs_dedup_first): on
     clone-heavy corpora the fingerprint scan drops by the duplication
     factor with identical output (pinned by
-    test_span_contamination_hits)."""
+    test_span_contamination_hits).
+
+    Running this AND the word-gram probe over the same corpus? Use
+    functions/corpus.decon_probe — both probe streams from ONE text
+    scan (the composed pipeline's decon stage)."""
     bench_fps = (
         span_doc_fingerprints(
             benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
