@@ -665,3 +665,86 @@ def test_image_dhash_fake_and_rendered_paths(spark):
     hd = {r.doc_id: r.dhash for r in image_dhash(imgs, id_col="doc_id").collect()}
     assert hd[10] == hd[11]
     assert bin(hd[10] ^ hd[12]).count("1") > 10
+
+
+def test_audio_fingerprint_planted_transforms(spark):
+    """The audio twin of the image dHash test: the SAME recording at 2x
+    gain, and a 2:1 decimated copy, must pair with the original within
+    the Hamming budget; a different recording pairs with nothing.
+    Gain invariance is exact for clip-free integer doubling (RMS
+    comparisons are scale-invariant)."""
+    import numpy as np
+
+    from tsatool_app_spark.functions.multimodal import (
+        audio_fingerprint, audio_near_dup_pairs,
+    )
+    from tsatool_app_spark.wav_codec import encode_wav
+
+    rng = np.random.default_rng(11)
+    # 65 frames x 64 samples of band-limited-ish noise with per-frame
+    # gain envelopes, |sample| < 2^13 so 2x gain cannot clip
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        env = r.uniform(0.1, 1.0, size=65)
+        s = (r.normal(0, 1200, size=(65, 64)) * env[:, None]).astype(np.int16)
+        return s.reshape(-1, 1)
+
+    a = clip(1)
+    b = clip(2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(a, 8000))),
+            (2, bytearray(encode_wav((a.astype(np.int32) * 2).astype(np.int16), 8000))),
+            (3, bytearray(encode_wav(np.ascontiguousarray(a[::2]), 8000))),
+            (4, bytearray(encode_wav(b, 8000))),
+        ],
+        "media_id long, content binary",
+    )
+    sigs = audio_fingerprint(media)
+    h = {r.media_id: r.afp for r in sigs.collect()}
+    assert h[1] == h[2]  # exact gain invariance
+    assert bin(h[1] ^ h[4]).count("1") > 10
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(sigs).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs  # decimated copy is near
+    assert not any(4 in p for p in pairs)
+
+
+def test_audio_fingerprint_fake_and_rendered_paths(spark):
+    """Plumbing without the codec: fake payloads hash deterministically;
+    render_text_audio gives byte-identical WAVs for identical texts and
+    far fingerprints for distinct texts."""
+    from tsatool_app_spark.functions.multimodal import (
+        audio_fingerprint, pack_fake_image, render_text_audio,
+    )
+
+    fake = spark.createDataFrame(
+        [
+            (1, bytearray(pack_fake_image(40, 10))),
+            (2, bytearray(pack_fake_image(40, 10))),
+            (3, bytearray(pack_fake_image(41, 10))),
+        ],
+        "media_id long, content binary",
+    )
+    h = {
+        r.media_id: r.afp
+        for r in audio_fingerprint(fake, fake_decoder=True).collect()
+    }
+    assert h[1] == h[2] != h[3]
+
+    docs = spark.createDataFrame(
+        [(10, "same words"), (11, "same words"), (12, "different clip")],
+        "doc_id long, text string",
+    )
+    wavs = render_text_audio(docs)
+    blobs = {r.doc_id: bytes(r.content) for r in wavs.collect()}
+    assert blobs[10] == blobs[11] != blobs[12]
+    ha = {
+        r.doc_id: r.afp
+        for r in audio_fingerprint(wavs, id_col="doc_id").collect()
+    }
+    assert ha[10] == ha[11]
+    assert bin(ha[10] ^ ha[12]).count("1") > 10

@@ -464,6 +464,168 @@ def render_text_images(
     return docs.select(id_col, text_col).mapInPandas(render, out_schema)
 
 
+def _audio_fp_value(mono, n_frames: int = 65) -> int:
+    """64-bit energy-gradient fingerprint of one mono clip: split into
+    ``n_frames`` equal frames, one bit per adjacent RMS-energy
+    comparison (later frame louder), packed MSB-first into a SIGNED
+    64-bit value.  Comparisons are invariant under global gain (a
+    louder/quieter copy of the same recording hashes identically up to
+    quantization ties) and approximately invariant under resampling
+    (frames are proportional, not sample-indexed) — the audio analog of
+    the image dHash."""
+    import numpy as _np
+
+    n = mono.shape[0]
+    if n == 0:
+        return 0
+    bounds = _np.linspace(0, n, n_frames + 1).astype(int)
+    e = _np.empty(n_frames)
+    x = mono.astype(_np.float64)
+    for i in range(n_frames):
+        b0 = bounds[i]
+        b1 = max(bounds[i + 1], b0 + 1)
+        seg = x[b0:b1]
+        e[i] = _np.sqrt((seg * seg).mean())
+    v = 0
+    for bit in e[1:] > e[:-1]:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    *,
+    n_frames: int = 65,
+    fake_decoder: bool = False,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, afp) perceptual audio fingerprint per clip — the audio twin
+    of :func:`image_dhash`, completing the multimodal dedup story:
+    re-encoded / gain-scaled / resampled copies of one recording hash
+    equal or within a few Hamming bits.  PCM-16 WAV decodes natively
+    (wav_codec); channels mono-mix before framing.  ``fake_decoder``
+    hashes the fake payload bytes directly for codec-free plumbing
+    tests.  mapInPandas: bytes consumed in the worker, the shuffle
+    carries (id, 8-byte hash).  ``n_frames=65`` → 64 bits (a Spark
+    long; :func:`audio_near_dup_pairs` requires exactly this width).
+    Detect with this + audio_near_dup_pairs, then drop through the same
+    survivor machinery as text (dedup.near_dedup_survivors)."""
+    import numpy as _np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("afp", LongType(), True),
+        ]
+    )
+
+    def _mono(buf: bytes):
+        if fake_decoder:
+            w, h, c, payload = _unpack_fake_header(buf)
+            return _np.frombuffer(payload, dtype=_np.uint8).astype(_np.float64)
+        if buf[:4] == b"RIFF":
+            from tsatool_app_spark.wav_codec import decode_wav
+
+            _rate, samples = decode_wav(buf)
+            return samples.astype(_np.float64).mean(axis=1)
+        raise NotImplementedError(
+            "unrecognized audio format: PCM WAV decodes natively; "
+            "compressed codecs are absent here (or use fake_decoder=True)"
+        )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (mid, _audio_fp_value(_mono(bytes(buf)), n_frames))
+                for mid, buf in zip(pdf[id_col], pdf[content_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "afp"])
+
+    return media.select(id_col, content_col).mapInPandas(
+        hash_batches, out_schema
+    )
+
+
+def audio_near_dup_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    max_bucket_size: int | None = 2048,
+    id_col: str = "media_id",
+    sig_col: str = "afp",
+) -> DataFrame:
+    """Hamming-neighbor pairs over audio fingerprints — same complete,
+    capped, auditable combination-block probing as
+    :func:`image_near_dup_pairs` (functions/dedup.simhash_near_dup_pairs
+    at 64 bits).  Returns (id_a, id_b, hamming), id_a < id_b."""
+    from tsatool_app_spark.functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        sigs,
+        bits=64,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket_size=max_bucket_size,
+        id_col=id_col,
+        sig_col=sig_col,
+    )
+
+
+def render_text_audio(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 65,
+    frame_samples: int = 8,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic PCM-16 WAV per row — the audio certification
+    fixture (driver testdata has no audio column), mirroring
+    :func:`render_text_images`: frame ``f``'s eight int16 samples are
+    md5(utf8(text) + '~' + f), so identical texts render byte-identical
+    clips while distinct texts give i.i.d. frame energies (cross-text
+    fingerprint collisions ~2⁻⁶⁴/pair).  Returns (id, content)."""
+    import hashlib
+
+    import numpy as _np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tsatool_app_spark.wav_codec import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = ("" if text is None else text).encode("utf-8")
+                raw = b"".join(
+                    hashlib.md5(t + b"~" + str(f).encode()).digest()
+                    for f in range(n_frames)
+                )
+                samples = (
+                    _np.frombuffer(raw, dtype="<i2")[: n_frames * frame_samples]
+                    .astype(_np.int16)
+                    .reshape(-1, 1)
+                )
+                # headroom: keep |sample| < 2^14 so a x2 gain copy is
+                # clip-free (the gain-invariance planted transform)
+                samples = (samples // 4).astype(_np.int16)
+                rows.append((did, encode_wav(samples, sample_rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return docs.select(id_col, text_col).mapInPandas(render, out_schema)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata projection WITHOUT touching bytes: filters/joins on this
     stay in the columnar fast path (content column pruned from the scan)."""
