@@ -296,6 +296,27 @@ def test_pack_sequences_greedy(spark):
     }
 
 
+def test_pack_sequences_null_token_counts_coalesce(spark):
+    """r11 ADVICE: a NULL in a user-supplied token_count_col must not
+    poison the fill accumulator (fill + NaN > budget is always False,
+    collapsing every later doc in the shard into one bin) — NULLs
+    coalesce to 0 and packing proceeds exactly as if absent."""
+    from tsatool_app_spark.functions.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 150), (4, 150)],
+        "doc_id long, nt int",
+    )
+    out = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in pack_sequences(
+            df, budget=200, n_shards=1, token_count_col="nt"
+        ).collect()
+    }
+    # 100 + 0 fit bin 0; 150 opens bin 1; 150+150 > 200 → bin 2
+    assert out == {1: (0, 100), 2: (0, 0), 3: (1, 150), 4: (2, 150)}
+
+
 def test_pack_sequences_sharded_no_text_shuffle(spark):
     from tsatool_app_spark.functions.corpus import pack_sequences
 

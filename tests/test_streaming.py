@@ -1312,6 +1312,37 @@ def test_batch_ledger_high_water_and_out_of_order(spark, tmp_path):
         assert f.read().strip() == "<=3"
 
 
+def test_ledger_negative_and_noncanonical_ids(spark, tmp_path):
+    """r11 ADVICE: (1) a NEGATIVE batch id must not read as already
+    folded against an empty ledger (int('-3') <= high=-1 was True, so
+    the fold was silently skipped forever), and (2) a non-canonical
+    integer spelling ('007') folds into the high-water mark WITHOUT
+    lingering in the explicit set."""
+    import os
+
+    from tsatool_app_spark.streaming.snapshot_store import (
+        append_snapshot_segment,
+        current_version,
+        is_batch_folded,
+    )
+
+    one = spark.range(0, 1).selectExpr("id AS k")
+    root = str(tmp_path / "neg")
+    assert not is_batch_folded(root, -3)  # empty ledger claims nothing
+    append_snapshot_segment(one, root, batch_id=-3)
+    assert is_batch_folded(root, -3)  # explicit-set membership
+    assert not is_batch_folded(root, -1)  # high=-1 must not claim it
+
+    root2 = str(tmp_path / "canon")
+    for b in range(7):
+        append_snapshot_segment(one, root2, batch_id=b)
+    append_snapshot_segment(one, root2, batch_id="007")
+    vdir = os.path.join(root2, current_version(root2))
+    with open(os.path.join(vdir, "_batches")) as f:
+        assert f.read().strip() == "<=7"  # folded, spelling discarded
+    assert is_batch_folded(root2, 7) and is_batch_folded(root2, "007")
+
+
 def test_long_stream_maintenance_bounded(spark, tmp_path):
     """r10 (VERDICT #3 'Done' criterion): 200 batches through the
     append-only store with compact_every=16 — live segment count stays

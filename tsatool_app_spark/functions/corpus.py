@@ -372,7 +372,16 @@ def decon_probe(
     exact-dedup SURVIVORS (every text already distinct); standalone
     clone-heavy callers should use the per-operator functions, which
     keep their ``dedup_texts`` knobs.  Hit sets are pinned identical to
-    the standalone operators by test_decon_probe_matches_standalone."""
+    the standalone operators by test_decon_probe_matches_standalone.
+
+    Memory bound (``impl="sql"``): the fused projection materializes
+    BOTH per-doc probe arrays — the word-gram structs (~n × text size)
+    AND the ``_sel_expr`` window array (~70 B/char, see its docstring's
+    ~1 MB doc bound) — before the explode, roughly DOUBLING per-task
+    peak memory versus the staged operators.  Keep docs under ~500 KB
+    on this path; for bulk scans of long documents prefer
+    ``impl="arrow"``, which streams both probe streams out of one
+    mapInPandas pass without the double materialization."""
     from tsatool_app_spark.functions.spans import (
         _sel_expr, span_doc_fingerprints,
     )
@@ -572,10 +581,14 @@ def pack_sequences(
     """
     import pandas as pd
 
+    # NULL counts coalesce to 0: a NaN reaching pack()'s fill accumulator
+    # poisons it (fill + NaN > budget is always False, silently collapsing
+    # every later doc in the shard into one bin) — mirror
+    # bpe_token_count_col's own F.coalesce for any user-supplied column
     n_tok = (
         F.size(_tokens(F.col(text_col)))
         if token_count_col is None
-        else F.col(token_count_col)
+        else F.coalesce(F.col(token_count_col), F.lit(0))
     )
     counted = df.select(
         F.col(id_col),

@@ -90,18 +90,23 @@ def _read_ledger(root: str) -> tuple[int, set[str]]:
 
 
 def _normalize_ledger(high: int, explicit: set[str]) -> tuple[int, set[str]]:
-    """Fold contiguous integer ids into the high-water mark."""
-    ints = set()
+    """Fold contiguous integer ids into the high-water mark.  Every
+    SPELLING of a folded id leaves the explicit set ('007', ' 7' parse
+    to the same int as '7' and must not linger once folded — they were
+    already counted into the high-water test), and the working set
+    mutates in place instead of rebuilding per fold (O(n), not O(n²))."""
+    spellings: dict[int, list[str]] = {}
     for e in explicit:
         try:
-            ints.add(int(e))
+            spellings.setdefault(int(e), []).append(e)
         except ValueError:
             pass
-    while high + 1 in ints:
+    out = set(explicit)
+    while high + 1 in spellings:
         high += 1
-        ints.remove(high)
-        explicit = explicit - {str(high)}
-    return high, explicit
+        for s in spellings.pop(high):
+            out.discard(s)
+    return high, out
 
 
 def is_batch_folded(root: str, batch_id: str | int) -> bool:
@@ -112,7 +117,10 @@ def is_batch_folded(root: str, batch_id: str | int) -> bool:
     high, explicit = _read_ledger(root)
     bid = str(batch_id)
     try:
-        if int(bid) <= high:
+        # non-negative guard: with an empty ledger (high = -1) a caller
+        # using negative ids must NOT read as already-folded — int('-3')
+        # <= -1 is True, which would silently skip the fold forever
+        if 0 <= int(bid) <= high:
             return True
     except ValueError:
         pass
