@@ -123,3 +123,156 @@ def test_bpe_token_counts_match_encode(spark):
     bp = {r.doc_id: r.n_tokens for r in packed_cnt.collect()}
     assert ws[0] == 4 and bp[0] == enc[0]  # whitespace default unchanged
     assert ws[4] == 0 and bp[4] == 0
+
+
+def _spec_encode_word(word: str, merges) -> list[str]:
+    """The SPEC, literally: the separator-encoded replace chain in rank
+    order (Python str.replace scans left-to-right without overlap —
+    exactly F.replace's semantics, which the expression path applies)."""
+    rep = SEP + (SEP + SEP).join(word) + SEP
+    for left, right in merges:
+        rep = rep.replace(
+            f"{SEP}{left}{SEP}{SEP}{right}{SEP}", f"{SEP}{left}{right}{SEP}"
+        )
+    return rep[1:-1].split(SEP + SEP)
+
+
+def test_bpe_batch_property_parity():
+    """r11 (r10 VERDICT ask #1): the batch encoder's fast min-rank path
+    (plus normalization + exact pass-order fallback) must equal the
+    literal replace-chain spec for ARBITRARY merge lists — ill-formed
+    constituents, duplicate pairs, duplicate outputs included — over a
+    2-letter alphabet dense enough to exercise runs and overlaps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tsatool_app_spark.functions.bpe import _WordEncoder
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=3)
+    merges_s = st.lists(st.tuples(sym, sym), max_size=12)
+    word_s = st.text(alphabet="ab", min_size=1, max_size=14)
+
+    @settings(max_examples=400, deadline=None)
+    @given(merges=merges_s, word=word_s)
+    def check(merges, word):
+        assert _WordEncoder(merges).encode_word(word) == _spec_encode_word(
+            word, merges
+        )
+
+    check()
+
+
+def test_bpe_train_local_matches_distributed(spark):
+    """bpe_train_local (driver-side incremental trainer, the
+    production-vocab seam) must learn EXACTLY bpe_train's merge list —
+    same argmax, same (left, right) tie-break, same sweep."""
+    from tsatool_app_spark.functions.bpe import bpe_train_local, build_vocab
+
+    rows = [
+        (1, "low low low lower lowest new newer newest"),
+        (2, "wide wider widest low low aaa aaaa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dist = [(r.left, r.right) for r in bpe_train(df, n_merges=8).collect()]
+    vocab = {r.word: r.freq for r in build_vocab(df).collect()}
+    assert bpe_train_local(vocab, 8) == dist
+
+
+def test_bpe_batch_parity_certified_constants(spark):
+    """Batch twin vs expression path on the certified merge shape —
+    multibyte, separator-quarantined words, runs, empty and NULL text —
+    rows identical for both bpe_encode and add_bpe_token_counts, and
+    impl='auto' routes small lists to the expression plan (no
+    MapInPandas) and big lists to the batch plan."""
+    from tsatool_app_spark.functions.bpe import (
+        add_bpe_token_counts, bpe_encode_batch,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "a")]
+    docs = spark.createDataFrame(
+        [
+            (0, "the other theory thaws"),
+            (1, "aaaa aaa aa a"),
+            (2, f"bad{SEP}word fine"),
+            (3, "päätös ääkkösiä"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(docs, merges, impl="expr").collect()
+    }
+    batch = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode_batch(docs, merges).collect()
+    }
+    assert expr == batch
+    ce = {
+        r.doc_id: r.n_tokens
+        for r in add_bpe_token_counts(docs, merges, impl="expr").collect()
+    }
+    cb = {
+        r.doc_id: r.n_tokens
+        for r in add_bpe_token_counts(docs, merges, impl="batch").collect()
+    }
+    assert ce == cb
+    # auto-routing: 4 merges → expression plan; 129 → MapInPandas plan
+    small = add_bpe_token_counts(docs, merges)
+    big_list = [(chr(97 + i % 26), chr(97 + (i // 26) % 26)) for i in range(129)]
+    big = add_bpe_token_counts(docs, big_list)
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    # the batch path carries every other column through unchanged
+    assert big.columns == ["doc_id", "text", "n_tokens"]
+
+
+def test_bpe_batch_parity_trained_lists(spark):
+    """Trained-list parity, both regimes: (a) Spark-vs-Spark at 200
+    merges — PAST the 128 auto-routing bound but still within what the
+    expression path can plan; (b) Spark batch vs the literal spec
+    reference at 1,200 trained merges, where the expression path
+    physically cannot run (JVM StackOverflowError at ~300 nested
+    replaces — measured r11, the exact ceiling VERDICT #1 predicted)."""
+    import hashlib
+
+    from tsatool_app_spark.functions.bpe import (
+        bpe_encode_batch, bpe_train_local,
+    )
+
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in range(600)]
+    vocab: dict[str, int] = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 30 : (i + 1) * 30])) for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    m200 = bpe_train_local(vocab, 200)
+    assert len(m200) == 200
+    expr = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(docs, m200, impl="expr").collect()
+    }
+    batch = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode(docs, m200, impl="auto").collect()  # routes batch
+    }
+    assert expr == batch
+
+    m1200 = bpe_train_local(vocab, 1200)
+    assert len(m1200) == 1200
+    got = {
+        r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+        for r in bpe_encode_batch(docs, m1200).collect()
+    }
+    for i in range(20):
+        toks = [
+            t
+            for w in " ".join(words[i * 30 : (i + 1) * 30]).split(" ")
+            if w
+            for t in _spec_encode_word(w, m1200)
+        ]
+        assert got[i] == (toks, len(toks))
