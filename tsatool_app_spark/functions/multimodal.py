@@ -830,6 +830,39 @@ def synthetic_dhash_image(flip_bits: tuple[int, ...] = ()) -> bytes:
     return encode_png(rgb)
 
 
+def synthetic_afp_audio(
+    flip_bits: tuple[int, ...] = (),
+    *,
+    frame_samples: int = 8,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Deterministic PCM-16 WAV whose :func:`audio_fingerprint` is
+    all-ones EXCEPT at the given bit positions — the audio twin of
+    :func:`synthetic_dhash_image`, making Hamming>0 near-miss joins
+    oracle-expressible with constructed distances.
+
+    Construction: 65 constant-amplitude frames of ``frame_samples``
+    samples (the clip length is an exact multiple, so the proportional
+    frame bounds land on frame edges and each frame's RMS IS its
+    amplitude), base amplitudes ``100, 150, …`` strictly increasing so
+    every adjacent-energy bit is 1; flipping bit ``k`` (bit 0 is the
+    packed MSB) pins frame ``k+1``'s amplitude to frame ``k``'s —
+    comparison ``k`` goes 0 (strict >) while neighbors keep their
+    orientation (applied left-to-right, equality chains propagate the
+    LEFT value)."""
+    import numpy as _np
+
+    from tsatool_app_spark.wav_codec import encode_wav
+
+    amps = 100 + 50 * _np.arange(65, dtype=_np.int32)
+    for k in sorted(flip_bits):
+        if not 0 <= k < 64:
+            raise ValueError(f"flip bit {k} outside 0..63")
+        amps[k + 1] = amps[k]
+    samples = _np.repeat(amps, frame_samples).astype(_np.int16).reshape(-1, 1)
+    return encode_wav(samples, sample_rate)
+
+
 def _majority_bits(hashes: list[int]) -> int:
     """Per-bit MAJORITY vote over 64-bit signed values → one signed
     64-bit value (ties → 1, deterministic).  The frame-set combiner for

@@ -6883,6 +6883,94 @@ QUERIES["image_near_dup_pairs"] = DriverQuery(
 )
 
 
+def q_audio_near_dup_pairs(spark, sf_dir):
+    """Audio NEAR-MISS pairs with a faithful oracle — the audio twin of
+    image_near_dup_pairs, same design: synthetic_afp_audio builds real
+    PCM-16 WAVs whose energy-gradient fingerprint is all-ones except at
+    chosen bits (65 constant-amplitude frames, strictly increasing;
+    flipping bit k pins frame k+1's amplitude to frame k's), so the
+    planted trio 9000211/9000212/9000213 (flips ∅, {0}, {62,63}) sits
+    at pairwise Hamming EXACTLY 1/2/3 — through the real WAV-decode →
+    fingerprint → combination-block-probe machinery.  The corpus
+    (doc_id % 5 == 2, md5-rendered clips, plus exact-dup composites
+    9000215/9000216 of the lowest-id doc) contributes the Hamming-0
+    equality pairs as md5(text) identity.  Same 2.4e-15/pair cross-group
+    false-pair bound and 256 group pre-cap (QUALIFY-mirrored) as the
+    image row."""
+    from tsatool_app_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        render_text_audio,
+        synthetic_afp_audio,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 2)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    docs = base.unionByName(
+        lo.select(F.lit(9_000_215).cast("long").alias("doc_id"), "text")
+    ).unionByName(
+        lo.select(F.lit(9_000_216).cast("long").alias("doc_id"), "text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_000_211, bytearray(synthetic_afp_audio())),
+            (9_000_212, bytearray(synthetic_afp_audio((0,)))),
+            (9_000_213, bytearray(synthetic_afp_audio((62, 63)))),
+        ],
+        "doc_id long, content binary",
+    )
+    media = render_text_audio(docs).unionByName(planted)
+    sigs = audio_fingerprint(media, id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("afp")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    return audio_near_dup_pairs(capped, id_col="doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLES["audio_near_dup_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 2
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000215, text FROM lo
+  UNION ALL SELECT 9000216, text FROM lo
+),
+capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+),
+eq_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM capped a
+  JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM eq_pairs
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(9000211 AS BIGINT), CAST(9000212 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(9000211 AS BIGINT), CAST(9000213 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(9000212 AS BIGINT), CAST(9000213 AS BIGINT), CAST(3 AS BIGINT))
+) v(id_a, id_b, hamming)
+ORDER BY id_a, id_b"""
+
+QUERIES["audio_near_dup_pairs"] = DriverQuery(
+    q_audio_near_dup_pairs, ORACLES["audio_near_dup_pairs"]
+)
+
+
 #: 144 single-char merges (>EXPR_MERGE_LIMIT=128, so impl='auto' routes to
 #: the mapInPandas batch encoder) — trivially well-formed with unique
 #: outputs; high-frequency English letters so the merges actually fire on
