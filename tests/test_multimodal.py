@@ -866,8 +866,8 @@ def test_synthetic_signature_fixtures_exact(spark):
     pairwise Hamming distances equal the symmetric differences of the
     flip sets — through the real PNG/WAV decode paths."""
     from tsatool_app_spark.functions.multimodal import (
-        audio_fingerprint, image_dhash,
-        synthetic_afp_audio, synthetic_dhash_image,
+        audio_fingerprint, image_dhash, synthetic_afp_audio,
+        synthetic_dhash_image, synthetic_vfp_video, video_fingerprint,
     )
 
     img = spark.createDataFrame(
@@ -888,8 +888,17 @@ def test_synthetic_signature_fixtures_exact(spark):
         "media_id long, content binary",
     )
     ha = {r.media_id: r.afp for r in audio_fingerprint(wav).collect()}
+    avi = spark.createDataFrame(
+        [
+            (1, bytearray(synthetic_vfp_video())),
+            (2, bytearray(synthetic_vfp_video((0,)))),
+            (3, bytearray(synthetic_vfp_video((62, 63)))),
+        ],
+        "media_id long, content binary",
+    )
+    hv = {r.media_id: r.vfp for r in video_fingerprint(avi).collect()}
     mask = (1 << 64) - 1
-    for h in (hi, ha):
+    for h in (hi, ha, hv):
         assert h[1] == -1  # all ones, signed
         assert bin((h[1] ^ h[2]) & mask).count("1") == 1
         assert bin((h[1] ^ h[3]) & mask).count("1") == 2

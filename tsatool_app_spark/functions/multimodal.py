@@ -863,6 +863,40 @@ def synthetic_afp_audio(
     return encode_wav(samples, sample_rate)
 
 
+def synthetic_vfp_video(
+    flip_bits: tuple[int, ...] = (),
+    *,
+    n_frames: int = 5,
+    quality: int = 90,
+) -> bytes:
+    """Deterministic MJPEG-AVI whose :func:`video_fingerprint` is
+    all-ones EXCEPT at the given bit positions — the video member of the
+    constructed-distance fixture family (synthetic_dhash_image /
+    synthetic_afp_audio), making video near-miss joins
+    oracle-expressible.
+
+    Construction: ``n_frames`` IDENTICAL 8×9 frames (majority of
+    identical frame hashes IS the frame hash), base row strictly
+    increasing by 25 counts; flipping bit ``k = r*8 + c`` sets pixel
+    (r, c+1) to pixel (r, c) − 15 — a MARGIN, not equality, because the
+    frames ride through a lossy JPEG encode (q90 perturbs pixels by a
+    couple of counts; ±15 and ±25 gaps cannot re-order cell means, where
+    the image fixture's lossless PNG could pin exact equality)."""
+    import numpy as _np
+
+    from tsatool_app_spark.avi_codec import encode_avi_mjpeg
+    from tsatool_app_spark.jpeg_codec import encode_jpeg_baseline
+
+    px = _np.tile((30 + 25 * _np.arange(9, dtype=_np.int32)), (8, 1))
+    for k in sorted(flip_bits):
+        if not 0 <= k < 64:
+            raise ValueError(f"flip bit {k} outside 0..63")
+        r, c = divmod(k, 8)
+        px[r, c + 1] = px[r, c] - 15
+    frame = encode_jpeg_baseline(px.astype(_np.uint8), quality=quality)
+    return encode_avi_mjpeg([frame] * n_frames, 9, 8)
+
+
 def _majority_bits(hashes: list[int]) -> int:
     """Per-bit MAJORITY vote over 64-bit signed values → one signed
     64-bit value (ties → 1, deterministic).  The frame-set combiner for

@@ -6971,6 +6971,97 @@ QUERIES["audio_near_dup_pairs"] = DriverQuery(
 )
 
 
+def q_video_near_dup_pairs(spark, sf_dir):
+    """Video NEAR-MISS pairs with a faithful oracle — completing the
+    constructed-distance family across all three media types:
+    synthetic_vfp_video builds real MJPEG-AVIs (native JPEG q90 encode)
+    of identical 8×9 gradient frames whose majority-vote fingerprint is
+    all-ones except at chosen bits; because the frames ride a LOSSY
+    codec, a flip pins pixel (r,c+1) to pixel (r,c) − 15 — a margin the
+    ±2-count JPEG noise cannot re-order, where the image fixture's
+    lossless PNG pins exact equality.  The planted trio
+    9000221/9000222/9000223 (flips ∅, {0}, {62,63}) sits at pairwise
+    Hamming EXACTLY 1/2/3 through the real AVI-demux → JPEG-decode →
+    per-frame dHash → majority → combination-block probe.  Corpus
+    (doc_id % 97 == 7 — each doc renders and decodes 5 JPEG frames, so
+    the sparsest media slice — plus exact-dup composites
+    9000225/9000226) contributes the Hamming-0 md5(text) equality
+    pairs.  Same false-pair bound (~2.4e-15/pair) and 256 group pre-cap
+    (QUALIFY-mirrored) as the image/audio near-miss rows."""
+    from tsatool_app_spark.functions.multimodal import (
+        render_text_videos,
+        synthetic_vfp_video,
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 7)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    docs = base.unionByName(
+        lo.select(F.lit(9_000_225).cast("long").alias("doc_id"), "text")
+    ).unionByName(
+        lo.select(F.lit(9_000_226).cast("long").alias("doc_id"), "text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_000_221, bytearray(synthetic_vfp_video())),
+            (9_000_222, bytearray(synthetic_vfp_video((0,)))),
+            (9_000_223, bytearray(synthetic_vfp_video((62, 63)))),
+        ],
+        "doc_id long, content binary",
+    )
+    media = render_text_videos(docs).unionByName(planted)
+    sigs = video_fingerprint(media, id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vfp")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    return video_near_dup_pairs(capped, id_col="doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLES["video_near_dup_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 7
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000225, text FROM lo
+  UNION ALL SELECT 9000226, text FROM lo
+),
+capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+),
+eq_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM capped a
+  JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM eq_pairs
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(9000221 AS BIGINT), CAST(9000222 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(9000221 AS BIGINT), CAST(9000223 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(9000222 AS BIGINT), CAST(9000223 AS BIGINT), CAST(3 AS BIGINT))
+) v(id_a, id_b, hamming)
+ORDER BY id_a, id_b"""
+
+QUERIES["video_near_dup_pairs"] = DriverQuery(
+    q_video_near_dup_pairs, ORACLES["video_near_dup_pairs"]
+)
+
+
 #: 144 single-char merges (>EXPR_MERGE_LIMIT=128, so impl='auto' routes to
 #: the mapInPandas batch encoder) — trivially well-formed with unique
 #: outputs; high-frequency English letters so the merges actually fire on
