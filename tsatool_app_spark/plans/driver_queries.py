@@ -7143,6 +7143,87 @@ QUERIES["bpe_batch_count"] = DriverQuery(
 )
 
 
+def q_bpe_batch_encode(spark, sf_dir):
+    """The batch BPE encoder's token ARRAYS certified cross-engine —
+    bpe_batch_count pins the counts; this row pins the actual token
+    SEQUENCE (space-joined per doc, word order preserved) against the
+    same chunked replace-chain oracle, so a batch-encoder bug that
+    produced the right number of wrong tokens could not slip past the
+    count row.  Same 144-merge auto-routed mapInPandas path."""
+    from tsatool_app_spark.functions.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, _BPE_BATCH_MERGES)  # auto → batch
+    return enc.select(
+        "doc_id",
+        F.coalesce(F.array_join("bpe_tokens", " "), F.lit("")).alias(
+            "tokens"
+        ),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_batch_encode_oracle() -> str:
+    """Token-sequence twin of _bpe_batch_oracle: generate_subscripts
+    keeps each word's position so string_agg can reassemble the doc's
+    token stream in word order; per word the separator encoding is
+    stripped and split back into tokens."""
+    enc = (
+        "chr(31) || array_to_string(string_split(w, ''), "
+        "chr(31)||chr(31)) || chr(31)"
+    )
+    ctes = [
+        "words AS (\n  SELECT doc_id,"
+        " list_filter(string_split(text, ' '), x -> x <> '') AS ws\n"
+        "  FROM documents\n)",
+        "tok AS (\n  SELECT doc_id, unnest(ws) AS w,"
+        " generate_subscripts(ws, 1) AS i FROM words\n)",
+        f"enc0 AS (\n  SELECT doc_id, i, w, {enc} AS rep FROM tok\n)",
+    ]
+    n_chunks = 0
+    for start in range(0, len(_BPE_BATCH_MERGES), 64):
+        rep = "rep"
+        for left, right in _BPE_BATCH_MERGES[start : start + 64]:
+            pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
+            new = f"chr(31)||'{left}{right}'||chr(31)"
+            rep = f"replace({rep}, {pat}, {new})"
+        n_chunks += 1
+        ctes.append(
+            f"enc{n_chunks} AS (\n  SELECT doc_id, i, w, {rep} AS rep "
+            f"FROM enc{n_chunks - 1}\n)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+per_word AS (
+  SELECT doc_id, i,
+         CASE WHEN contains(w, chr(31)) THEN w
+              ELSE array_to_string(
+                     string_split(substring(rep, 2, length(rep) - 2),
+                                  chr(31)||chr(31)), ' ')
+         END AS tok_str,
+         CASE WHEN contains(w, chr(31)) THEN 1
+              ELSE (length(rep) - length(replace(rep, chr(31)||chr(31), ''))) // 2 + 1
+         END AS nt
+  FROM enc{n_chunks}
+),
+agg AS (
+  SELECT doc_id, string_agg(tok_str, ' ' ORDER BY i) AS tokens,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM per_word GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.tokens, '') AS tokens,
+       COALESCE(a.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+
+
+ORACLES["bpe_batch_encode"] = _bpe_batch_encode_oracle()
+QUERIES["bpe_batch_encode"] = DriverQuery(
+    q_bpe_batch_encode, ORACLES["bpe_batch_encode"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
