@@ -99,7 +99,16 @@ def bpe_train(
     min_freq: int = 1,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges.  Returns one row per merge:
-    (rank, left, right, pair_count), rank 1 = first merge learned."""
+    (rank, left, right, pair_count), rank 1 = first merge learned.
+
+    Each merge is one Spark aggregation job over the VOCAB table (the
+    corpus is read exactly once, by build_vocab) — fine for the small
+    certified merge counts, but a production 32k-merge training run
+    should collect the vocabulary (driver-sized even at 100 TB: ~10⁷
+    distinct words) and use :func:`bpe_train_local`, which learns the
+    IDENTICAL merge list (pinned by
+    test_bpe_train_local_matches_distributed) in seconds via
+    incremental pair-count maintenance instead of 32k Spark jobs."""
     spark = docs.sparkSession
     vocab = build_vocab(docs, text_col=text_col, min_freq=min_freq).select(
         _encode_word(F.col("word")).alias("rep"), "freq"
