@@ -1147,3 +1147,57 @@ def test_span_fingerprints_arrow_multi_megabyte_doc(spark):
         w = big[r.pos - 1 : r.pos + 39]
         h = hashlib.md5(w.encode()).hexdigest()
         assert h == r.fp and h[31] < "2"
+
+
+def test_epoch_budget_mixture(spark):
+    """Upsampling mixture (epoch control): budget > supply repeats the
+    source (full epochs for every doc + a deterministic md5 subset for
+    the fractional epoch); budget <= supply degenerates to EXACTLY
+    token_budget_mixture's keep-set with n_copies = 1; unbudgeted
+    sources drop; zero budget drops; zero supply keeps one copy."""
+    from tsatool_app_spark.functions.sampling import (
+        epoch_budget_mixture,
+        explode_epoch_copies,
+        token_budget_mixture,
+    )
+
+    rows = [
+        (i, "a" * 100, "web" if i < 2000 else ("wiki" if i < 2200 else "other"))
+        for i in range(2400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs = docs.withColumn("n_chars", F.length("text"))
+    budgets = {"web": 50_000, "wiki": 75_000, "zero": 0}
+    out = epoch_budget_mixture(docs, budgets).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "other" not in by_src and "zero" not in by_src
+    # wiki: 20k supply, 75k budget -> full = 3 epochs, rem = 15k/20k ->
+    # rem_q = 7500; every doc keeps 3 or 4 copies
+    wiki = by_src["wiki"]
+    assert len(wiki) == 200
+    assert all(r["rem_q"] == 7500 for r in wiki)
+    assert {r["n_copies"] for r in wiki} == {3, 4}
+    total_wiki = sum(r["n_copies"] for r in wiki) * 100
+    assert abs(total_wiki - 75_000) < 6_000  # binomial on the fraction
+    # web: budget < supply -> n_copies = 1 and the keep-set is EXACTLY
+    # the down-sampling mixture's
+    web_ids = {r["doc_id"] for r in by_src["web"]}
+    assert all(r["n_copies"] == 1 and r["rem_q"] == 2500 for r in by_src["web"])
+    down = {
+        r["doc_id"]
+        for r in token_budget_mixture(docs, {"web": 50_000}).collect()
+    }
+    assert web_ids == down
+    # explode: one row per copy, copy_idx in [0, n_copies)
+    mix = epoch_budget_mixture(docs, {"wiki": 75_000})
+    ex = explode_epoch_copies(mix).groupBy("doc_id").count().collect()
+    per = {r["doc_id"]: r["count"] for r in ex}
+    assert {per[r["doc_id"]] for r in wiki} == {3, 4}
+    # zero/NULL supply: one copy of everything
+    nulls = spark.createDataFrame(
+        [(1, None, "s")], "doc_id long, n_chars int, source string"
+    )
+    got = epoch_budget_mixture(nulls, {"s": 10}).collect()
+    assert len(got) == 1 and got[0]["n_copies"] == 1

@@ -217,3 +217,95 @@ def token_budget_mixture(
     return docs.join(F.broadcast(rates), source_col).where(
         hash_bucket(F.col(id_col), buckets) < F.col("rate_q")
     )
+
+
+def epoch_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Budgeted corpus mixture WITH UPSAMPLING — epoch control.
+
+    :func:`token_budget_mixture` can only sample a source DOWN; real
+    pretraining mixes also REPEAT small high-quality sources for
+    several epochs (the "4 epochs of Wikipedia" knob).  Per source::
+
+        full  = budget div avail                  -- whole epochs
+        rem_q = (budget mod avail) * buckets div avail
+        n_copies(doc) = full + (hash_bucket(id) < rem_q ? 1 : 0)
+
+    so expected total tokens ≈ budget with the SAME deterministic
+    md5-bucket rule (and the same all-integer arithmetic) as the
+    down-sampling mixture — the fractional epoch is a stable subset,
+    not a random one, and budget ≤ avail degenerates to exactly
+    token_budget_mixture's keep-set with n_copies = 1.
+
+    Output: input columns + ``rem_q`` + ``n_copies`` (≥ 1; rows with
+    n_copies = 0 are dropped).  Sources not budgeted are dropped; a
+    budgeted source with zero/NULL measurable supply keeps one copy of
+    everything (trivially under budget); an explicit 0 budget drops the
+    source.  Feed :func:`explode_epoch_copies` to materialize one row
+    per copy for packing.  Plan shape at 100 TB: one map-side-combined
+    aggregate over |sources| groups, a broadcast join back, then a
+    scan-speed projection — the corpus is scanned once and never
+    shuffled here."""
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+    bad = {"rem_q", "n_copies", "_avail", "_full"} & set(docs.columns)
+    if bad:
+        raise ValueError(f"docs already has columns {sorted(bad)}; rename")
+    avail = docs.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("_avail")
+    )
+    budget = F.lit(None).cast("long")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == s, F.lit(int(b))).otherwise(budget)
+    no_supply = F.coalesce(F.col("_avail"), F.lit(0)) <= 0
+    plan = (
+        avail.withColumn("_budget", budget)
+        .where(F.col("_budget").isNotNull())
+        .select(
+            source_col,
+            F.when(F.col("_budget") == 0, F.lit(0).cast("long"))
+            .when(no_supply, F.lit(1).cast("long"))
+            .otherwise(F.expr("_budget div _avail"))
+            .alias("_full"),
+            F.when((F.col("_budget") == 0) | no_supply, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(f"((_budget % _avail) * {buckets}) div _avail")
+            )
+            .alias("rem_q"),
+        )
+    )
+    joined = docs.join(F.broadcast(plan), source_col).withColumn(
+        "n_copies",
+        (
+            F.col("_full")
+            + F.when(
+                hash_bucket(F.col(id_col), buckets) < F.col("rem_q"), 1
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    return joined.where(F.col("n_copies") > 0).drop("_full")
+
+
+def explode_epoch_copies(
+    mix: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    copies_col: str = "n_copies",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """One row per (doc, epoch copy): ``out_col`` ∈ [0, n_copies).  The
+    bridge from :func:`epoch_budget_mixture` into packing — synthesize a
+    unique per-copy id (e.g. ``doc_id * max_copies + copy_idx``) when an
+    ordered id is needed downstream.  Pure explode, no shuffle."""
+    return mix.withColumn(
+        out_col,
+        F.explode(F.sequence(F.lit(0), (F.col(copies_col) - 1).cast("int"))),
+    )

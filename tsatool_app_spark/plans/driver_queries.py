@@ -7224,6 +7224,71 @@ QUERIES["bpe_batch_encode"] = DriverQuery(
 )
 
 
+def q_epoch_mixture(spark, sf_dir):
+    """Epoch-aware UPSAMPLING mixture (functions/sampling.
+    epoch_budget_mixture): token_budget_mixture can only sample a
+    source DOWN, but real pretraining mixes repeat small high-quality
+    sources for several epochs — per source full = budget div avail
+    whole epochs plus a deterministic md5-bucket subset for the
+    fractional epoch, all-integer arithmetic, same hash rule as the
+    down-sampler (budget ≤ supply degenerates to exactly its keep-set
+    with n_copies = 1; pinned by test_epoch_budget_mixture).  Budgets
+    chosen to exercise BOTH regimes at the certification tier: src0
+    (~8k chars at sf0.01) upsamples at ~3.8 epochs, src1 downsamples
+    (~0.47), src2 upsamples heavily; at sf1 (~730k chars/source) src2
+    lands in the full=1-plus-fraction regime — the oracle recomputes
+    from supply, so every tier certifies live arithmetic.  The
+    zero-supply / zero-budget edge branches are pytest-pinned (no such
+    source exists in the data for an oracle to see)."""
+    from tsatool_app_spark.functions.sampling import epoch_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    mix = epoch_budget_mixture(
+        docs, {"src0": 30_000, "src1": 4_000, "src2": 1_000_000}
+    )
+    return mix.select("doc_id", "source", "rem_q", "n_copies").orderBy(
+        "doc_id"
+    )
+
+
+ORACLES["epoch_mixture"] = """
+WITH counted AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nt FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS a FROM counted GROUP BY source
+),
+plan AS (
+  SELECT source, a,
+         CAST(CASE source WHEN 'src0' THEN 30000
+                          WHEN 'src1' THEN 4000
+                          WHEN 'src2' THEN 1000000 END AS BIGINT) AS b
+  FROM avail WHERE source IN ('src0', 'src1', 'src2')
+),
+p2 AS (
+  SELECT source, b // a AS fullep,
+         CAST((b % a) * 10000 // a AS BIGINT) AS rem_q
+  FROM plan
+),
+copies AS (
+  SELECT c.doc_id, c.source, p.rem_q,
+         CAST(p.fullep
+              + CASE WHEN ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::INT
+                          % 10000 < p.rem_q
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM counted c JOIN p2 p USING (source)
+)
+SELECT doc_id, source, rem_q, n_copies
+FROM copies WHERE n_copies > 0
+ORDER BY doc_id"""
+
+QUERIES["epoch_mixture"] = DriverQuery(
+    q_epoch_mixture, ORACLES["epoch_mixture"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
