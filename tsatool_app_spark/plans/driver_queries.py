@@ -7289,6 +7289,95 @@ QUERIES["epoch_mixture"] = DriverQuery(
 )
 
 
+def q_epoch_pack(spark, sf_dir):
+    """The upsampled-mixture → packing SEAM certified end to end:
+    epoch_budget_mixture → explode_epoch_copies → pack_sequences, with
+    a synthesized per-copy id (doc_id·1024 + copy_idx — n_copies can
+    never approach 1024 unless a source's whole supply is under
+    budget/1024 ≈ 30 chars) keeping the greedy pack's id-order contract
+    deterministic over REPEATED documents.  What the per-operator
+    oracles can't see is exactly this seam: that every epoch copy packs
+    as its own sequence, in copy order, under the same budget rule —
+    the oracle replays the whole chain (supply → epochs → explode →
+    recursive first-fit scan) from the raw table."""
+    from tsatool_app_spark.functions.corpus import pack_sequences
+    from tsatool_app_spark.functions.sampling import (
+        epoch_budget_mixture,
+        explode_epoch_copies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    mix = epoch_budget_mixture(docs, {"src0": 30_000, "src3": 20_000})
+    ex = explode_epoch_copies(mix).withColumn(
+        "copy_id", F.col("doc_id") * 1024 + F.col("copy_idx")
+    )
+    packed = pack_sequences(
+        ex, budget=1000, n_shards=4, id_col="copy_id",
+        token_count_col="n_chars",
+    )
+    return packed.select(
+        F.expr("copy_id div 1024").alias("doc_id"),
+        (F.col("copy_id") % 1024).alias("copy_idx"),
+        "shard",
+        "bin_id",
+        "n_tokens",
+    ).orderBy("doc_id", "copy_idx")
+
+
+ORACLES["epoch_pack"] = """
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nt FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS a FROM counted GROUP BY source
+),
+plan AS (
+  SELECT source, a,
+         CAST(CASE source WHEN 'src0' THEN 30000
+                          WHEN 'src3' THEN 20000 END AS BIGINT) AS b
+  FROM avail WHERE source IN ('src0', 'src3')
+),
+p2 AS (
+  SELECT source, b // a AS fullep,
+         CAST((b % a) * 10000 // a AS BIGINT) AS rem_q
+  FROM plan
+),
+copies AS (
+  SELECT c.doc_id, c.nt,
+         CAST(p.fullep
+              + CASE WHEN ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::INT
+                          % 10000 < p.rem_q
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM counted c JOIN p2 p USING (source)
+),
+ex AS (
+  SELECT doc_id, nt, doc_id * 1024 + u AS copy_id
+  FROM copies, unnest(range(n_copies)) AS t(u)
+  WHERE n_copies > 0
+),
+t AS MATERIALIZED (
+  SELECT copy_id, nt, copy_id % 4 AS shard,
+         row_number() OVER (PARTITION BY copy_id % 4 ORDER BY copy_id) AS rn
+  FROM ex
+),
+p AS (
+  SELECT copy_id, shard, nt, rn, nt AS fill, CAST(0 AS BIGINT) AS bin_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.copy_id, t.shard, t.nt, t.rn,
+         CASE WHEN p.fill + t.nt > 1000 THEN t.nt ELSE p.fill + t.nt END,
+         CASE WHEN p.fill + t.nt > 1000 THEN p.bin_id + 1 ELSE p.bin_id END
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT copy_id // 1024 AS doc_id, copy_id % 1024 AS copy_idx,
+       CAST(shard AS BIGINT) AS shard, bin_id, nt AS n_tokens
+FROM p ORDER BY doc_id, copy_idx"""
+
+QUERIES["epoch_pack"] = DriverQuery(q_epoch_pack, ORACLES["epoch_pack"])
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
