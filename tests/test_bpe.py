@@ -276,3 +276,33 @@ def test_bpe_batch_parity_trained_lists(spark):
             for t in _spec_encode_word(w, m1200)
         ]
         assert got[i] == (toks, len(toks))
+
+
+def test_add_bpe_token_counts_batch_inplace_order(spark):
+    """ADVICE r11: when out_col already exists, impl='batch' must be a
+    drop-in for impl='expr' — replaced IN PLACE (same field order), not
+    appended at the end."""
+    from tsatool_app_spark.functions.bpe import add_bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", 99, "x")],
+        "doc_id long, text string, n_tokens long, tag string",
+    )
+    merges = [("a", "b")]
+    expr = add_bpe_token_counts(docs, merges, impl="expr")
+    batch = add_bpe_token_counts(docs, merges, impl="batch")
+    assert [f.name for f in batch.schema.fields] == [
+        f.name for f in expr.schema.fields
+    ]
+    assert batch.collect() == expr.collect()
+    # fresh out_col still appends at the end on both paths
+    fresh_e = add_bpe_token_counts(
+        docs.drop("n_tokens"), merges, impl="expr"
+    )
+    fresh_b = add_bpe_token_counts(
+        docs.drop("n_tokens"), merges, impl="batch"
+    )
+    assert [f.name for f in fresh_b.schema.fields] == [
+        f.name for f in fresh_e.schema.fields
+    ]
+    assert fresh_b.collect() == fresh_e.collect()

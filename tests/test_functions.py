@@ -1201,3 +1201,20 @@ def test_epoch_budget_mixture(spark):
     )
     got = epoch_budget_mixture(nulls, {"s": 10}).collect()
     assert len(got) == 1 and got[0]["n_copies"] == 1
+
+
+def test_explode_epoch_copies_zero_guard(spark):
+    """ADVICE r11: a n_copies=0 row must DISAPPEAR under explode (Spark's
+    sequence(0, -1) is the descending [0, -1], which would silently
+    duplicate the row); negative counts and NULLs drop too."""
+    from tsatool_app_spark.functions.sampling import explode_epoch_copies
+
+    mix = spark.createDataFrame(
+        [(1, 0), (2, 2), (3, -1), (4, None), (5, 1)],
+        "doc_id long, n_copies int",
+    )
+    got = {
+        (r["doc_id"], r["copy_idx"])
+        for r in explode_epoch_copies(mix).collect()
+    }
+    assert got == {(2, 0), (2, 1), (5, 0)}

@@ -921,3 +921,22 @@ def test_signature_width_guards(spark):
         image_dhash(media, grid=9)
     with pytest.raises(ValueError, match="n_frames"):
         audio_fingerprint(media, n_frames=129)
+
+
+def test_video_fingerprint_zero_frames_null(spark):
+    """ADVICE r11: a frame-less container yields a NULL vfp (not 0), so
+    degenerate videos never cluster as mutual hamming-0 duplicates."""
+    import struct
+
+    from tsatool_app_spark.functions.multimodal import (
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    empty = struct.pack(">4sIII", b"TSTV", 9, 8, 0)
+    rows = [(1, bytearray(empty)), (2, bytearray(empty))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    sigs = video_fingerprint(media)
+    got = {r["media_id"]: r["vfp"] for r in sigs.collect()}
+    assert got == {1: None, 2: None}
+    assert video_near_dup_pairs(sigs).count() == 0

@@ -383,7 +383,15 @@ def add_bpe_token_counts(
     mapInPandas pass for production-size merge lists; ``"auto"`` routes
     by ``len(merges) <= EXPR_MERGE_LIMIT``.  Both are single narrow
     passes: the corpus is read once and never shuffled here, and every
-    other column rides through unchanged."""
+    other column rides through unchanged.
+
+    Drop-in parity between the two impls: when ``out_col`` already
+    exists it is replaced IN PLACE (same field position) on both paths.
+    One residual difference the batch path cannot hide: the whole row
+    crosses the Arrow boundary, so passenger columns must have
+    Arrow-convertible types — a row that rides free through the
+    expression path (e.g. an exotic UDT) fails when ``"auto"`` routes
+    to ``"batch"``; cast or drop such columns first."""
     if impl == "auto":
         impl = "expr" if len(merges) <= EXPR_MERGE_LIMIT else "batch"
     if impl == "expr":
@@ -396,11 +404,17 @@ def add_bpe_token_counts(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    out_schema = StructType(
-        [f for f in docs.schema.fields if f.name != out_col]
-        + [StructField(out_col, LongType(), True)]
-    )
-    cols = [f.name for f in out_schema.fields[:-1]]
+    out_field = StructField(out_col, LongType(), True)
+    in_names = [f.name for f in docs.schema.fields]
+    if out_col in in_names:
+        # withColumn semantics: replace in place, keep field order.
+        out_fields = [
+            out_field if f.name == out_col else f for f in docs.schema.fields
+        ]
+    else:
+        out_fields = list(docs.schema.fields) + [out_field]
+    out_schema = StructType(out_fields)
+    cols = [f.name for f in out_fields if f.name != out_col]
 
     def count(batches):
         enc = _WordEncoder(merges)
@@ -409,7 +423,7 @@ def add_bpe_token_counts(
             out[out_col] = pd.array(
                 [enc.count_text(t) for t in pdf[text_col]], dtype="int64"
             )
-            yield out
+            yield out[[f.name for f in out_fields]]
 
     return docs.mapInPandas(count, out_schema)
 

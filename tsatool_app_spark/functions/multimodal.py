@@ -897,16 +897,18 @@ def synthetic_vfp_video(
     return encode_avi_mjpeg([frame] * n_frames, 9, 8)
 
 
-def _majority_bits(hashes: list[int]) -> int:
+def _majority_bits(hashes: list[int]) -> int | None:
     """Per-bit MAJORITY vote over 64-bit signed values → one signed
     64-bit value (ties → 1, deterministic).  The frame-set combiner for
     video signatures: re-encode noise flips a few random frame-dhash
     bits in random directions, which a majority over sampled frames
     damps, while distinct videos' i.i.d. bits stay i.i.d. after
-    voting."""
+    voting.  An EMPTY frame list returns None (→ NULL ``vfp``): a
+    frame-less container carries no visual signal, and mapping it to 0
+    would cluster every degenerate video as a mutual hamming-0 dup."""
     n = len(hashes)
     if n == 0:
-        return 0
+        return None
     mask = (1 << 64) - 1
     v = 0
     for b in range(63, -1, -1):
@@ -990,11 +992,14 @@ def video_fingerprint(
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (mid, _majority_bits(_frame_hashes(bytes(buf))))
-                for mid, buf in zip(pdf[id_col], pdf[content_col])
-            ]
-            yield pd.DataFrame(rows, columns=[id_col, "vfp"])
+            sigs = pd.array(
+                [
+                    _majority_bits(_frame_hashes(bytes(buf)))
+                    for buf in pdf[content_col]
+                ],
+                dtype="Int64",
+            )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "vfp": sigs})
 
     return media.select(id_col, content_col).mapInPandas(
         hash_batches, out_schema

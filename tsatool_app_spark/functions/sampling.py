@@ -304,8 +304,18 @@ def explode_epoch_copies(
     """One row per (doc, epoch copy): ``out_col`` ∈ [0, n_copies).  The
     bridge from :func:`epoch_budget_mixture` into packing — synthesize a
     unique per-copy id (e.g. ``doc_id * max_copies + copy_idx``) when an
-    ordered id is needed downstream.  Pure explode, no shuffle."""
+    ordered id is needed downstream.  Pure explode, no shuffle.
+
+    Rows with ``copies_col`` ≤ 0 disappear (explode drops the empty
+    array) — without the guard, Spark's ``sequence(0, -1)`` yields the
+    DESCENDING array ``[0, -1]`` and a zero-copy row would silently
+    expand into two rows."""
     return mix.withColumn(
         out_col,
-        F.explode(F.sequence(F.lit(0), (F.col(copies_col) - 1).cast("int"))),
+        F.explode(
+            F.when(
+                F.col(copies_col) > 0,
+                F.sequence(F.lit(0), (F.col(copies_col) - 1).cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
     )
