@@ -70,6 +70,51 @@ def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str
     return out
 
 
+def env_metadata(sf_dir: str, repeats: int) -> dict:
+    """Board provenance: engine versions, machine shape, repeat policy,
+    tier row counts.  Added after the r10b->r11b denominator shift showed
+    round-over-round ratio comparisons are meaningless without pinning
+    which duckdb/PySpark/CPU produced the numbers (VERDICT r11 item 1)."""
+    import platform
+
+    import duckdb
+    import pyspark
+
+    meta = {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "cpus": os.cpu_count(),
+        "spark_master": f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
+        "repeats": repeats,
+        "oracle_budget_s": ORACLE_BUDGET_S,
+        "timing": "best_of_k",
+    }
+    try:
+        import pyarrow.parquet as pq
+
+        from tsatool_app_spark.model import TESTDATA_TABLES
+
+        counts = {}
+        for t in TESTDATA_TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                n = sum(
+                    pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            elif os.path.exists(p):
+                n = pq.ParquetFile(p).metadata.num_rows
+            else:
+                continue
+            counts[t] = n
+        meta["table_rows"] = counts
+    except Exception:  # noqa: BLE001 - metadata must never fail the board
+        pass
+    return meta
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -120,12 +165,24 @@ def main() -> None:
         if timings.get(n, -1) > 0 and oracle_timings[n] > 0
     }
     geomean = None
+    geomean_db = None
+    n_db = 0
     if ratios:
         import math
 
         geomean = round(
             math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
         )
+        # Data-bound subset: rows whose DuckDB oracle takes >= 0.2 s, i.e.
+        # where Spark's fixed per-job floor doesn't dominate the ratio.
+        # This is the round-over-round headline (VERDICT r3-r11 convention),
+        # computed in-board so it can't drift with hand recomputation.
+        db = {n: r for n, r in ratios.items() if oracle_timings[n] >= 0.2}
+        n_db = len(db)
+        if db:
+            geomean_db = round(
+                math.exp(sum(math.log(r) for r in db.values()) / len(db)), 3
+            )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     full = {
@@ -137,6 +194,9 @@ def main() -> None:
         "queries_duckdb": oracle_timings,
         "ratio": ratios,
         "ratio_geomean": geomean,
+        "ratio_geomean_databound": geomean_db,
+        "n_databound": n_db,
+        "env": env_metadata(sf_dir, repeats),
     }
     if failures:
         full["failures"] = failures
@@ -161,6 +221,8 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
         "ratio_geomean": geomean,
+        "ratio_geomean_databound": geomean_db,
+        "n_databound": n_db,
     }
     if failures:
         compact["failed"] = sorted(failures)
