@@ -122,6 +122,17 @@ def main() -> None:
     from tsatool_app_spark.plans.driver_queries import QUERIES
     from tsatool_app_spark.session import get_spark
 
+    # Optional subset (comma-separated names): used for targeted boards —
+    # e.g. the sf10 >2x-adjudication board — where running all 169 rows
+    # at a heavy tier would serve nothing.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+        QUERIES = {n: QUERIES[n] for n in names}
+
     spark = get_spark("tsatool-bench")
     # Warm the JVM + parquet footer caches with a trivial job so the first
     # measured query doesn't pay session startup.

@@ -9,6 +9,12 @@ which is an HONEST (web-corpus-like) stress for the dedup family.
 
 Output: /root/repo/.scratch/sf1/*.parquet (gitignored).
 Usage: PYTHONPATH=/root/repo python scripts/gen_sf1.py [--factor 10]
+       [--src DIR] [--dst DIR]
+
+r12: --factor 100 --dst /root/repo/.scratch/sf10 builds the sf10 tier
+for the >2x-adjudication board (key shifts stay collision-free to
+factor <= 1000: the smallest shift stride is 1M for suppkey vs 1k
+suppliers/copy at sf0.1).
 """
 
 from __future__ import annotations
@@ -38,16 +44,19 @@ TABLES = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--dst", default=DST)
     args = ap.parse_args()
+    src, dst = args.src, args.dst
 
     from pyspark.sql import functions as F
 
     from tsatool_app_spark.session import get_spark
 
     spark = get_spark("gen-sf1")
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t in TABLES:
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df = spark.read.parquet(f"{src}/{t}.parquet")
         if t in COPY_ONLY:
             out = df
         else:
@@ -62,10 +71,10 @@ def main() -> None:
                 shifted.append(d)
             out = reduce(lambda a, b: a.unionByName(b), shifted)
         # one directory per table; model.load_table accepts both layouts
-        out.repartition(8 if t not in COPY_ONLY else 1).write.mode(
+        out.repartition(max(8, args.factor // 4) if t not in COPY_ONLY else 1).write.mode(
             "overwrite"
-        ).parquet(f"{DST}/{t}.parquet")
-        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+        ).parquet(f"{dst}/{t}.parquet")
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
     spark.stop()
 
 

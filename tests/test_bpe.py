@@ -306,3 +306,90 @@ def test_add_bpe_token_counts_batch_inplace_order(spark):
         f.name for f in fresh_e.schema.fields
     ]
     assert fresh_b.collect() == fresh_e.collect()
+
+
+_PRETOK_TEXTS = [
+    "Hello, world!\ta1b2 (3.14)\nx_y",
+    "word. word, word\r\nend...  multi  space\x0bvtab",
+    "ünïcode Ärger 42nd № ½ can't-stop e.g.,",
+    "",
+    "   ",
+    "\t\n",
+    None,
+]
+
+
+def test_pretok_three_engine_parity(spark):
+    """r11 VERDICT ask #2: the classes pretokenizer must agree across
+    Spark (java.util.regex), DuckDB (RE2), and the Python twin the batch
+    encoder uses — tabs, newlines, punctuation-glued words, Unicode
+    letters/numbers, \\x0b (where \\s itself diverges between engines),
+    and empty/whitespace-only/NULL edges."""
+    import duckdb
+
+    from tsatool_app_spark.functions.bpe import (
+        PRETOK_CLASSES_RE, _pretokens, pretok_classes_py,
+    )
+
+    from pyspark.sql import functions as F
+
+    texts = [t for t in _PRETOK_TEXTS if t is not None]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "i long, text string"
+    )
+    sres = {
+        r["i"]: r["toks"]
+        for r in df.select(
+            "i", _pretokens(F.col("text"), "classes").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        d = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [t, PRETOK_CLASSES_RE]
+        ).fetchone()[0]
+        p = pretok_classes_py(t)
+        assert d == p == sres[i], (t, d, p, sres[i])
+
+
+def test_bpe_pretok_expr_batch_parity(spark):
+    """expr and batch paths must stay row-identical under
+    pretokenize='classes' (encode AND count), same pin as the ws paths."""
+    from tsatool_app_spark.functions.bpe import (
+        add_bpe_token_counts, bpe_encode, bpe_encode_batch,
+    )
+
+    rows = [(i, t) for i, t in enumerate(_PRETOK_TEXTS)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("l", "l"), ("o", "w"), ("ll", "o"), (",", ","), ("3", ".")]
+
+    e = bpe_encode(docs, merges, impl="expr", pretokenize="classes")
+    b = bpe_encode_batch(docs, merges, pretokenize="classes")
+    er = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in e.collect()}
+    br = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in b.collect()}
+    assert er == br
+    ce = add_bpe_token_counts(docs, merges, impl="expr", pretokenize="classes")
+    cb = add_bpe_token_counts(docs, merges, impl="batch", pretokenize="classes")
+    assert sorted(map(tuple, ce.collect())) == sorted(map(tuple, cb.collect()))
+    # counts agree with encode lengths
+    for r in ce.collect():
+        toks, n = er[r["doc_id"]]
+        assert r["n_tokens"] == (0 if toks is None else n)
+
+
+def test_build_vocab_classes_splits_punct(spark):
+    """'word.' and 'word' must land in the SAME vocab bucket under
+    classes pretokenization (the fidelity gap ws couldn't fix), and
+    tabs/newlines must separate."""
+    from tsatool_app_spark.functions.bpe import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "word. word\tword\nword, end")], "doc_id long, text string"
+    )
+    ws = {r.word: r.freq for r in build_vocab(docs).collect()}
+    cl = {
+        r.word: r.freq
+        for r in build_vocab(docs, pretokenize="classes").collect()
+    }
+    assert ws == {"word.": 1, "word\tword\nword,": 1, "end": 1}
+    assert cl == {"word": 4, ".": 1, ",": 1, "end": 1}

@@ -48,6 +48,74 @@ SEP = "\x1f"
 #: (:func:`bpe_encode_batch`), parity-pinned against the expression path.
 EXPR_MERGE_LIMIT = 128
 
+#: GPT-2-style class pretokenizer (r11 VERDICT ask #2), restricted to the
+#: regex subset shared by java.util.regex (Spark), RE2 (DuckDB), and a
+#: unicodedata-category twin (the Python batch path): maximal runs of
+#: Unicode letters, Unicode numbers, or non-letter/non-number/non-space
+#: chars; whitespace separates and is dropped.  The whitespace class is
+#: written EXPLICITLY ([ \t\n\r\f]) because the engines disagree on \s
+#: (Java includes \x0B, RE2 does not) — with the explicit class, \x0B
+#: lands in the "other" run in all three engines.  No lookaround (RE2
+#: has none), so space-prefix attachment (GPT-2's ` ?\p{L}+` +
+#: `\s+(?!\S)`) is intentionally NOT reproduced; this is the
+#: punctuation/whitespace-class split that fixes vocab divergence on
+#: real text (tabs, newlines, `word.` vs `word`).
+PRETOK_CLASSES_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\r\f]+"
+_PRETOK_WS = " \t\n\r\f"
+
+
+def _pretokens(text: Column, pretokenize: str) -> Column:
+    """Pretokenized word array for the BPE family.  ``"ws"`` is the
+    original single-space split (corpus._tokens — the default everywhere,
+    so certified constants are unchanged); ``"classes"`` is
+    :data:`PRETOK_CLASSES_RE` via regexp_extract_all, mirrored by DuckDB
+    ``regexp_extract_all(text, <same pattern>)`` in oracles."""
+    from tsatool_app_spark.functions.corpus import _tokens
+
+    if pretokenize == "ws":
+        return _tokens(text)
+    if pretokenize == "classes":
+        return F.regexp_extract_all(
+            text, F.lit("(" + PRETOK_CLASSES_RE + ")"), 1
+        )
+    raise ValueError("pretokenize must be 'ws' or 'classes'")
+
+
+def pretok_classes_py(text: str) -> list[str]:
+    """Python twin of :data:`PRETOK_CLASSES_RE` (the batch-encoder side of
+    the parity pin): maximal same-class runs via unicodedata general
+    category — L* = letters, N* = numbers, explicit ASCII whitespace
+    drops, everything else groups into "other" runs.  Python's re lacks
+    \\p{L}, so the class function IS the spec here; equivalence to the
+    Spark/DuckDB regex is pinned by tests/test_bpe.py on mixed
+    punctuation/tab/digit text."""
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+    cur_cls = 0
+    for ch in text:
+        if ch in _PRETOK_WS:
+            cls = 0
+        else:
+            cat = unicodedata.category(ch)[0]
+            cls = 1 if cat == "L" else 2 if cat == "N" else 3
+        if cls != cur_cls and cur:
+            out.append("".join(cur))
+            cur = []
+        cur_cls = cls
+        if cls:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _pretok_py(text: str, pretokenize: str) -> list[str]:
+    if pretokenize == "ws":
+        return [w for w in text.split(" ") if w]
+    return pretok_classes_py(text)
+
 
 def _encode_word(word: Column) -> Column:
     """word → ␟c1␟␟c2␟…␟cn␟ (single separators around every char)."""
@@ -57,14 +125,20 @@ def _encode_word(word: Column) -> Column:
 
 
 def build_vocab(
-    docs: DataFrame, *, text_col: str = "text", min_freq: int = 1
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_freq: int = 1,
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """(word, freq) vocabulary — the one corpus pass. Words containing the
-    separator control char are dropped (they would corrupt the encoding)."""
-    from tsatool_app_spark.functions.corpus import _tokens
-
+    separator control char are dropped (they would corrupt the encoding).
+    ``pretokenize="classes"`` swaps the single-space split for the
+    letter/number/punct class regex (:data:`PRETOK_CLASSES_RE`)."""
     return (
-        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        docs.select(
+            F.explode(_pretokens(F.col(text_col), pretokenize)).alias("word")
+        )
         .where(~F.col("word").contains(SEP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -97,6 +171,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     min_freq: int = 1,
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges.  Returns one row per merge:
     (rank, left, right, pair_count), rank 1 = first merge learned.
@@ -110,7 +185,9 @@ def bpe_train(
     test_bpe_train_local_matches_distributed) in seconds via
     incremental pair-count maintenance instead of 32k Spark jobs."""
     spark = docs.sparkSession
-    vocab = build_vocab(docs, text_col=text_col, min_freq=min_freq).select(
+    vocab = build_vocab(
+        docs, text_col=text_col, min_freq=min_freq, pretokenize=pretokenize
+    ).select(
         _encode_word(F.col("word")).alias("rep"), "freq"
     )
     vocab = vocab.localCheckpoint(eager=True)
@@ -138,7 +215,12 @@ def bpe_train(
     )
 
 
-def bpe_token_count_col(text: Column, merges: list[tuple[str, str]]) -> Column:
+def bpe_token_count_col(
+    text: Column,
+    merges: list[tuple[str, str]],
+    *,
+    pretokenize: str = "ws",
+) -> Column:
     """TRUE-tokenizer token count of ``text`` under a fixed BPE merge
     list, as a pure Column expression — the counter that lets
     token_budget_mixture / pack_sequences budget in REAL tokens instead
@@ -152,8 +234,6 @@ def bpe_token_count_col(text: Column, merges: list[tuple[str, str]]) -> Column:
     thing is length arithmetic at scan speed, no UDF, no shuffle.
     Words containing the separator control char count as one opaque
     token, mirroring bpe_encode's quarantine branch."""
-    from tsatool_app_spark.functions.corpus import _tokens
-
     joint = F.lit(SEP + SEP)
 
     def count_one(word: Column) -> Column:
@@ -168,7 +248,7 @@ def bpe_token_count_col(text: Column, merges: list[tuple[str, str]]) -> Column:
         return (n + 1).cast("long")
 
     per_word = F.transform(
-        _tokens(text),
+        _pretokens(text, pretokenize),
         lambda w: F.when(w.contains(SEP), F.lit(1).cast("long")).otherwise(
             count_one(w)
         ),
@@ -243,9 +323,12 @@ class _WordEncoder:
     Equivalence is pinned by test_bpe_batch_property_parity (random
     merge lists vs the literal pass-order reference)."""
 
-    def __init__(self, merges: list[tuple[str, str]]):
+    def __init__(self, merges: list[tuple[str, str]], pretokenize: str = "ws"):
+        if pretokenize not in ("ws", "classes"):
+            raise ValueError("pretokenize must be 'ws' or 'classes'")
         self.merges, unique = _normalize_merges(merges)
         self.fast = unique
+        self.pretokenize = pretokenize
         self.ranks = {pair: i for i, pair in enumerate(self.merges)}
         self._memo: dict[str, list[str]] = {}
 
@@ -292,9 +375,8 @@ class _WordEncoder:
         if text is None:
             return None
         out: list[str] = []
-        for w in text.split(" "):
-            if w:
-                out.extend(self.encode_word(w))
+        for w in _pretok_py(text, self.pretokenize):
+            out.extend(self.encode_word(w))
         return out
 
     def count_text(self, text: str | None) -> int:
@@ -303,9 +385,8 @@ class _WordEncoder:
         if text is None:
             return 0
         n = 0
-        for w in text.split(" "):
-            if w:
-                n += 1 if SEP in w else len(self.encode_word(w))
+        for w in _pretok_py(text, self.pretokenize):
+            n += 1 if SEP in w else len(self.encode_word(w))
         return n
 
 
@@ -315,6 +396,7 @@ def bpe_encode_batch(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """mapInPandas twin of :func:`bpe_encode` for PRODUCTION-size merge
     lists (r10 VERDICT ask #1): the expression path builds one Catalyst
@@ -343,7 +425,7 @@ def bpe_encode_batch(
     )
 
     def encode(batches):
-        enc = _WordEncoder(merges)
+        enc = _WordEncoder(merges, pretokenize)
         for pdf in batches:
             toks = [enc.encode_text(t) for t in pdf[text_col]]
             yield pd.DataFrame(
@@ -367,6 +449,7 @@ def add_bpe_token_counts(
     text_col: str = "text",
     out_col: str = "n_tokens",
     impl: str = "auto",
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """``docs`` + an ``out_col`` BPE token-count column — the certified
     bridge from a learned merge list (``bpe_train`` output rows →
@@ -396,7 +479,10 @@ def add_bpe_token_counts(
         impl = "expr" if len(merges) <= EXPR_MERGE_LIMIT else "batch"
     if impl == "expr":
         return docs.withColumn(
-            out_col, bpe_token_count_col(F.col(text_col), merges)
+            out_col,
+            bpe_token_count_col(
+                F.col(text_col), merges, pretokenize=pretokenize
+            ),
         )
     if impl != "batch":
         raise ValueError("impl must be 'auto', 'expr', or 'batch'")
@@ -417,7 +503,7 @@ def add_bpe_token_counts(
     cols = [f.name for f in out_fields if f.name != out_col]
 
     def count(batches):
-        enc = _WordEncoder(merges)
+        enc = _WordEncoder(merges, pretokenize)
         for pdf in batches:
             out = pdf[cols].copy()
             out[out_col] = pd.array(
@@ -435,6 +521,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     impl: str = "auto",
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """Apply a learned merge list to every document: per word, the same
     separator-encoded replace chain, in rank order — a pure Column
@@ -448,11 +535,11 @@ def bpe_encode(
         impl = "expr" if len(merges) <= EXPR_MERGE_LIMIT else "batch"
     if impl == "batch":
         return bpe_encode_batch(
-            docs, merges, text_col=text_col, id_col=id_col
+            docs, merges, text_col=text_col, id_col=id_col,
+            pretokenize=pretokenize,
         )
     if impl != "expr":
         raise ValueError("impl must be 'auto', 'expr', or 'batch'")
-    from tsatool_app_spark.functions.corpus import _tokens
 
     def encode_one(word: Column) -> Column:
         rep = _encode_word(word)
@@ -466,7 +553,7 @@ def bpe_encode(
 
     toks = F.filter(
         F.transform(
-            _tokens(F.col(text_col)),
+            _pretokens(F.col(text_col), pretokenize),
             lambda w: F.when(w.contains(SEP), F.array(w)).otherwise(encode_one(w)),
         ),
         lambda a: F.size(a) > 0,

@@ -7378,6 +7378,105 @@ FROM p ORDER BY doc_id, copy_idx"""
 QUERIES["epoch_pack"] = DriverQuery(q_epoch_pack, ORACLES["epoch_pack"])
 
 
+#: Pretokenized-BPE driver constants (r11 VERDICT ask #2): 4 punct/digit
+#: merges prepended to the 144 letter merges — 148 total keeps impl='auto'
+#: on the batch path, and the punct merges only ever FIRE when the classes
+#: pretokenizer actually splits '...' / '3.14' runs out of the text.
+_BPE_PRETOK_MERGES = [
+    (".", "."), ("..", "."), ("1", "4"), (";", ";"),
+] + _BPE_BATCH_MERGES
+
+#: The deterministic punctuation/whitespace injector, stated once for both
+#: engines: ' a ' -> ', a...\t' and ' the ' -> '\n3.14 the; '.  Gives the
+#: corpus commas, periods-runs, tabs, newlines, digit runs, and semicolons
+#: — the exact text shapes the single-space split mis-tokenizes.
+def _pretok_inject_spark(text):
+    return F.replace(
+        F.replace(text, F.lit(" a "), F.lit(", a...\t")),
+        F.lit(" the "),
+        F.lit("\n3.14 the; "),
+    )
+
+
+_PRETOK_INJECT_SQL = (
+    "replace(replace(text, ' a ', ', a...' || chr(9)), "
+    "' the ', chr(10) || '3.14 the; ')"
+)
+
+
+def q_bpe_pretok_count(spark, sf_dir):
+    """Classes-pretokenized BPE counting certified cross-engine (r11
+    VERDICT ask #2's 'done' bar): documents get punctuation / tabs /
+    newlines / digit runs injected deterministically, then
+    add_bpe_token_counts runs with pretokenize='classes' over a 148-merge
+    list — past EXPR_MERGE_LIMIT, so impl='auto' takes the mapInPandas
+    batch path whose pretokenizer is the unicodedata-category Python twin
+    — while the DuckDB oracle pretokenizes the SAME injected text with
+    regexp_extract_all on the SAME class pattern (RE2) and replays the
+    SAME merge chain.  A value match pins all three pretokenizer
+    implementations AND the merge machinery over class tokens.  The
+    default ('ws') paths are untouched — bpe_batch_count/encode still
+    certify them."""
+    from tsatool_app_spark.functions.bpe import add_bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pretok_inject_spark(F.col("text")).alias("text")
+    )
+    return (
+        add_bpe_token_counts(docs, _BPE_PRETOK_MERGES, pretokenize="classes")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_pretok_oracle() -> str:
+    """_bpe_batch_oracle with the tok CTE swapped to the injected text +
+    regexp_extract_all class pretokenizer, and the 148-merge chain."""
+    from tsatool_app_spark.functions.bpe import PRETOK_CLASSES_RE
+
+    enc = (
+        "chr(31) || array_to_string(string_split(w, ''), "
+        "chr(31)||chr(31)) || chr(31)"
+    )
+    ctes = [
+        "tok AS (\n  SELECT doc_id,\n"
+        f"         unnest(regexp_extract_all({_PRETOK_INJECT_SQL},"
+        f" '{PRETOK_CLASSES_RE}')) AS w\n  FROM documents\n)",
+        f"enc0 AS (\n  SELECT doc_id, w, {enc} AS rep FROM tok\n)",
+    ]
+    n_chunks = 0
+    for start in range(0, len(_BPE_PRETOK_MERGES), 64):
+        rep = "rep"
+        for left, right in _BPE_PRETOK_MERGES[start : start + 64]:
+            pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
+            new = f"chr(31)||'{left}{right}'||chr(31)"
+            rep = f"replace({rep}, {pat}, {new})"
+        n_chunks += 1
+        ctes.append(
+            f"enc{n_chunks} AS (\n  SELECT doc_id, w, {rep} AS rep "
+            f"FROM enc{n_chunks - 1}\n)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+cnt AS (
+  SELECT doc_id,
+         SUM(CASE WHEN contains(w, chr(31)) THEN 1
+                  ELSE (length(rep) - length(replace(rep, chr(31)||chr(31), ''))) // 2 + 1
+             END) AS nt
+  FROM enc{n_chunks} GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+ORDER BY doc_id"""
+
+
+ORACLES["bpe_pretok_count"] = _bpe_pretok_oracle()
+QUERIES["bpe_pretok_count"] = DriverQuery(
+    q_bpe_pretok_count, ORACLES["bpe_pretok_count"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering — manifest-driven (round 5).
 #
