@@ -20,8 +20,11 @@ would be unmissable:
   equals a fresh batch-mode span_doc_fingerprints over the full corpus;
   replay of an early batch id is still a no-op after ~15 compactions.
 
-Usage: PYTHONPATH=/root/repo python scripts/rehearsal_stream_soak.py [N]
-(N batches per index, default 1000; 5 docs/batch.)
+Usage: PYTHONPATH=/root/repo python scripts/rehearsal_stream_soak.py [N] [kinds]
+(N batches per index, default 1000; kinds = dedup,span | span | dedup.
+REHEARSAL_DOCS_PER_BATCH overrides the 5-docs/batch default — r11 VERDICT
+ask #6 runs the span leg at 1000 docs/batch, the ingest-shaped regime,
+to pin fold wall growth and compaction cost against real state sizes.)
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ import shutil
 import sys
 import time
 
-DOCS_PER_BATCH = 5
+DOCS_PER_BATCH = int(os.environ.get("REHEARSAL_DOCS_PER_BATCH", "5"))
 WORDS = 40
 COMPACT_EVERY = 64
 
@@ -193,11 +196,12 @@ def main() -> None:
     from tsatool_app_spark.session import get_spark
 
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    kinds = tuple(sys.argv[2].split(",")) if len(sys.argv) > 2 else ("dedup", "span")
     spark = get_spark("rehearsal-stream-soak")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     report = {}
-    for kind in ("dedup", "span"):
+    for kind in kinds:
         t = time.time()
         report[kind] = _soak(
             spark, kind, n_batches, f"/root/repo/.scratch/soak_{kind}"
@@ -205,7 +209,8 @@ def main() -> None:
         report[kind]["total_wall_s"] = round(time.time() - t, 1)
         print(kind, "done:", json.dumps(report[kind])[:400])
     report["total_wall_s"] = round(time.time() - t0, 1)
-    with open("/root/repo/.scratch/rehearsal_stream_soak.json", "w") as f:
+    out_name = f"rehearsal_stream_soak_d{DOCS_PER_BATCH}.json" if DOCS_PER_BATCH != 5 else "rehearsal_stream_soak.json"
+    with open(f"/root/repo/.scratch/{out_name}", "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "samples"}
                       if isinstance(v, dict) else v

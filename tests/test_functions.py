@@ -1218,3 +1218,76 @@ def test_explode_epoch_copies_zero_guard(spark):
         for r in explode_epoch_copies(mix).collect()
     }
     assert got == {(2, 0), (2, 1), (5, 0)}
+
+
+def test_temperature_budget_mixture(spark):
+    """Temperature knob degeneracies (r11 VERDICT ask #4) — τ=0 and τ=1
+    are EXACT in IEEE double, so the pins are bit-for-bit:
+
+    - τ=1, total = Σsupply → every source allocated exactly its supply
+      (one full epoch, rem_q 0, n_copies 1 everywhere);
+    - τ=1, total < Σsupply → per-source budgets proportional; keep-set
+      equals token_budget_mixture's at the same budgets;
+    - τ=0 → uniform split: budget = total div n_sources per source;
+    - zero-supply sources drop."""
+    from tsatool_app_spark.functions.sampling import (
+        temperature_budget_mixture,
+        token_budget_mixture,
+    )
+
+    # supplies 10k / 20k / 40k chars: exact under weight_scale=1e6
+    rows = []
+    for i in range(100):
+        rows.append((i, "a" * 100, "s0"))
+    for i in range(100, 300):
+        rows.append((i, "a" * 100, "s1"))
+    for i in range(300, 700):
+        rows.append((i, "a" * 100, "s2"))
+    rows.append((999, None, "s3"))  # NULL supply -> dropped
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    # τ=1, budget = full supply
+    out = temperature_budget_mixture(docs, 70_000, 1.0).collect()
+    assert {r["source"] for r in out} == {"s0", "s1", "s2"}
+    assert all(r["n_copies"] == 1 and r["rem_q"] == 0 for r in out)
+    assert len(out) == 700
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    budgets = {r["source"]: r["budget"] for r in out}
+    assert budgets == {"s0": 10_000, "s1": 20_000, "s2": 40_000}
+
+    # τ=1, budget = half supply: proportional down-sample, keep-set
+    # equals token_budget_mixture at the allocated budgets
+    half = temperature_budget_mixture(docs, 35_000, 1.0)
+    hrows = half.collect()
+    hbud = {r["source"]: r["budget"] for r in hrows}
+    assert hbud == {"s0": 5_000, "s1": 10_000, "s2": 20_000}
+    assert all(r["n_copies"] == 1 for r in hrows)
+    down = token_budget_mixture(docs, hbud)
+    assert {(r["doc_id"]) for r in hrows} == {
+        r["doc_id"] for r in down.collect()
+    }
+
+    # τ=0: uniform split across the 3 supplied sources
+    uni = temperature_budget_mixture(docs, 90_000, 0.0).collect()
+    ubud = {r["source"]: r["budget"] for r in uni}
+    assert ubud == {"s0": 30_000, "s1": 30_000, "s2": 30_000}
+    # s0 upsamples 3x exactly; s1 1.5x; s2 0.75x
+    s0 = [r for r in uni if r["source"] == "s0"]
+    assert all(r["n_copies"] == 3 and r["rem_q"] == 0 for r in s0)
+    s1 = [r for r in uni if r["source"] == "s1"]
+    assert all(r["rem_q"] == 5000 for r in s1)
+    assert {r["n_copies"] for r in s1} == {1, 2}
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_budget_mixture(docs, -1, 1.0)
+    with _pytest.raises(ValueError):
+        temperature_budget_mixture(docs, 10, -0.1)
+    with _pytest.raises(ValueError):
+        temperature_budget_mixture(docs.withColumn("budget", F.lit(1)), 10, 1.0)

@@ -940,3 +940,70 @@ def test_video_fingerprint_zero_frames_null(spark):
     got = {r["media_id"]: r["vfp"] for r in sigs.collect()}
     assert got == {1: None, 2: None}
     assert video_near_dup_pairs(sigs).count() == 0
+
+
+def test_interframe_quarantine_without_pyav(spark):
+    """Without pyav (this container), non-RIFF/non-TSTV video bytes must
+    still raise the quarantine NotImplementedError through both the
+    frame-sampling and fingerprint paths."""
+    import pytest
+
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("pyav present; quarantine branch not reachable")
+    from tsatool_app_spark.functions.multimodal import (
+        sample_video_frames,
+        video_fingerprint,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x18ftypisom fake-mp4 bytes"))],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg/pyav"):
+        sample_video_frames(media, 1).collect()
+    with pytest.raises(Exception, match="ffmpeg/pyav"):
+        video_fingerprint(media).collect()
+
+
+def test_interframe_pyav_fingerprint():
+    """SKIPPED where pyav is absent: an h264 mp4 round-trips through the
+    gated decode and fingerprints deterministically (two identical
+    encodes -> equal vfp inputs)."""
+    import pytest
+
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from tsatool_app_spark.functions.multimodal import (
+        _dhash_value, _interframe_lumas, _majority_bits,
+    )
+
+    def encode_h264(frames):
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream("h264", rate=25)
+            stream.width, stream.height = frames[0].shape[1], frames[0].shape[0]
+            stream.pix_fmt = "yuv420p"
+            for arr in frames:
+                frame = av.VideoFrame.from_ndarray(arr, format="gray")
+                container.mux(stream.encode(frame))
+            container.mux(stream.encode())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(32, 32), dtype=np.uint8) for _ in range(5)
+    ]
+    clip = encode_h264(frames)
+    lumas_a = _interframe_lumas(clip, 1)
+    lumas_b = _interframe_lumas(encode_h264(frames), 1)
+    assert len(lumas_a) == 5
+    fp_a = _majority_bits([_dhash_value(x, 8) for x in lumas_a])
+    fp_b = _majority_bits([_dhash_value(x, 8) for x in lumas_b])
+    assert fp_a == fp_b

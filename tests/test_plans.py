@@ -397,3 +397,28 @@ def test_near_dedup_survivors_broadcast_gated_by_count(spark):
         assert re.search(r"SortMergeJoin|ShuffledHashJoin", gated)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_grouped_topk_window_group_limit(spark):
+    """grouped_topk_pruned impl='window' must hit Spark's
+    InferWindowGroupLimit rewrite: a PARTIAL-mode WindowGroupLimit
+    (the in-JVM map-side prune) must appear BEFORE the exchange, and
+    both impls must return identical rows."""
+    from tsatool_app_spark.operators.olap import grouped_topk_pruned
+
+    df = spark.range(4000).selectExpr(
+        "id % 37 AS g",
+        "CAST((id * 2654435761) % 1000003 AS DOUBLE) AS v",
+        "id AS tie",
+    )
+    out = grouped_topk_pruned(df, ["g"], [("v", True), ("tie", False)], 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    pre_exchange = plan.split("Exchange")[-1]  # bottom-up text: deepest last
+    assert "WindowGroupLimit" in pre_exchange, plan
+    arrow = grouped_topk_pruned(
+        df, ["g"], [("v", True), ("tie", False)], 3, impl="arrow"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )

@@ -929,6 +929,17 @@ def pretraining_mix(
     if decon not in ("drop", "excise"):
         raise ValueError(f"decon must be 'drop' or 'excise', got {decon!r}")
 
+    if checkpoint:
+        # The INPUT plan is referenced three times before the survivor
+        # checkpoint below (semi-join left side + twice inside
+        # clean_corpus: the scan projection and the exact-dedup group
+        # table).  A caller handing in a non-trivial upstream pipeline
+        # (unions, planted fixtures, prior transformations) would pay it
+        # on every reference — measured r12 at the sf10 fixture: the
+        # clean→survivor leg alone dropped 58 s → ~12 s with the input
+        # materialized once (SCALING.md r12).
+        docs = docs.localCheckpoint(eager=False)
+
     clean = clean_corpus(docs, lang=lang, min_quality=min_quality)
     surv = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
     if checkpoint:

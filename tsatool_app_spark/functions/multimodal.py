@@ -734,6 +734,41 @@ def pack_fake_video(width: int, height: int, n_frames: int) -> bytes:
     return _struct.pack(">4sIII", _FAKE_VIDEO_MAGIC, width, height, n_frames) + frames
 
 
+def _interframe_lumas(buf: bytes, every_nth: int) -> list:
+    """Import-gated pyav/ffmpeg decode for inter-frame codecs (h264 /
+    vp9 / av1 — r11 VERDICT stretch #7, mirroring the PIL image gate):
+    every ``every_nth``-th decoded frame as a float64 grayscale array,
+    ready for :func:`_dhash_value`.  When pyav is absent (this
+    container) the NotImplementedError quarantine contract is unchanged;
+    environments with pyav certify inter-frame containers immediately
+    through the same majority-vote fingerprint path
+    (tests/test_multimodal.py::test_interframe_pyav_* skip when
+    absent)."""
+    try:
+        import av  # optional — not in this container
+    except ImportError:
+        raise NotImplementedError(
+            "inter-frame video codecs require ffmpeg/pyav (absent in this "
+            "container); MJPEG-AVI and the TSTV test container decode "
+            "natively"
+        ) from None
+    import io
+
+    import numpy as _np
+
+    out = []
+    with av.open(io.BytesIO(buf)) as container:
+        if not container.streams.video:
+            return out
+        stream = container.streams.video[0]
+        for f, frame in enumerate(container.decode(stream)):
+            if f % every_nth == 0:
+                out.append(
+                    frame.to_ndarray(format="gray").astype(_np.float64)
+                )
+    return out
+
+
 def sample_video_frames(
     media: DataFrame,
     every_nth: int,
@@ -764,6 +799,8 @@ def sample_video_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
 
+        import numpy as _np
+
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
@@ -779,11 +816,19 @@ def sample_video_frames(
                             rows.append((mid, f, jpg))
                     continue
                 if buf[:4] != _FAKE_VIDEO_MAGIC:
-                    raise NotImplementedError(
-                        "inter-frame video codecs require ffmpeg/pyav "
-                        "(absent in this container); MJPEG-AVI and the TSTV "
-                        "test container decode natively"
-                    )
+                    # inter-frame codecs: gated pyav decode (raises the
+                    # quarantine NotImplementedError when pyav is absent);
+                    # sampled frames re-encode as PNG so downstream image
+                    # kernels (decode_image_batch) handle them natively
+                    from tsatool_app_spark.sinks_png import encode_png
+
+                    for f, luma in enumerate(
+                        _interframe_lumas(buf, every_nth)
+                    ):
+                        gray = _np.clip(luma, 0, 255).astype(_np.uint8)
+                        rgb = _np.stack([gray, gray, gray], axis=-1)
+                        rows.append((mid, f * every_nth, encode_png(rgb)))
+                    continue
                 _, w, h, n = _struct.unpack_from(">4sIII", buf, 0)
                 fsize = w * h
                 for f in range(0, n, every_nth):
@@ -984,11 +1029,12 @@ def video_fingerprint(
                 ).reshape(h, w).astype(_np.float64)
                 out.append(_dhash_value(luma, grid))
             return out
-        raise NotImplementedError(
-            "inter-frame video codecs require ffmpeg/pyav (absent in this "
-            "container); MJPEG-AVI and the TSTV test container decode "
-            "natively"
-        )
+        # inter-frame codecs: gated pyav decode (raises the quarantine
+        # NotImplementedError when pyav is absent)
+        return [
+            _dhash_value(luma, grid)
+            for luma in _interframe_lumas(buf, every_nth)
+        ]
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -294,6 +294,110 @@ def epoch_budget_mixture(
     return joined.where(F.col("n_copies") > 0).drop("_full")
 
 
+def temperature_budget_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    tau: float,
+    *,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the standard multilingual /
+    pretraining re-balancing knob (p_i ∝ n_i^τ, XLM/mBERT style): split
+    ONE total token budget across sources by their supply raised to
+    temperature ``tau``, then apply the epoch machinery per source.
+
+    τ = 1 is proportional-to-supply (every source sampled at the same
+    rate); τ → 0 is a uniform split (small sources upsampled hard);
+    intermediate τ (the usual 0.3–0.7) damps the head without drowning
+    the tail.  Both degeneracies are exact and pytest-pinned: pow(a, 1.0)
+    and pow(a, 0.0) are exact in IEEE double, so τ=1 reproduces
+    proportional integer budgets and τ=0 reproduces ``total_budget div
+    n_sources`` bit-for-bit.
+
+    Arithmetic contract (cross-engine exactness): everything is integer
+    except ONE double pow per SOURCE —
+
+        w_q(i)  = floor(pow(avail_i, τ) * weight_scale / pow(max_avail, τ))
+        b_i     = total_budget * w_q(i) div Σ_j w_q(j)
+        full_i  = b_i div avail_i
+        rem_q(i)= (b_i mod avail_i) * buckets div avail_i
+        n_copies(doc) = full_i + (hash_bucket(id) < rem_q(i) ? 1 : 0)
+
+    The float appears per-source, never per-row, and is quantized
+    through one floor — the form r11 VERDICT ask #4 prescribes; a DuckDB
+    oracle states the IDENTICAL expression text so both engines evaluate
+    the same IEEE operations in the same order.  Sources with zero/NULL
+    measurable supply get weight 0 and drop (there is nothing to
+    upsample — unlike :func:`epoch_budget_mixture`, no explicit budget
+    names them, so silently keeping them would inflate the mix).
+
+    Output: input columns + ``budget`` (the allocated b_i), ``rem_q``,
+    ``n_copies`` (≥ 1).  Plan shape at 100 TB: one map-side-combined
+    aggregate over |sources| groups, two tiny one-row broadcasts (max
+    weight, weight sum), a broadcast plan join back, then a scan-speed
+    projection — the corpus is scanned once and never shuffled here."""
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if tau < 0:
+        raise ValueError("tau must be >= 0 (0 = uniform, 1 = proportional)")
+    bad = {"budget", "rem_q", "n_copies", "_avail", "_full", "_wq"} & set(
+        docs.columns
+    )
+    if bad:
+        raise ValueError(f"docs already has columns {sorted(bad)}; rename")
+    t = F.lit(float(tau))
+    avail = (
+        docs.groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("long").alias("_avail"))
+        .where(F.coalesce(F.col("_avail"), F.lit(0)) > 0)
+    )
+    mx = avail.agg(F.max("_avail").alias("_max"))
+    weighted = avail.crossJoin(F.broadcast(mx)).select(
+        source_col,
+        "_avail",
+        F.floor(
+            F.pow(F.col("_avail"), t)
+            * F.lit(int(weight_scale))
+            / F.pow(F.col("_max"), t)
+        )
+        .cast("long")
+        .alias("_wq"),
+    )
+    tot = weighted.agg(F.sum("_wq").alias("_wsum"))
+    plan = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "_avail",
+            F.expr(f"CAST({int(total_budget)} AS BIGINT) * _wq div _wsum")
+            .cast("long")
+            .alias("budget"),
+        )
+        .select(
+            source_col,
+            "budget",
+            F.expr("budget div _avail").cast("long").alias("_full"),
+            F.expr(f"((budget % _avail) * {buckets}) div _avail")
+            .cast("long")
+            .alias("rem_q"),
+        )
+    )
+    joined = docs.join(F.broadcast(plan), source_col).withColumn(
+        "n_copies",
+        (
+            F.col("_full")
+            + F.when(
+                hash_bucket(F.col(id_col), buckets) < F.col("rem_q"), 1
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    return joined.where(F.col("n_copies") > 0).drop("_full")
+
+
 def explode_epoch_copies(
     mix: DataFrame,
     *,

@@ -4514,7 +4514,11 @@ def q_min_cost_supplier(spark, sf_dir):
     The correlated scalar subquery becomes ONE window rank over the
     per-part cost list — no re-scan per part; dims (part, supplier,
     nation, region) all broadcast; the single shuffle is the groupBy on
-    (l_partkey, l_suppkey)."""
+    (l_partkey, l_suppkey) — taken AFTER the broadcast dim joins, so it
+    carries only the ~2 % of lineitem touching a qualifying part and a
+    EUROPE supplier instead of the fact table (min per group commutes
+    with the dim filters: they select GROUPS, not rows within a group).
+    Measured r12 at sf10 (60 M lineitem): 7.6 s → 3.4 s (SCALING.md)."""
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
@@ -4525,19 +4529,20 @@ def q_min_cost_supplier(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
 
-    cost = (
-        l.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
-    )
     eu_sup = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+    cost = (
+        l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("cost"))
+    )
     w = Window.partitionBy("p_partkey").orderBy("cost", "s_suppkey")
     return (
-        cost.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        cost.withColumn("s_suppkey", F.col("l_suppkey"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select(
@@ -7474,6 +7479,158 @@ ORDER BY doc_id"""
 ORACLES["bpe_pretok_count"] = _bpe_pretok_oracle()
 QUERIES["bpe_pretok_count"] = DriverQuery(
     q_bpe_pretok_count, ORACLES["bpe_pretok_count"]
+)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture (functions/sampling.
+    temperature_budget_mixture, r11 VERDICT ask #4): one total budget
+    split across sources by supply^τ (τ=0.5 — between the XLM α=0.3 and
+    proportional), then the epoch machinery per source.  All-integer
+    except ONE pow per source, quantized through one floor at
+    weight_scale=1e6; the oracle recomputes the ENTIRE allocation from
+    live supply with the identical expression text (same IEEE op order),
+    so every tier certifies the arithmetic — the τ=0/τ=1 exact
+    degeneracies and the zero-supply drop are pytest-pinned
+    (test_temperature_budget_mixture)."""
+    from tsatool_app_spark.functions.sampling import (
+        temperature_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    mix = temperature_budget_mixture(docs, 60_000, 0.5)
+    return mix.select(
+        "doc_id", "source", "budget", "rem_q", "n_copies"
+    ).orderBy("doc_id")
+
+
+ORACLES["temperature_mixture"] = """
+WITH counted AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nt FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS a FROM counted GROUP BY source
+  HAVING CAST(SUM(nt) AS BIGINT) > 0
+),
+mx AS (SELECT MAX(a) AS amax FROM avail),
+weighted AS (
+  SELECT source, a,
+         CAST(floor(pow(a, 0.5) * 1000000 / pow(amax, 0.5)) AS BIGINT) AS wq
+  FROM avail, mx
+),
+tot AS (SELECT SUM(wq) AS wsum FROM weighted),
+plan AS (
+  SELECT source, a,
+         CAST(CAST(60000 AS BIGINT) * wq // wsum AS BIGINT) AS budget
+  FROM weighted, tot
+),
+p2 AS (
+  SELECT source, budget, budget // a AS fullep,
+         CAST((budget % a) * 10000 // a AS BIGINT) AS rem_q
+  FROM plan
+),
+copies AS (
+  SELECT c.doc_id, c.source, p.budget, p.rem_q,
+         CAST(p.fullep
+              + CASE WHEN ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))::INT
+                          % 10000 < p.rem_q
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM counted c JOIN p2 p USING (source)
+)
+SELECT doc_id, source, budget, rem_q, n_copies
+FROM copies WHERE n_copies > 0
+ORDER BY doc_id"""
+
+QUERIES["temperature_mixture"] = DriverQuery(
+    q_temperature_mixture, ORACLES["temperature_mixture"]
+)
+
+
+def q_image_near_dup_survivors(spark, sf_dir):
+    """Media near-dup composed INTO the survivor machinery (r11 VERDICT
+    ask #5): the text family certifies pairs → connected_components →
+    near_dedup_survivors end-to-end, but the media family previously
+    stopped at pairs.  Same fixture as image_near_dup_pairs (md5-rendered
+    corpus images for doc_id % 7 == 3, exact-dup composites
+    9000205/9000206 of the lowest doc, planted constructed-distance trio
+    9000201/9000202/9000203 at pairwise Hamming 1/2/3), then the REAL
+    closure: pairs → pointer-jumping components → min-id survivor per
+    cluster, counted-broadcast anti-join.  Generating truth makes
+    survivors exactly predictable: per md5(text) cluster the min doc_id
+    survives (so 9000205/9000206 drop in favor of the lowest base doc),
+    and the multi-transform planted cluster — three DIFFERENT images
+    linked only through Hamming-distance edges — collapses to
+    9000201."""
+    from tsatool_app_spark.functions.dedup import near_dedup_survivors
+    from tsatool_app_spark.functions.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        render_text_images,
+        synthetic_dhash_image,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text")
+    )
+    lo = base.orderBy("doc_id").limit(1)
+    docs = base.unionByName(
+        lo.select(F.lit(9_000_205).cast("long").alias("doc_id"), "text")
+    ).unionByName(
+        lo.select(F.lit(9_000_206).cast("long").alias("doc_id"), "text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (9_000_201, bytearray(synthetic_dhash_image())),
+            (9_000_202, bytearray(synthetic_dhash_image((0,)))),
+            (9_000_203, bytearray(synthetic_dhash_image((62, 63)))),
+        ],
+        "doc_id long, content binary",
+    )
+    media = render_text_images(docs).unionByName(planted)
+    sigs = image_dhash(media, id_col="doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash")
+    capped = (
+        sigs.withColumn("_gsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_gsz") <= 256)
+        .drop("_gsz")
+    )
+    pairs = image_near_dup_pairs(capped, id_col="doc_id")
+    return near_dedup_survivors(
+        capped.select("doc_id"), pairs, id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+ORACLES["image_near_dup_survivors"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+),
+lo AS (SELECT text FROM base ORDER BY doc_id LIMIT 1),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT 9000205, text FROM lo
+  UNION ALL SELECT 9000206, text FROM lo
+),
+capped AS (
+  SELECT doc_id, md5(text) AS h FROM corpus
+  QUALIFY count(*) OVER (PARTITION BY md5(text)) <= 256
+),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS rep FROM capped
+  ) WHERE doc_id = rep
+)
+SELECT doc_id FROM keep
+UNION ALL SELECT CAST(9000201 AS BIGINT)
+ORDER BY doc_id"""
+
+QUERIES["image_near_dup_survivors"] = DriverQuery(
+    q_image_near_dup_survivors, ORACLES["image_near_dup_survivors"]
 )
 
 
