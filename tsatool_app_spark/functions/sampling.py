@@ -316,7 +316,10 @@ def temperature_budget_mixture(
     the tail.  Both degeneracies are exact and pytest-pinned: pow(a, 1.0)
     and pow(a, 0.0) are exact in IEEE double, so τ=1 reproduces
     proportional integer budgets and τ=0 reproduces ``total_budget div
-    n_sources`` bit-for-bit.
+    n_sources`` bit-for-bit.  (The τ=1 exactness additionally needs
+    ``avail * weight_scale`` < 2⁵³ — supplies past ~9e9 tokens/source at
+    the default scale pick up a deterministic ±1-in-weight_scale
+    quantization, identical in both engines.)
 
     Arithmetic contract (cross-engine exactness): everything is integer
     except ONE double pow per SOURCE —
