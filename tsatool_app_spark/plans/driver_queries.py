@@ -4381,16 +4381,22 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
+def _bpe_oracle_sql(n_merges: int = 6, tok_sql: str | None = None) -> str:
     """Generated from the SAME recurrence as functions/bpe.bpe_train: pair
     counts weighted by word freq, argmax with (count desc, left, right)
-    tie-break, separator-encoded replace."""
+    tie-break, separator-encoded replace.  ``tok_sql`` overrides the
+    word-extraction expression (default: the single-space split, byte-
+    identical to the certified bpe_merges oracle); bpe_pretok_merges
+    passes the regexp_extract_all class pretokenizer over injected
+    text."""
     s1 = "chr(31)"
     s2 = "chr(31) || chr(31)"
+    if tok_sql is None:
+        tok_sql = "unnest(list_filter(string_split(text, ' '), x -> x <> ''))"
     head = f"""
 WITH vocab AS (
   SELECT word, count(*) AS freq FROM (
-    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    SELECT {tok_sql} AS word
     FROM documents
   ) WHERE NOT contains(word, chr(31))
   GROUP BY word
@@ -7631,6 +7637,49 @@ ORDER BY doc_id"""
 
 QUERIES["image_near_dup_survivors"] = DriverQuery(
     q_image_near_dup_survivors, ORACLES["image_near_dup_survivors"]
+)
+
+
+def q_bpe_pretok_merges(spark, sf_dir):
+    """BPE TRAINING over the classes-pretokenized vocabulary — closes the
+    pretokenized true-token story end to end (vocab → merges; the count
+    side is bpe_pretok_count): the same punctuation/tab/digit injection,
+    plus 'e ' → 'e. ' (every e-final word grows a glued period), then 6
+    training rounds.  The extra injection makes the row STRONGLY
+    discriminating — letter-letter adjacencies are invariant under class
+    splitting (classes only cuts at class boundaries), so without it the
+    first 20 merges were measured IDENTICAL between the two
+    pretokenizers; with it, ('e', '.') lands at ws rank 2 (count 3456 at
+    sf0.01) while under classes the period detaches and the pair never
+    exists, so a silent fallback to the space split flips every merge
+    from rank 2 on.  The oracle re-derives every argmax from a
+    regexp_extract_all vocab with the identical recurrence (same
+    tie-break, same separator replace), pinning the pretokenizer ACROSS
+    the training path, not just encoding."""
+    from tsatool_app_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            _pretok_inject_spark(F.col("text")), F.lit("e "), F.lit("e. ")
+        ).alias("text"),
+    )
+    return bpe_train(docs, n_merges=6, pretokenize="classes")
+
+
+def _bpe_pretok_merges_oracle() -> str:
+    from tsatool_app_spark.functions.bpe import PRETOK_CLASSES_RE
+
+    tok = (
+        f"unnest(regexp_extract_all(replace({_PRETOK_INJECT_SQL},"
+        f" 'e ', 'e. '), '{PRETOK_CLASSES_RE}'))"
+    )
+    return _bpe_oracle_sql(6, tok_sql=tok)
+
+
+ORACLES["bpe_pretok_merges"] = _bpe_pretok_merges_oracle()
+QUERIES["bpe_pretok_merges"] = DriverQuery(
+    q_bpe_pretok_merges, ORACLES["bpe_pretok_merges"]
 )
 
 
