@@ -35,6 +35,7 @@ def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str
 
     from tsatool_app_spark.model import TESTDATA_TABLES
 
+    mem_limit = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
     out: dict[str, float] = {}
     for name, sql in oracles.items():
         best = None
@@ -43,29 +44,44 @@ def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str
             # window between fetchall() returning and timer.cancel(), and a
             # poisoned connection would corrupt the NEXT measurement (the
             # r2 timer race).  Views over parquet are metadata-only, so the
-            # per-repeat setup cost is negligible.
-            con = duckdb.connect()
-            for t in TESTDATA_TABLES:
-                # driver testdata is one file per table; generated tiers
-                # (scripts/gen_sf1.py) are directories of part files
-                p = f"{sf_dir}/{t}.parquet"
-                src = f"{p}/*.parquet" if os.path.isdir(p) else p
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
-                )
-            timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
-            timer.start()
+            # per-repeat setup cost is negligible.  The whole repeat —
+            # INCLUDING connect/view setup — sits in one try: an oracle
+            # that OOMs (r12: a clone-dense near-dup replay at sf10 blew
+            # DuckDB's allocator and killed the board AFTER the Spark
+            # phase, losing every timing) records -1 for ITS row instead
+            # of aborting the run, and the per-connection memory_limit
+            # keeps one oracle from taking the process down.
+            timer = None
+            con = None
             t0 = time.time()
             try:
+                con = duckdb.connect()
+                con.execute(f"SET memory_limit='{mem_limit}'")
+                for t in TESTDATA_TABLES:
+                    # driver testdata is one file per table; generated
+                    # tiers (scripts/gen_sf1.py) are directories of parts
+                    p = f"{sf_dir}/{t}.parquet"
+                    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+                    )
+                timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
+                timer.start()
+                t0 = time.time()
                 con.sql(sql).fetchall()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            except Exception:  # interrupted (budget) or oracle error
+            except Exception:  # interrupted (budget), OOM, or oracle error
                 # Keep an earlier successful timing rather than forcing -1.
                 break
             finally:
-                timer.cancel()
-                con.close()
+                if timer is not None:
+                    timer.cancel()
+                if con is not None:
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
         out[name] = round(best, 3) if best is not None else -1.0
     return out
 
