@@ -208,20 +208,24 @@ def tfidf_topk(
 
     Scale: identical to keyword_search — only query-term matches leave the
     scan; the df table is one row per query term (broadcast); one
-    groupBy(doc) + TakeOrdered top-k.
+    groupBy(doc) + TakeOrdered top-k.  The corpus is exploded ONCE: df
+    derives from the tf table (df(t) = rows with term t — tf already has
+    one row per (doc, term)), so the token generate+filter runs a single
+    pass instead of once per consumer (r12: the double-explode cost 2× the
+    scan at sf10, measured in the extended board).
     """
     m = _matches(docs, terms, text_col, id_col)
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    tf = m.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = (
-        m.groupBy("term")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             F.floor(F.lit(idf_scale) * F.col("n") / F.col("df")).alias("idf_q"),
         )
     )
-    tf = m.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     scored = (
         tf.join(F.broadcast(df_tbl), "term")
         .groupBy(id_col)

@@ -95,22 +95,36 @@ def lang_pred_col(t: Column) -> Column:
     earlier language, matching the original when-chain and the oracle."""
     scores = _lang_scores(t)
     n = len(scores)
-    entries = F.array(
-        *[
-            F.struct(
-                score.alias("s"), F.lit(n - i).alias("prio"), F.lit(lang).alias("l")
-            )
-            for i, (lang, score) in enumerate(scores.items())
-        ]
+    # The lexicographic (score, priority) argmax is PACKED into one
+    # BIGINT per language — score·8 + prio, prio < 8 — and taken with
+    # ``greatest``; 'und' rides in as the constant ``n + 1`` (score 0,
+    # priority above every real language, so it wins exactly when all
+    # scores are 0).  The r4–r11 form built (s, prio, l) structs and
+    # array_max'd them: struct construction + the interpreted struct
+    # ORDERING inside array_max cost ~30 µs/row even inside a codegen
+    # stage — measured r12 at sf10 (500k docs): the bare lang filter ran
+    # 19.4 s with struct array_max vs ~4 s as packed greatest, with the
+    # 16 marker counts themselves only ~3.6 s of that (SCALING.md r12).
+    # NULL text → NULL scores → greatest skips NULLs → 'und' (the old
+    # struct form decayed to 'en' on NULL; no tier carries NULL text and
+    # no oracle pins it — 'und' is the sane edge).
+    packed = [
+        score * 8 + F.lit(n - i)
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.greatest(*packed, F.lit(n + 1).cast("long"))
+    # prio → language lookup (1-indexed): prio i+1 is the (n-1-i)-th
+    # marker-dict language; prio n+1 is 'und'
+    langs = list(scores)
+    lookup = F.array(
+        *[F.lit(lang) for lang in reversed(langs)], F.lit("und")
     )
-    best = F.array_max(entries)  # struct compare: score, then priority
     # non-ASCII ratio: chars whose codepoint > 127 (CJK detection)
     ascii_stripped = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
     nonascii_ratio = ascii_stripped / F.greatest(F.length(t), F.lit(1))
     return (
         F.when(nonascii_ratio > 0.3, F.lit("zh"))  # CJK check first: no ASCII stopwords
-        .when(best["s"] == 0, F.lit("und"))
-        .otherwise(best["l"])
+        .otherwise(F.element_at(lookup, F.pmod(best, F.lit(8)).cast("int")))
     )
 
 

@@ -5834,6 +5834,40 @@ QUERIES["span_decontaminate"] = DriverQuery(
 )
 
 
+def q_span_decontaminate_arrow(spark, sf_dir):
+    """span_decontaminate's PRODUCTION twin (the dup_spans /
+    dup_spans_arrow pattern, r12): identical fixture and output, but the
+    per-position window hashing runs through the mapInPandas/hashlib
+    arrow path instead of the oracle-mirrored Column-expression chain —
+    Catalyst higher-order-function lambdas are interpreted (~14 µs per
+    element, r8 measurement), so at the sf10 extended board the sql row
+    pays 8.0 s where this path is the one a pipeline should call.  Rows
+    byte-identical to the sql impl by
+    test_span_fingerprints_impls_identical; the oracle string is the
+    same literal SQL."""
+    from tsatool_app_spark.functions.spans import span_contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    lowest = bench.orderBy("doc_id").limit(1)
+    planted = lowest.select(
+        F.lit(9_000_003).cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("Z "), F.substring("text", 11, 160), F.lit(" novel-tail-abc")
+        ).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") % 10 == 0).unionByName(planted)
+    return span_contamination_hits(train, bench, impl="arrow").orderBy(
+        "doc_id"
+    )
+
+
+ORACLES["span_decontaminate_arrow"] = ORACLES["span_decontaminate"]
+QUERIES["span_decontaminate_arrow"] = DriverQuery(
+    q_span_decontaminate_arrow, ORACLES["span_decontaminate_arrow"]
+)
+
+
 def q_pretraining_mix(spark, sf_dir):
     """The WHOLE pretraining pipeline as ONE certified artifact (r8
     VERDICT ask #7, functions/corpus.pretraining_mix): clean →
