@@ -338,16 +338,26 @@ def q_pricing_summary(spark, sf_dir):
 
 def q_revenue_by_nation(spark, sf_dir):
     """Star join orders→customer→nation→region with broadcast dims
-    (J2/J3-class): revenue per ASIA nation."""
+    (J2/J3-class): revenue per ASIA nation.
+
+    r12 (guide §3.1): the ASIA filter folds region→nation→customer BEFORE
+    the fact join, so orders probe ONE broadcast table holding ~1/5 of
+    customers instead of three full-size ones with the region filter
+    applied last.  Inner joins + a filter that only references the dim
+    side — identical result."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    asia_n = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cn = c.join(F.broadcast(asia_n), c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", "n_name"
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .where(F.col("r_name") == "ASIA")
+        o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
         .groupBy("n_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1108,13 +1118,26 @@ def q_order_priority_check(spark, sf_dir):
 
 def q_customer_distribution(spark, sf_dir):
     """Left-outer + double aggregate (TPC-H Q13 shape): distribution of
-    per-customer order counts including zero-order customers."""
+    per-customer order counts including zero-order customers.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): orders are counted
+    per custkey FIRST — a map-side-combined aggregate whose exchange
+    carries one (key, count) partial per group — and the count table
+    (≤|customer| rows) joins customer left-outer with COALESCE(…, 0) for
+    the zero-order tail.  The r11 shape broadcast the full 1.5M-row
+    orders projection and re-aggregated the 1.5M-row JOIN OUTPUT by
+    custkey; identical result (o_orderkey is the orders PK — never NULL —
+    so count(o_orderkey) per customer ≡ the pre-join group count, and
+    unmatched customers get 0 either way)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    ocnt = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.select("c_custkey")
+        .join(ocnt, "c_custkey", "left_outer")
+        .select(F.coalesce(F.col("n_ord"), F.lit(0).cast("long")).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
@@ -1126,20 +1149,30 @@ def q_customer_distribution(spark, sf_dir):
 def q_small_qty_revenue(spark, sf_dir):
     """Correlated-average join (TPC-H Q17 shape): revenue of Brand#1 lines
     below 20% of their part's mean quantity. The per-part mean is an exact
-    decimal-sum/count (order-independent, hence engine-identical), and the
-    aggregated per-part side is tiny — AQE broadcasts it back onto the
-    lineitem scan, so the big table is never shuffled twice."""
+    decimal-sum/count (order-independent, hence engine-identical).
+
+    r12 (guide §2.3/§2.4): ONE pass — lineitem probes the broadcast
+    Brand#1 part list first (drops ~96% of fact rows), and the per-part
+    mean is a window over the surviving rows' single partkey exchange,
+    replacing the r11 shape's FULL-table aggregate (a ~200k-group shuffle
+    whose partial aggregation barely shrank it) plus a 200k-row broadcast
+    build.  Identical result: every line of a part carries that part's
+    brand, so the per-part mean over the Brand#1 subset equals the mean
+    over the full table for every part that survives the join, and the
+    window's sum/count are the same exact decimal/long the aggregate
+    produced."""
+    from pyspark.sql import Window
+
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(per_part, l.l_partkey == per_part.a_partkey)
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == p.p_partkey)
+        .withColumn(
+            "avg_qty",
+            F.sum(F.col("l_quantity").cast("decimal(20,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (
@@ -3025,28 +3058,46 @@ def _revenue_col():
 
 def q_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    year.  Plan: big fact joins (lineitem⋈orders on orderkey) shuffle once;
-    all four dimension sides (supplier, customer, nation×2) broadcast, and
-    the nation-pair filter prunes to 2/625 pairs before the aggregate."""
+    year.  Join order prunes EARLY (r12, guide §3.1/§2.3): the nation dims
+    are pre-filtered to the two traded nations and folded into supplier /
+    customer / orders first, so ~92% of lineitem drops at its FIRST
+    broadcast probe and the orders build side shrinks ~12× before it is
+    hashed — the r11 shape streamed every fact row through five full-size
+    hash tables (full 1.5M-row orders broadcast included) and pruned only
+    at the last two joins.  The nation-pair disjunction stays on top (it
+    restricts the CROSS pairs); the per-side memberships it implies are
+    what the pre-filters apply, so the result set is identical."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    nations = ("NATION_1", "NATION_2")
     n1 = n.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
-    )
+    ).where(F.col("supp_nation").isin(*nations))
     n2 = n.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(*nations))
+    sn = (
+        s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cn = (
+        c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    on = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey).select(
+        "o_orderkey", "cust_nation"
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        # `on` is ~8% of orders: small enough to auto-broadcast at the
+        # bench tiers, unbounded at 100 TB — no hint, the planner/AQE
+        # picks from its measured size (guide §3.1)
+        .join(on, li.l_orderkey == on.o_orderkey)
         .where(pair | rpair)
         .groupBy(
             "supp_nation",
@@ -3062,7 +3113,15 @@ def q_market_share(spark, sf_dir):
     """TPC-H Q8 shape: NATION_5 suppliers' share of PROMO-part revenue in
     the ASIA customer market, per order year.  The share is a conditional
     ratio over one aggregate (no self-join); numerator and denominator both
-    decimal-exact, one final float division."""
+    decimal-exact, one final float division.
+
+    Join order prunes EARLY (r12, guide §3.1/§2.3): lineitem probes the
+    PROMO-filtered part dim FIRST (drops ~4/5 of fact rows at the first
+    hash table), the ASIA filter is folded into customer→orders before the
+    orderkey join (the r11 shape broadcast the FULL 1.5M-row orders and
+    applied the region filter after all seven joins).  All joins are inner
+    and the pushed predicates are exactly the per-side implications of the
+    original post-join filters, so the result set is identical."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -3076,16 +3135,32 @@ def q_market_share(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
+    # ASIA region → nation keys → customers → orders: each step folds the
+    # region filter one dim closer to the fact table, so the orderkey side
+    # entering the final join is ~1/5 of orders instead of all of it.
+    asia_n1 = n1.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")),
+        F.col("c_rkey") == F.col("r_regionkey"),
+    ).select("c_nkey")
+    cn = c.join(F.broadcast(asia_n1), F.col("c_nationkey") == F.col("c_nkey")).select(
+        "c_custkey"
+    )
+    on = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    sn = s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey")).select(
+        "s_suppkey", "supp_nation"
+    )
     vol = _revenue_col()
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p.where(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
-        .where(F.col("r_name") == "ASIA")
+        li.join(
+            F.broadcast(p.where(F.col("p_type") == "PROMO")),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        # `on` is ~20% of orders: auto-broadcast at bench tiers, planner's
+        # call at scale — no hint (guide §3.1)
+        .join(on, li.l_orderkey == on.o_orderkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast(_DEC)))
@@ -3264,6 +3339,9 @@ def q_top_supplier(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.sum(_revenue_col()).alias("total"))
     )
+    # rev feeds both the scalar max and the equality filter — truncate so
+    # the quarterly lineitem aggregate runs once (r12, guide §2.4)
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -4702,6 +4780,12 @@ def q_excess_suppliers(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
     )
+    # per_supp feeds BOTH the totals aggregate and the qualifying filter;
+    # without truncation the lineitem scan + part join + aggregate run
+    # twice (once inside the broadcast subtree).  Lazy localCheckpoint
+    # materializes it once — ≤|supplier| rows (r12, guide §2.4 repeated
+    # subtree; same device as pretraining_mix's survivor checkpoints).
+    per_supp = per_supp.localCheckpoint(eager=False)
     totals = per_supp.agg(
         F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
     )
