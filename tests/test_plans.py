@@ -205,13 +205,16 @@ def test_small_qty_revenue_broadcasts_dim(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_order_priority_check_is_semi_join(spark, sf_dir):
-    """Q4 shape: EXISTS compiles to a LeftSemi join that never materializes
-    lineitem columns past the join."""
+def test_order_priority_check_aggregates_before_join(spark, sf_dir):
+    """Q4 shape, r12 form: EXISTS(l_shipdate > o_orderdate) is evaluated as
+    MAX(l_shipdate) per orderkey — a map-side-combined aggregate (partial_max
+    below the exchange) — joined inner to orders; the 6M-row lineitem
+    projection is never a join build side."""
     from tsatool_app_spark.plans.driver_queries import q_order_priority_check
 
     plan = executed_plan(q_order_priority_check(spark, sf_dir))
-    assert "LeftSemi" in plan
+    assert "partial_max" in plan  # map-side combine before the exchange
+    assert "LeftSemi" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -1099,17 +1099,25 @@ def q_cube_sales(spark, sf_dir):
 
 
 def q_order_priority_check(spark, sf_dir):
-    """EXISTS-style left-semi join (TPC-H Q4 shape): orders with at least
-    one line shipped after the order date, counted by priority. The semi
-    join shuffles only (orderkey, dates) — never the wide lineitem row."""
+    """EXISTS-style filter (TPC-H Q4 shape): orders with at least one line
+    shipped after the order date, counted by priority.
+
+    r12 (guide §2.3 aggregate-before-shuffle): EXISTS(l_shipdate >
+    o_orderdate) over an order's lines ⟺ MAX(l_shipdate) > o_orderdate,
+    so lineitem is pre-aggregated to one (orderkey, max_shipdate) row —
+    map-side combined, ~4 lines collapse per key BEFORE the exchange —
+    and the semi join becomes an inner join against the unique-key
+    aggregate.  The r11 shape broadcast the 6M-row (orderkey, shipdate)
+    lineitem projection as the semi-join build side.  Identical result:
+    MAX ignores NULLs exactly as EXISTS's > does, the aggregate key is
+    unique so the inner join cannot duplicate orders, and line-less
+    orders drop under both forms."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
+    mx = l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
     return (
-        o.join(
-            l,
-            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
-            "left_semi",
-        )
+        o.join(mx, o.o_orderkey == mx.l_orderkey)
+        .where(F.col("max_ship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
