@@ -416,6 +416,44 @@ def test_connected_components_cliques_and_chain(spark):
     assert all(cc[100 + i] == 100 for i in range(64))
 
 
+def test_connected_components_stats_loser_count(spark):
+    """r13: the components loop reports the loser count off its own
+    convergence aggregate (one action per round); the count must equal
+    |{node: component != node}| exactly, and the empty edge set must
+    terminate immediately with 0."""
+    from tsatool_app_spark.functions.dedup import _connected_components_stats
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11)] + [
+        (100 + i, 101 + i) for i in range(15)
+    ]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, n_losers = _connected_components_stats(e)
+    rows = labels.collect()
+    assert n_losers == sum(1 for r in rows if r.node != r.component)
+    assert n_losers == 2 + 1 + 15  # cliques {1,2,3},{10,11} + 16-node path
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    labels0, n0 = _connected_components_stats(empty)
+    assert n0 == 0 and labels0.count() == 0
+
+
+def test_anti_join_ids_n_ids_matches_counted(spark):
+    """r13: a caller-supplied n_ids must produce the same rows as the
+    counted gate on both sides of the broadcast bound."""
+    from tsatool_app_spark.functions.dedup import anti_join_ids
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    ids = spark.createDataFrame([(i,) for i in range(0, 20, 2)], "doc_id long")
+    expect = sorted(
+        r.doc_id for r in anti_join_ids(df, ids, "doc_id").collect()
+    )
+    for n_ids in (10, 10**9):  # under / over any plausible broadcast bound
+        got = sorted(
+            r.doc_id
+            for r in anti_join_ids(df, ids, "doc_id", n_ids=n_ids).collect()
+        )
+        assert got == expect
+
+
 def test_near_dedup_survivors(spark):
     from tsatool_app_spark.functions.dedup import near_dedup_survivors
 

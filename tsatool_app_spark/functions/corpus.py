@@ -382,28 +382,25 @@ def decon_probe(
     on this path; for bulk scans of long documents prefer
     ``impl="arrow"``, which streams both probe streams out of one
     mapInPandas pass without the double materialization."""
-    from tsatool_app_spark.functions.spans import (
-        _sel_expr, span_doc_fingerprints,
-    )
+    from tsatool_app_spark.functions.spans import _sel_expr
+    from tsatool_app_spark.model import spread_small_input
 
-    bench_keys = (
-        benchmark.select(
-            F.explode(_gram_array(F.col(text_col), ngram_n)).alias("key")
-        )
-        .distinct()
-        .select(F.lit("g").alias("kind"), "key")
-        .unionByName(
-            span_doc_fingerprints(
-                benchmark, window_len=window_len, rate_hex_lt=rate_hex_lt,
-                text_col=text_col, id_col=id_col, impl=impl,
+    if impl not in ("sql", "arrow"):
+        raise ValueError("impl must be 'sql' or 'arrow'")
+
+    def fused(df: DataFrame) -> DataFrame:
+        """One text pass emitting BOTH probe streams of ``df`` as
+        (doc_id, kind, key, pos) — applied to the training corpus AND,
+        since r13, to the benchmark key build: the r12 shape derived the
+        benchmark's gram keys and span keys from two separate subtrees
+        (two text passes, two distincts), and the span subtree ran the
+        ~70 B/char _sel_expr lambda on however few partitions the
+        benchmark scan had — measured at sf0.1 as a 2.5 s single-task
+        job inside the bench_keys broadcast."""
+        if impl == "arrow":
+            return _decon_probe_arrow(
+                df, ngram_n, window_len, rate_hex_lt, text_col, id_col
             )
-            .select("fp")
-            .distinct()
-            .select(F.lit("s").alias("kind"), F.col("fp").alias("key"))
-        )
-    )
-
-    if impl == "sql":
         g_entries = F.transform(
             _gram_array(F.col(text_col), ngram_n),
             lambda g: F.struct(
@@ -420,16 +417,21 @@ def decon_probe(
                 x["pos"].cast("int").alias("pos"),
             ),
         )
-        probes = train.select(
+        return df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.concat(g_entries, s_entries)).alias("e"),
         ).select("doc_id", "e.kind", "e.key", "e.pos")
-    elif impl == "arrow":
-        probes = _decon_probe_arrow(
-            train, ngram_n, window_len, rate_hex_lt, text_col, id_col
+
+    bench_keys = (
+        fused(
+            spread_small_input(
+                benchmark.select(F.col(id_col), F.col(text_col)), key=id_col
+            )
         )
-    else:
-        raise ValueError("impl must be 'sql' or 'arrow'")
+        .select("kind", "key")
+        .distinct()
+    )
+    probes = fused(train)
 
     hits = probes.join(
         F.broadcast(bench_keys), ["kind", "key"]
@@ -919,8 +921,8 @@ def pretraining_mix(
     runs with the default).
     """
     from tsatool_app_spark.functions.dedup import (
+        _connected_components_stats,
         anti_join_ids,
-        connected_components,
         near_dup_pairs_dedup_first,
     )
     from tsatool_app_spark.functions.sampling import token_budget_mixture
@@ -954,14 +956,16 @@ def pretraining_mix(
     edges = near_dup_pairs_dedup_first(surv, min_jaccard=min_jaccard).select(
         "id_a", "id_b"
     )
-    comp = connected_components(edges)
+    comp, n_losers = _connected_components_stats(edges)
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
     # loser-set size is dup-rate-dependent (O(corpus) on web crawls):
     # broadcast only under the counted bound; past it, anti-join on
-    # 8-byte ids with no hint (anti_join_ids rationale)
-    kept = anti_join_ids(surv, losers, "doc_id")
+    # 8-byte ids with no hint (anti_join_ids rationale).  The count comes
+    # free from the components loop's convergence aggregate — no extra
+    # counted-gate job (r13).
+    kept = anti_join_ids(surv, losers, "doc_id", n_ids=n_losers)
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
 

@@ -6004,18 +6004,41 @@ _P5_SUFFIX = "tail5 and then it ends with a tidy period."
 def _pretrain_corpus(spark, sf_dir):
     """The pretraining-pipeline test corpus shared by `pretraining_mix`
     and `pretraining_mix_excise`: the %10 slice plus the four planted
-    composites described in q_pretraining_mix, and the %97 benchmark."""
+    composites described in q_pretraining_mix, and the %97 benchmark.
+
+    The two seed texts are collected up front (two limit-1 rows — a
+    driver-sized seam, same device as q_embedding_near_dups' planted
+    clones) and the five planted docs derive from 1-row LOCAL relations
+    with the ORIGINAL column expressions: r12's plan carried five
+    TakeOrdered subplans over the documents scan into the input
+    checkpoint, each costing its own AQE subquery jobs at bench tiers
+    and a redundant scan at scale (r13 census: the fixture subplans were
+    ~8 of pretraining_mix's 63 jobs).  Planted row VALUES are identical
+    by construction — the same expressions over the same seed texts."""
     docs = load_table(spark, sf_dir, "documents")
     cols = ["doc_id", "text", "source", "n_chars"]
     base = docs.where(F.col("doc_id") % 10 == 0).select(*cols)
-    seed = (
+    seed_rows = (
         docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 97 != 0))
         .orderBy("doc_id")
         .limit(1)
         .select("text")
+        .collect()
     )
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    blow = bench.orderBy("doc_id").limit(1).select("text")
+    blow_rows = bench.orderBy("doc_id").limit(1).select("text").collect()
+
+    def one_row_text(rows):
+        # coalesce(1): createDataFrame parallelizes even a 1-row local
+        # relation across defaultParallelism partitions, and five of
+        # those in the corpus union would balloon the input checkpoint
+        # (and every downstream pass) to 160+ near-empty tasks.
+        return spark.createDataFrame(
+            [(r.text,) for r in rows], "text string"
+        ).coalesce(1)
+
+    seed = one_row_text(seed_rows)
+    blow = one_row_text(blow_rows)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
 
     def planted(src, doc_id, text_expr):
