@@ -454,6 +454,47 @@ def test_anti_join_ids_n_ids_matches_counted(spark):
         assert got == expect
 
 
+def test_near_dedup_loser_ids_matches_expanded(spark):
+    """r13: the rep-level survivorship shortcut must drop EXACTLY the ids
+    the expanded-pair composition drops, on a corpus with exact-clone
+    groups, cross-group near-dups (chained), and singletons."""
+    from tsatool_app_spark.functions.dedup import (
+        connected_components,
+        near_dedup_loser_ids,
+        near_dup_pairs_dedup_first,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    # group A: 4 exact clones of base*6; group B: near-dup of A (one word
+    # changed) with 3 clones; group C: unrelated; plus singletons
+    ta = base * 6
+    tb = (base * 5) + base.replace("quick", "swift")
+    tc = "completely different content about spark optimization rounds " * 6
+    for i, t in [(1, ta), (2, ta), (3, ta), (4, ta)]:
+        rows.append((i, t))
+    for i in (10, 11, 12):
+        rows.append((i, tb))
+    for i in (20, 21):
+        rows.append((i, tc))
+    rows += [(30, "solo document one " * 20), (31, "solo document two " * 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = near_dup_pairs_dedup_first(docs, min_jaccard=0.85).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    expected = sorted(
+        r.node for r in cc.where("node != component").collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in near_dedup_loser_ids(docs, min_jaccard=0.85).collect()
+    )
+    assert got == expected
+    assert len(got) >= 5  # the fixture must actually exercise clusters
+
+
 def test_near_dedup_survivors(spark):
     from tsatool_app_spark.functions.dedup import near_dedup_survivors
 

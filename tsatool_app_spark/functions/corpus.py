@@ -921,9 +921,8 @@ def pretraining_mix(
     runs with the default).
     """
     from tsatool_app_spark.functions.dedup import (
-        _connected_components_stats,
         anti_join_ids,
-        near_dup_pairs_dedup_first,
+        near_dedup_loser_ids,
     )
     from tsatool_app_spark.functions.sampling import token_budget_mixture
     from tsatool_app_spark.functions.spans import excise_spans
@@ -953,19 +952,20 @@ def pretraining_mix(
         # 2.5x the staged sum at sf1 before these checkpoints).
         surv = surv.localCheckpoint(eager=False)
 
-    edges = near_dup_pairs_dedup_first(surv, min_jaccard=min_jaccard).select(
-        "id_a", "id_b"
-    )
-    comp, n_losers = _connected_components_stats(edges)
-    losers = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
+    # Near-dup survivorship at REPRESENTATIVE level (r13): identical
+    # loser set to connected_components over the expanded doc-level pair
+    # graph (near_dedup_loser_ids docstring has the proof; pinned by
+    # test_near_dedup_loser_ids_matches_expanded), without materializing
+    # the O(Σ clone_group²) pair expansion the components loop would
+    # immediately contract away.
+    losers = near_dedup_loser_ids(surv, min_jaccard=min_jaccard)
+    if checkpoint:
+        losers = losers.localCheckpoint(eager=False)
     # loser-set size is dup-rate-dependent (O(corpus) on web crawls):
     # broadcast only under the counted bound; past it, anti-join on
-    # 8-byte ids with no hint (anti_join_ids rationale).  The count comes
-    # free from the components loop's convergence aggregate — no extra
-    # counted-gate job (r13).
-    kept = anti_join_ids(surv, losers, "doc_id", n_ids=n_losers)
+    # 8-byte ids with no hint (anti_join_ids rationale).  The count job
+    # doubles as the losers-checkpoint materialization.
+    kept = anti_join_ids(surv, losers, "doc_id")
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
 

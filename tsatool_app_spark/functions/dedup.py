@@ -759,6 +759,84 @@ def near_dup_pairs_dedup_first(
     )
 
 
+def near_dedup_loser_ids(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.85,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """The ids cluster-level near-dedup DROPS from ``df`` — exactly
+
+    ``connected_components(near_dup_pairs_dedup_first(df, ...))
+    .where(node != component)``
+
+    (pinned by test_near_dedup_loser_ids_matches_expanded), computed
+    WITHOUT ever materializing the doc-level pair expansion (r13).
+
+    Why it exists: survivorship callers (``pretraining_mix``) fed the
+    expanded pair set — O(Σ d²) rows on clone-heavy corpora, d = clone
+    group size — into connected components, which immediately
+    CONTRACTED it back to one label per doc.  The label is decidable at
+    REPRESENTATIVE level: reps are the min id per distinct-text group,
+    so every group's min doc id IS its rep, and the min doc id reachable
+    from any doc equals the min rep id reachable from its rep:
+
+    - within-group edges connect each doc to its rep (J = 1.0, emitted
+      unconditionally by the expansion — mirrored here by routing every
+      doc through its group's rep);
+    - cross-group edges exist doc-level iff the rep pair verified at
+      ``min_jaccard`` (identical texts ⟹ identical shingle sets, so the
+      rep pair's Jaccard is every cross pair's Jaccard).
+
+    Hence doc component = component(rep) under rep-level connected
+    components over the verified rep pairs, and the losers are every doc
+    whose rep-component label is not itself.  The components loop runs
+    over the rep pair set (bounded by distinct-text near-dup density),
+    not the d²-expanded one."""
+    groups, reps = _dedup_groups_reps(df, text_col, id_col)
+    cands = minhash_near_dup_pairs(
+        reps,
+        text_col=text_col,
+        id_col="_rep",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    )
+    verified = (
+        ngram_jaccard_pairs(
+            reps,
+            cands.select("id_a", "id_b"),
+            text_col=text_col,
+            id_col="_rep",
+            shingle_k=shingle_k,
+            dedup_texts=False,  # reps are one row per distinct text already
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b")
+    )
+    rep_cc, _ = _connected_components_stats(verified)
+    # component label per distinct-text group: the rep's component when
+    # the rep appears in a verified pair, else the rep itself (singleton)
+    rep_label = (
+        reps.select("_h", "_rep")
+        .join(rep_cc.withColumnRenamed("node", "_rep"), "_rep", "left")
+        .select(
+            "_h", F.coalesce("component", F.col("_rep")).alias("_comp")
+        )
+    )
+    return (
+        groups.join(rep_label, "_h")
+        .where(F.col(id_col) != F.col("_comp"))
+        .select(id_col)
+    )
+
+
 def simhash_pairs_dedup_first(
     df: DataFrame,
     *,

@@ -6029,13 +6029,21 @@ def _pretrain_corpus(spark, sf_dir):
     blow_rows = bench.orderBy("doc_id").limit(1).select("text").collect()
 
     def one_row_text(rows):
-        # coalesce(1): createDataFrame parallelizes even a 1-row local
-        # relation across defaultParallelism partitions, and five of
-        # those in the corpus union would balloon the input checkpoint
-        # (and every downstream pass) to 160+ near-empty tasks.
-        return spark.createDataFrame(
-            [(r.text,) for r in rows], "text string"
-        ).coalesce(1)
+        # JVM-side literal relation, NOT createDataFrame: parallelized
+        # local data is a Python-RDD-backed plan, so every action over a
+        # frame derived from it pays a Python-worker round trip per
+        # partition (measured: 4.8 s per count for a ONE-ROW frame at 32
+        # partitions vs 0.24 s for range(1)+lit) and defaultParallelism
+        # empty partitions ride into every downstream union.
+        # range(..., numPartitions=1): both createDataFrame AND a bare
+        # range(n) split even a 1-row relation across defaultParallelism
+        # partitions, ballooning every downstream union/checkpoint pass
+        # to 160+ near-empty tasks.
+        n = 0 if not rows else 1
+        one = spark.range(0, n, 1, 1)
+        return one.select(
+            F.lit(rows[0].text if rows else "").alias("text")
+        )
 
     seed = one_row_text(seed_rows)
     blow = one_row_text(blow_rows)
