@@ -86,6 +86,43 @@ def time_oracles(sf_dir: str, oracles: dict[str, str], repeats: int) -> dict[str
     return out
 
 
+def calibration_anchor(spark) -> dict:
+    """Fixed-work machine-speed anchor, timed at board START and END and
+    recorded in the env block (r12 VERDICT #2): a deterministic in-JVM
+    Spark aggregate and the same-shape DuckDB aggregate, both independent
+    of the scale factor and of any query under test.  When two boards (or
+    the two ends of one board) disagree on walls, the anchor ratio says
+    how much of the delta is MACHINE state — the r12 32-core driver board
+    ran 2-3x slow on 64 untouched rows and needed a whole second 8-core
+    board to prove it; with anchors the decomposition is one division.
+    Kept additive: anchors live in the full-board env block only; the
+    driver-parsed compact line is unchanged."""
+    import duckdb
+
+    spark_s = None
+    for _ in range(2):  # best-of-2: the first run pays codegen/JIT
+        t0 = time.time()
+        # avg, not sum: sum(hash) overflows int64 under ANSI mode
+        spark.range(0, 50_000_000, 1, 64).selectExpr(
+            "avg(xxhash64(id)) AS s"
+        ).collect()
+        dt = time.time() - t0
+        spark_s = dt if spark_s is None else min(spark_s, dt)
+    duck_s = None
+    con = duckdb.connect()
+    try:
+        for _ in range(2):
+            t0 = time.time()
+            con.sql(
+                "SELECT sum(i * 2654435761) FROM range(50000000) t(i)"
+            ).fetchall()
+            dt = time.time() - t0
+            duck_s = dt if duck_s is None else min(duck_s, dt)
+    finally:
+        con.close()
+    return {"spark_s": round(spark_s, 3), "duckdb_s": round(duck_s, 3)}
+
+
 def env_metadata(sf_dir: str, repeats: int) -> dict:
     """Board provenance: engine versions, machine shape, repeat policy,
     tier row counts.  Added after the r10b->r11b denominator shift showed
@@ -153,6 +190,7 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with a trivial job so the first
     # measured query doesn't pay session startup.
     spark.range(1).count()
+    anchor_start = calibration_anchor(spark)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -212,6 +250,9 @@ def main() -> None:
             )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    env = env_metadata(sf_dir, repeats)
+    env["anchor_start"] = anchor_start
+    env["anchor_end"] = calibration_anchor(spark)
     full = {
         "metric": "driver_queries_total_wall",
         "value": total,
@@ -223,7 +264,7 @@ def main() -> None:
         "ratio_geomean": geomean,
         "ratio_geomean_databound": geomean_db,
         "n_databound": n_db,
-        "env": env_metadata(sf_dir, repeats),
+        "env": env,
     }
     if failures:
         full["failures"] = failures

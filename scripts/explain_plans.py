@@ -30,6 +30,7 @@ def main() -> None:
     from tsatool_app_spark.session import get_spark
 
     spark = get_spark("explain-plans")
+    failed: list[str] = []
     for name in names or list(QUERIES):
         q = QUERIES[name]
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
@@ -40,10 +41,16 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 - record, keep going
             plan = f"EXPLAIN FAILED: {e}"
+            failed.append(name)
         with open(path, "w") as f:
             f.write(plan)
         print(f"wrote {path}", file=sys.stderr)
     spark.stop()
+    if failed:
+        # A committed evidence file that is a failure message instead of a
+        # plan must not pass silently (ADVICE r12).
+        print(f"EXPLAIN FAILED for: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

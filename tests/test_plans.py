@@ -191,16 +191,25 @@ def test_ivf_probe_prunes_buckets(spark, sf_dir, tmp_path):
 
 
 def test_small_qty_revenue_broadcasts_dim(spark, sf_dir):
-    """Q17 shape: the filtered part dim AND the aggregated per-part means
-    must reach the lineitem scan as broadcasts (AQE turns the small agg
-    side into a broadcast at runtime) — the big table shuffles at most
-    once, for its own aggregation."""
+    """Q17 shape, r12 form: the filtered part dim reaches the lineitem
+    scan as a broadcast, and the per-part mean is a WINDOW over the
+    Brand#1 subset's single hashpartitioning exchange — NOT a second
+    full-table aggregate joined back (the r11 shape).  Docstring and
+    assertions updated per ADVICE r12: the old test text described the
+    join-back shape and would have passed even if the window regressed
+    to a second join."""
     from tsatool_app_spark.plans.driver_queries import q_small_qty_revenue
 
     df = q_small_qty_revenue(spark, sf_dir)
     df.collect()  # let AQE finalize the adaptive plan
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
+    assert "Window" in plan  # per-part mean via window, not re-aggregation
+    # exactly one hash-partitioned exchange in the FINAL plan: the
+    # window's, keyed on partkey (the executedPlan string repeats the
+    # pre-AQE shape under "== Initial Plan ==" — count only the final)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

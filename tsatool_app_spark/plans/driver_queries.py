@@ -3348,7 +3348,11 @@ def q_top_supplier(spark, sf_dir):
         .agg(F.sum(_revenue_col()).alias("total"))
     )
     # rev feeds both the scalar max and the equality filter — truncate so
-    # the quarterly lineitem aggregate runs once (r12, guide §2.4)
+    # the quarterly lineitem aggregate runs once (r12, guide §2.4).
+    # Block lifetime (ADVICE r12): checkpoint blocks are freed by the
+    # ContextCleaner when the plan's python refs drop — bench.py drops
+    # them and gc.collect()s after every query, and CI/driver sessions
+    # are per-process, so repeated invocations do not accumulate.
     rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total").alias("mx"))
     return (
@@ -4793,6 +4797,8 @@ def q_excess_suppliers(spark, sf_dir):
     # twice (once inside the broadcast subtree).  Lazy localCheckpoint
     # materializes it once — ≤|supplier| rows (r12, guide §2.4 repeated
     # subtree; same device as pretraining_mix's survivor checkpoints).
+    # Block lifetime bounded as at q_top_supplier's rev checkpoint
+    # (ADVICE r12): bench.py drops refs + gc.collect()s per query.
     per_supp = per_supp.localCheckpoint(eager=False)
     totals = per_supp.agg(
         F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
@@ -7858,12 +7864,24 @@ from pathlib import Path as _Path
 
 _MANIFEST_PATH = _Path(__file__).with_name("driver_window.json")
 if _MANIFEST_PATH.exists():
-    _front = _json.loads(_MANIFEST_PATH.read_text())["front"]
+    _manifest = _json.loads(_MANIFEST_PATH.read_text())
+    _front = _manifest["front"]
     _unknown = [n for n in _front if n not in QUERIES]
     if _unknown:
         raise ValueError(
             f"driver_window.json lists unknown queries {_unknown}; "
             "update the manifest when renaming/removing registry entries"
+        )
+    # Manifest invariant (ADVICE r12): front IS the hashed window — any
+    # consumer hashing front[:window_size] directly must see exactly
+    # window_size distinct names, not a deduped-by-luck superset.
+    if len(_front) != len(set(_front)) or len(_front) != _manifest.get(
+        "window_size", len(_front)
+    ):
+        raise ValueError(
+            "driver_window.json front must hold exactly window_size "
+            f"distinct names (got {len(_front)} entries, "
+            f"{len(set(_front))} distinct)"
         )
     _front_set = set(_front)
     QUERIES = {
