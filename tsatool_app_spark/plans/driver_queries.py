@@ -6024,17 +6024,26 @@ def _pretrain_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     cols = ["doc_id", "text", "source", "n_chars"]
     base = docs.where(F.col("doc_id") % 10 == 0).select(*cols)
-    seed_rows = (
-        docs.where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 97 != 0))
-        .orderBy("doc_id")
-        .limit(1)
-        .select("text")
-        .collect()
-    )
     bench = docs.where(F.col("doc_id") % 97 == 0)
-    blow_rows = bench.orderBy("doc_id").limit(1).select("text").collect()
+    # BOTH seed texts from ONE map-side-combined pass: min_by(text,
+    # when(cond, doc_id)) is exactly orderBy(doc_id).limit(1) per
+    # condition (doc_id unique; NULL ordering keys are ignored), and the
+    # two r12 TakeOrdered collects each re-scanned documents — 4.0 s of
+    # the sf10 wall per invocation, measured.
+    seeds = docs.agg(
+        F.min_by(
+            "text",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 97 != 0),
+                F.col("doc_id"),
+            ),
+        ).alias("seed_text"),
+        F.min_by(
+            "text", F.when(F.col("doc_id") % 97 == 0, F.col("doc_id"))
+        ).alias("blow_text"),
+    ).collect()[0]
 
-    def one_row_text(rows):
+    def one_row_text(text):
         # JVM-side literal relation, NOT createDataFrame: parallelized
         # local data is a Python-RDD-backed plan, so every action over a
         # frame derived from it pays a Python-worker round trip per
@@ -6044,15 +6053,14 @@ def _pretrain_corpus(spark, sf_dir):
         # range(..., numPartitions=1): both createDataFrame AND a bare
         # range(n) split even a 1-row relation across defaultParallelism
         # partitions, ballooning every downstream union/checkpoint pass
-        # to 160+ near-empty tasks.
-        n = 0 if not rows else 1
+        # to 160+ near-empty tasks.  NULL text (no row satisfied the
+        # condition) -> empty relation, matching the old limit(1) frame.
+        n = 0 if text is None else 1
         one = spark.range(0, n, 1, 1)
-        return one.select(
-            F.lit(rows[0].text if rows else "").alias("text")
-        )
+        return one.select(F.lit(text if text is not None else "").alias("text"))
 
-    seed = one_row_text(seed_rows)
-    blow = one_row_text(blow_rows)
+    seed = one_row_text(seeds.seed_text)
+    blow = one_row_text(seeds.blow_text)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
 
     def planted(src, doc_id, text_expr):
